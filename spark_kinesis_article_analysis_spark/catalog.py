@@ -1,0 +1,76 @@
+"""Table catalog over the driver's parquet corpus.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scale notes
+-----------
+At 100 TB the facts (``lineitem``, ``orders``, ``events``, ``documents``,
+``embeddings``) are multi-TB directory trees, ideally partitioned by date
+(``l_shipdate``/``o_orderdate``/``ts``) and bucketed on their join keys;
+the dims stay small enough to broadcast. ``load`` is the one place that
+knows this split — queries ask for a table by name and get:
+
+* dims: eagerly marked broadcast-friendly (callers use
+  :func:`pyspark.sql.functions.broadcast` at the join site, which is the
+  explicit, plan-visible way to pin the strategy),
+* facts: a plain scan, so Catalyst keeps predicate pushdown, column
+  pruning and partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these against a fact.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one corpus table. Plain ``spark.read.parquet`` — no caching,
+    no collect — so every downstream filter/projection reaches the
+    parquet reader (``PushedFilters`` / ``ReadSchema`` in the plan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
+        # rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
+        # truncate to microseconds — the exact truncation DuckDB's reader
+        # applies when it coerces TIMESTAMP_NS -> TIMESTAMP, so the oracle
+        # sees identical values. `div` keeps the arithmetic integral
+        # (a double division would lose precision above 2^53 ns).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(table_path(sf_dir, name))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so SQL-form queries can run verbatim."""
+    for name in names:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

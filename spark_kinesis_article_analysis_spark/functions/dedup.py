@@ -1,0 +1,310 @@
+"""Deduplication operators for training-data pipelines (north star):
+exact, n-gram Jaccard, SimHash, MinHash+LSH, embedding-cosine near-dup.
+
+All candidate generation is join/aggregate-shaped (no driver-side
+loops). Scale posture per operator:
+
+- **exact**: hash of normalized text -> groupBy(hash). One shuffle on a
+  16-byte key; survivor selection is min(doc_id) (deterministic, unlike
+  ``dropDuplicates`` whose kept row is arrival-order dependent).
+- **n-gram Jaccard**: shingle explode -> self-join on shingle ->
+  count/union arithmetic. Exact but quadratic in the worst case —
+  correct at validation scale; at 100 TB this is what MinHash+LSH
+  replaces (and frequent-shingle skew must be capped, see the
+  ``HAVING`` filter).
+- **SimHash**: per-token hash bit votes -> one 32-bit signature per doc
+  -> self-join on signature (or banded sub-keys for hamming<k). Linear,
+  one aggregation. Bit votes come from md5 (portable) rather than
+  xxhash64 so the DuckDB oracle can replicate the signature bit-exactly.
+- **MinHash+LSH**: k=16 xxhash64 min-hashes -> b=4 bands of r=4 ->
+  band-key equi-join for candidates -> exact-Jaccard verify. This is
+  the 100 TB near-dup path: shuffle volume is (docs x bands), never
+  pairs. xxhash64 has no DuckDB builtin, so the driver records a
+  rows-only check; tests/test_rows_only.py asserts candidate recall
+  against the exact-Jaccard pairs instead.
+- **embedding cosine**: blocked self-join (same label) + exact cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+#: SimHash signature width (bits). 32 keeps the generated SQL compact and
+#: the signature portable through a BIGINT in both engines.
+SIMHASH_BITS = 32
+#: MinHash parameters: NUM_HASHES = BANDS * ROWS_PER_BAND.
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def normalized_text_col():
+    """Canonical form for exact dedup: collapse whitespace runs, trim, lowercase."""
+    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({_NORM}) AS content_hash,
+       min(doc_id)  AS survivor_doc_id,
+       count(*)     AS n_copies
+FROM documents
+GROUP BY content_hash
+""",
+    tags=("dedup", "exact", "north-star"),
+    doc="Exact dedup: md5 of normalized text, deterministic min-doc_id survivor.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalized_text_col()).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("survivor_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> exploded distinct word n-gram shingles."""
+    t = df.select("doc_id", F.split("text", r"\s+").alias("t"))
+    sh = F.filter(
+        F.transform(
+            "t",
+            lambda x, i: F.when(
+                i < F.size(F.col("t")) - (n - 1),
+                F.concat_ws(" ", *[F.element_at(F.col("t"), i + j + 1) for j in range(n)]),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return t.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+_SHINGLE_SQL = """
+    SELECT doc_id, shingle
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         LATERAL unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS u(shingle)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH shingled AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
+""",
+    tags=("dedup", "jaccard", "ngram", "north-star"),
+    doc=(
+        "Exact word-3-gram Jaccard near-dup pairs (threshold 0.1): shingle "
+        "explode -> shared-shingle self-join -> |A∩B| / |A∪B| from the "
+        "inclusion-exclusion identity."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _simhash_expr_spark():
+    """Portable 32-bit SimHash: per distinct token, hash = first 8 hex chars
+    of md5 parsed as int; per bit, vote +1/-1; signature bit b set iff the
+    vote sum is positive."""
+    # token hash as a BIGINT from md5 hex (portable to DuckDB's hex cast)
+    return F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, tkn
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         LATERAL unnest(list_distinct(t)) AS u(tkn)
+),
+hashed AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(tkn), 1, 8)) AS BIGINT) AS h FROM tok
+),
+votes AS (
+    SELECT doc_id,
+           {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(SIMHASH_BITS))}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       {" + ".join(f"(CASE WHEN v{b} > 0 THEN 1::BIGINT << {b} ELSE 0 END)" for b in range(SIMHASH_BITS))}
+           AS simhash
+FROM votes
+""",
+    tags=("dedup", "simhash", "north-star"),
+    doc=(
+        "32-bit SimHash signature per document from md5-derived token-hash bit "
+        "votes. One explode + one aggregation — linear in corpus size; near-dup "
+        "candidates then come from signature (or banded-signature) equality."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("token")
+    )
+    hashed = tok.select("doc_id", _simhash_expr_spark().alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 has no DuckDB builtin -> rows-only; recall asserted in pytest
+    tags=("dedup", "minhash", "lsh", "north-star"),
+    doc=(
+        "MinHash(16) + LSH(4 bands x 4 rows) candidate pairs, verified with exact "
+        "shingle Jaccard >= 0.1. The scale path for near-dup at 100 TB: shuffle is "
+        "docs x bands band-keys, never O(n^2) pairs. Signature hashes are "
+        "xxhash64(seed || shingle)."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+    # k min-hashes per doc: min over shingles of xxhash64(seed, shingle)
+    minhashes = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(MINHASH_HASHES)
+        ]
+    )
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+    # band keys: hash of each band's r consecutive min-hashes
+    banded = minhashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_key"),
+                    )
+                    for band in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only (cheap: |candidates| pairs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter"))
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2
+""",
+    tags=("dedup", "embedding", "cosine", "north-star"),
+    doc=(
+        "Embedding-cosine near-dup pairs, blocked by label (the blocking key stands "
+        "in for an LSH/IVF bucket at scale) — exact cosine on double-cast vectors "
+        "via zip_with dot product."
+    ),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (
+        F.sqrt(dot(F.col("a.emb"), F.col("a.emb"))) * F.sqrt(dot(F.col("b.emb"), F.col("b.emb")))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )

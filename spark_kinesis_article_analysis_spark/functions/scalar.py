@@ -1,0 +1,225 @@
+"""Scalar expression families: string, date/time, math, JSON, array
+(incl. higher-order), map.
+
+The reference touches exactly four scalar functions (``from_json``,
+``to_timestamp``, ``split``, ``size`` — SURVEY.md §2 A.2); these queries
+cover the families a complete engine needs. All are pure Catalyst
+expressions — JVM-side, whole-stage-codegen'd, no Python boundary — so
+per-row cost is branch-free vectorized code at any scale.
+
+Cross-engine semantics pinned here:
+- ``substring`` is 1-based in both Spark and DuckDB.
+- Spark ``log`` = natural log = DuckDB ``ln``.
+- Spark ``dayofweek`` is 1=Sunday..7; DuckDB ``dayofweek`` 0=Sunday..6
+  (oracle adds 1).
+- Array indexing: Spark ``element_at`` and DuckDB list indexing are both
+  1-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+SELECT c_custkey,
+       lower(c_name)                                   AS name_lower,
+       upper(c_mktsegment)                             AS seg_upper,
+       trim(concat(' ', c_name, ' '))                  AS name_trim,
+       length(c_name)                                  AS name_len,
+       substring(c_name, 1, 8)                         AS name_prefix,
+       concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       regexp_extract(c_name, '([0-9]+)', 1)           AS name_digits,
+       regexp_replace(c_name, '[0-9]', '#', 'g')       AS name_masked,
+       levenshtein(c_mktsegment, 'BUILDING')           AS seg_dist
+FROM customer
+""",
+    tags=("scalar", "string"),
+    doc="lower/upper/trim/length/substring/concat_ws/regexp_extract/regexp_replace/levenshtein.",
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_dist"),
+    )
+
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate)                 AS order_month,
+       year(o_orderdate)                                AS order_year,
+       month(o_orderdate)                               AS order_mon,
+       dayofmonth(o_orderdate)                          AS order_day,
+       hour(o_orderdate)                                AS order_hour,
+       dayofweek(o_orderdate) + 1                       AS order_dow,
+       epoch(o_orderdate)::BIGINT                       AS order_epoch,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+FROM orders
+""",
+    tags=("scalar", "datetime"),
+    doc="date_trunc/year/month/day/hour/dayofweek/unix_timestamp/datediff.",
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_mon"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.hour("o_orderdate").alias("order_hour"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_98"),
+    )
+
+
+@register(
+    "scalar_math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1)                    AS price_round,
+       abs(l_discount - 0.05)                       AS disc_centered,
+       round(sqrt(l_quantity), 6)                   AS qty_sqrt,
+       round(ln(l_extendedprice), 6)                AS price_ln,
+       round(pow(l_quantity, 2), 4)                 AS qty_sq,
+       ceil(l_discount * 100)                       AS disc_pct_ceil,
+       floor(l_tax * 100)                           AS tax_pct_floor,
+       CAST(l_orderkey % 7 AS BIGINT)               AS key_mod7,
+       sign(l_discount - 0.04)                      AS disc_sign
+FROM lineitem
+""",
+    tags=("scalar", "math"),
+    doc="round/abs/sqrt/ln/pow/ceil/floor/mod/sign arithmetic.",
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_centered"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.04).alias("disc_sign"),
+    )
+
+
+@register(
+    "scalar_json_functions",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                    AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_int,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+FROM events
+""",
+    tags=("scalar", "json", "P2"),
+    doc="get_json_object + from_json typed extraction over events.props.",
+)
+def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed["k"].alias("k_int"),
+        (parsed["k"] * 2).alias("k_doubled"),
+    )
+
+
+@register(
+    "scalar_array_functions",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS tokens FROM documents
+)
+SELECT doc_id,
+       len(tokens)                                            AS n_tokens,
+       len(list_distinct(tokens))                             AS n_distinct,
+       tokens[1]                                              AS first_token,
+       tokens[len(tokens)]                                    AS last_token,
+       array_to_string(list_sort(list_distinct(tokens))[1:5], ' ') AS first5_sorted,
+       len(list_filter(tokens, t -> len(t) > 5))              AS n_long,
+       list_sum(list_transform(tokens, t -> len(t)))::BIGINT  AS total_chars
+FROM toks
+""",
+    tags=("scalar", "array", "higher-order"),
+    doc=(
+        "Array family incl. higher-order functions: size/array_distinct/element_at/"
+        "slice/sort_array + filter() + transform()+aggregate() (token-length sum) — "
+        "the JVM-side building blocks the similarity ops reuse."
+    ),
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    t = d.select("doc_id", toks.alias("tokens"))
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        F.element_at("tokens", 1).alias("first_token"),
+        F.element_at("tokens", F.size("tokens")).alias("last_token"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct("tokens")), 1, 5), " ").alias(
+            "first5_sorted"
+        ),
+        F.size(F.filter("tokens", lambda x: F.length(x) > 5)).alias("n_long"),
+        F.aggregate(
+            F.transform("tokens", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+SELECT doc_id,
+       2                                   AS n_keys,
+       'chars|tokens'                      AS keys_sorted,
+       n_chars                             AS chars_val,
+       len(string_split_regex(text, '\\s+'))::BIGINT AS tokens_val
+FROM documents
+""",
+    tags=("scalar", "map"),
+    doc=(
+        "Map construction + access (map_from_arrays/element_at/map_keys); the oracle "
+        "checks the scalars extracted back out of the map, which is the portable form."
+    ),
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    m = F.map_from_arrays(
+        F.array(F.lit("chars"), F.lit("tokens")),
+        F.array(F.col("n_chars"), F.size(F.split("text", r"\s+")).cast("long")),
+    )
+    return d.select(
+        "doc_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), "|").alias("keys_sorted"),
+        F.element_at(m, "chars").alias("chars_val"),
+        F.element_at(m, "tokens").alias("tokens_val"),
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (north star): exact
+brute-force cosine top-k, and the two approximate scale paths (IVF
+cells, random-hyperplane LSH buckets).
+
+Vectors are ``array<float>`` (dim 64) cast to ``array<double>`` before
+arithmetic; dot products are built-in higher-order expressions
+(``zip_with`` + ``aggregate``) — JVM-side, codegen'd, no Python UDF.
+
+Ranking discipline: scores are rounded to 6 digits *before* ranking and
+tie-broken by vec_id, so the top-k set is deterministic and identical
+to the DuckDB oracle regardless of float summation order.
+
+Scale posture:
+- brute force is O(Q x N) with the query side broadcast — fine for a
+  bounded query set, the correctness baseline for everything else;
+- IVF: assign every vector to its nearest of K centroids (one broadcast
+  pass), then search only the probe cell — O(N/K) per query;
+- LSH: sign-bit bucket of R fixed hyperplanes, candidates from bucket
+  equality; recall vs brute force is asserted in tests (rows-only for
+  the driver — hyperplanes come from xxhash64 bit mixing, which DuckDB
+  lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+#: Bounded query set: these vec_ids are the search queries.
+N_QUERIES = 5
+TOP_K = 5
+#: IVF pseudo-centroids: every 100th vector acts as a cell center.
+IVF_CENTROID_STRIDE = 100
+#: LSH: number of hyperplanes (bucket bits).
+LSH_BITS = 8
+
+
+def dot(x: Column, y: Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}),
+scored AS (
+    SELECT query_id, vec_id AS neighbor_id,
+           round(list_cosine_similarity(qe, ce), 6) AS cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC,
+                                       vec_id ASC) AS rn
+    FROM q, c
+)
+SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
+""",
+    tags=("similarity", "topk", "north-star"),
+    doc=(
+        "Exact brute-force cosine top-k: broadcast the bounded query set against "
+        "all candidates, zip_with dot product, row_number top-k on the rounded "
+        "score. The correctness baseline for the approximate variants."
+    ),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_e
+    FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+),
+assigned AS (
+    SELECT vec_id, emb, centroid_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], cent_e), 6) DESC,
+                                           centroid_id ASC) AS rn
+        FROM embeddings e, cent
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT a.vec_id AS query_id, a.emb AS qe, a.centroid_id
+    FROM assigned a WHERE a.vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_cosine_similarity(p.qe, a.emb), 6) AS cosine,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC,
+                                       a.vec_id ASC) AS rn
+    FROM probes p JOIN assigned a
+      ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
+""",
+    tags=("similarity", "ivf", "ann", "north-star"),
+    doc=(
+        "IVF-style approximate NN: every vector is assigned to its nearest "
+        "centroid (deterministic stride-chosen centroids stand in for k-means at "
+        "test scale); queries probe only their own cell. Same-cell search is the "
+        "O(N/K) scale path; assignment is one broadcast join over the centroid set."
+    ),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent_e")
+    )
+    scored_assign = e.join(F.broadcast(cent)).select(
+        "vec_id",
+        "emb",
+        "centroid_id",
+        F.round(cosine(F.col("emb"), F.col("cent_e")), 6).alias("cscore"),
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored_assign.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "centroid_id")
+    )
+    probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), "centroid_id"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("emb")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=None,  # hyperplanes derive from xxhash64 bit mixing (no DuckDB builtin) -> rows-only
+    tags=("similarity", "lsh", "ann", "north-star"),
+    doc=(
+        "Random-hyperplane LSH bucketing: 8 sign bits from fixed pseudo-random "
+        "hyperplanes (xxhash64(bit, dim)-derived weights), bucket id per vector. "
+        "Candidates = bucket equality; recall vs sim_cosine_topk asserted in "
+        "tests/test_rows_only.py."
+    ),
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    # hyperplane weight for (bit, dim): xxhash64 -> [-1, 1) fixed pseudo-random
+    def plane(bit: int) -> Column:
+        # weights as a literal-free expression over the dim index
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (F.xxhash64(F.lit(bit), j) % 1000000).cast("double") / 1000000.0,
+        )
+
+    bucket = None
+    for bit in range(LSH_BITS):
+        proj = dot(F.col("emb"), plane(bit))
+        b = F.when(proj > 0, F.lit(1).cast("long") * (1 << bit)).otherwise(0)
+        bucket = b if bucket is None else bucket + b
+    return e.select("vec_id", "label", bucket.alias("bucket")).orderBy("vec_id")

@@ -1,0 +1,276 @@
+"""Aggregation surface: the full agg-function set, pivot, cube/rollup/
+grouping sets, exact + approximate distinct, percentiles.
+
+The reference's only aggregate is ``avg`` (``process_articles.py:81``);
+this module supplies the rest of SURVEY.md §2 Part B.
+
+Float discipline: double-valued aggregates are rounded (4-6 digits) on
+BOTH the Spark and oracle side — partial/final aggregation order differs
+between engines, so raw double sums differ in final ulps. Integer-fed
+aggregates (counts, int sums, avg over ints) are exact and not rounded.
+
+Scale notes: everything here is partial+final hash aggregation (map-side
+combine before the exchange) — shuffle volume is group cardinality, not
+row count. ``approx_count_distinct`` (HLL++) and ``percentile_approx``
+(Greenwald-Khanna) are the 100 TB paths where exact distinct/percentile
+would need a full shuffle of distinct values; both are mergeable
+sketches so they stay one-pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                      AS sum_qty,
+       round(sum(l_extendedprice), 4)                                 AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)              AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 6)                                      AS avg_qty,
+       round(avg(l_extendedprice), 6)                                 AS avg_price,
+       round(avg(l_discount), 6)                                      AS avg_disc,
+       count(*)                                                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "tpch-q1"),
+    doc="TPC-H Q1-shaped pricing summary: 8 aggregates over 2 group keys.",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_minmax_argminmax",
+    oracle="""
+SELECT o_orderstatus,
+       min(o_totalprice)              AS min_price,
+       max(o_totalprice)              AS max_price,
+       min(o_orderdate)               AS first_date,
+       max(o_orderdate)               AS last_date,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+       arg_max(o_orderkey, o_totalprice) AS priciest_order
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("agg", "minmax", "argminmax"),
+    doc="min/max over numbers and timestamps + min_by/max_by (arg_min/arg_max).",
+)
+def agg_minmax_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey)  AS n_suppliers,
+       count(DISTINCT l_partkey)  AS n_parts,
+       count(*)                   AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "distinct"),
+    doc="Exact COUNT(DISTINCT) — expand-based multi-distinct planning.",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # HLL++/GK sketches are approximate; exactness checked in pytest vs exact values
+    tags=("agg", "approx", "hll", "percentile"),
+    doc=(
+        "The 100 TB cardinality/quantile path: approx_count_distinct (HLL++) and "
+        "percentile_approx (GK sketch) — mergeable one-pass sketches; rows-only "
+        "check here, error-bound asserts live in tests/test_rows_only.py."
+    ),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_quartiles"),
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS stddev_qty,
+       round(var_samp(l_quantity), 6)    AS var_qty,
+       round(stddev_pop(l_discount), 6)  AS stddevp_disc,
+       round(var_pop(l_discount), 6)     AS varp_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+    doc="Sample/population stddev and variance.",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("stddevp_disc"),
+        F.round(F.var_pop("l_discount"), 6).alias("varp_disc"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT n_regionkey,
+       array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations,
+       count(*) AS n
+FROM nation
+GROUP BY n_regionkey
+""",
+    tags=("agg", "collect"),
+    doc=(
+        "collect_set + sort_array serialized to a string — deterministic, "
+        "oracle-comparable form of the collect_list/collect_set family."
+    ),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_set("n_name")), "|").alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "pivot"),
+    doc="groupBy().pivot() with explicit value list (conditional aggregation).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup"),
+    doc="ROLLUP hierarchy: (flag, status) -> (flag) -> () subtotals.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 4) AS total, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+    doc="CUBE: all 4 grouping-set combinations of (status, priority).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT c_mktsegment, c_nationkey, round(sum(c_acctbal), 4) AS bal, count(*) AS n
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+""",
+    tags=("agg", "grouping-sets"),
+    doc="Explicit GROUPING SETS — two independent group-bys in one pass.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_gs")
+    # grouping sets has no DataFrame-native builder; SQL is the idiomatic form
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, round(sum(c_acctbal), 4) AS bal, count(*) AS n
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@register(
+    "agg_exact_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6)  AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 6)  AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+    doc="Exact interpolated percentiles (Spark `percentile` == DuckDB quantile_cont).",
+)
+def agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+    )

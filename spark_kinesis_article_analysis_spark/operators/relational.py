@@ -1,0 +1,179 @@
+"""Relational core: filters/predicates, sort/limit/top-k, set ops, distinct.
+
+The reference has none of these (SURVEY.md §2 Part B — its pipeline has
+no ``.filter()``, no sorts, no set ops), so this module supplies the
+standard surface over the TPC-H-ish corpus.
+
+Scale notes: every query here is a single scan plus at most one shuffle
+(sort or aggregate). Filters are plain Catalyst predicates so they push
+into the parquet scan (visible as ``PushedFilters`` in the plan);
+projections prune columns at the reader (``ReadSchema``). Global top-k
+plans as ``TakeOrderedAndProject`` (per-partition heap + driver merge of
+k rows — no full sort, no full shuffle) which is exactly what you want
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.08
+  AND l_returnflag IN ('A', 'R')
+  AND l_quantity IS NOT NULL
+  AND l_extendedprice > 1000.0
+""",
+    tags=("filter", "pushdown"),
+    doc="Comparison + BETWEEN + IN + IS NOT NULL predicate stack, pushed to the scan.",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.02, 0.08)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").isNotNull()
+        & (F.col("l_extendedprice") > 1000.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+@register(
+    "filter_like_rlike",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_name LIKE '%a%' AND regexp_matches(p_type, '^[A-Z]')
+  AND p_brand NOT LIKE 'Brand#4%'
+""",
+    tags=("filter", "string-predicate"),
+    doc="LIKE / NOT LIKE / regex predicate filters.",
+)
+def filter_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%a%")
+        & F.col("p_type").rlike("^[A-Z]")
+        & ~F.col("p_brand").like("Brand#4%")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+    tags=("sort", "limit", "topk"),
+    doc="Global top-k: ORDER BY + LIMIT, planned as TakeOrderedAndProject (no full sort).",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # unique-key tiebreak keeps the result deterministic under ties
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+FROM (
+    SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+    FROM customer
+) WHERE rn <= 3
+""",
+    tags=("topk", "window-analytic"),
+    doc="Top-k per group via row_number() — the scalable per-group top-k idiom.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("distinct",),
+    doc="DISTINCT over a projection (hash aggregate, map-side partial).",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT s_suppkey AS key, s_name AS name FROM supplier
+""",
+    tags=("setop", "union"),
+    doc="UNION ALL (unionByName) of two conformed projections.",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"), F.col("c_name").alias("name"))
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.col("s_name").alias("name")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("setop", "intersect"),
+    doc="INTERSECT (distinct) of nation keys present on both sides.",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    tags=("setop", "except"),
+    doc="EXCEPT ALL (bag semantics) — exceptAll().",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

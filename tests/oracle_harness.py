@@ -1,0 +1,48 @@
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Runs a QuerySpec's Spark builder and its oracle SQL side by side and
+asserts exact equality (column-name-sorted, row-sorted) — a strictly
+stronger check than the driver's order-insensitive value hash, so a
+pass here implies a pass there.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from spark_kinesis_article_analysis_spark.catalog import TABLES, table_path
+
+_CONNS: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    if sf_dir not in _CONNS:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
+        _CONNS[sf_dir] = con
+    return _CONNS[sf_dir]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        # unify integer widths and nullable/NumPy backends across engines
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
+
+
+def compare(spark, spec, sf_dir: str) -> None:
+    got = _normalize(spec.build(spark, sf_dir).toPandas())
+    want = _normalize(duck(sf_dir).sql(spec.oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{spec.name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{spec.name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=spec.name)
