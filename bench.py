@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan build + execution) with a
+materializing action that avoids driver-side result transfer cost
+dominating (count of a noop-filtered result would let Catalyst prune
+work, so we use ``write.format("noop")`` — full execution, no sink IO).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spark_kinesis_article_analysis_spark.registry import all_specs
+from spark_kinesis_article_analysis_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the flagship + one representative per operator family.
+HEADLINE = [
+    "article_pipeline_sliding",   # the reference pipeline end-to-end
+    "agg_pricing_summary",        # TPC-H Q1 shape
+    "join_multiway_star",         # 5-way star join
+    "join_broadcast_dim",         # broadcast probe
+    "topk_per_group",             # analytic window
+    "time_window_sliding",        # time windows on events
+    "time_window_session",        # stateful-ish session windows
+    "dedup_exact",                # hash dedup
+    "dedup_minhash_lsh",          # LSH near-dup (the scale path)
+    "sim_cosine_topk",            # brute-force similarity baseline
+    "text_quality_score",         # text analysis map stage
+    "scalar_array_functions",     # higher-order array ops
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    specs = all_specs()
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        build = specs[name].build
+        t0 = time.perf_counter()
+        df = build(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

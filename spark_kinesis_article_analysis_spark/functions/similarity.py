@@ -35,8 +35,11 @@ N_QUERIES = 5
 TOP_K = 5
 #: IVF pseudo-centroids: every 100th vector acts as a cell center.
 IVF_CENTROID_STRIDE = 100
-#: LSH: number of hyperplanes (bucket bits).
-LSH_BITS = 8
+#: LSH: hash tables x sign bits per table. Multiple independent tables are
+#: what gives recall — a near neighbor only needs to collide in ONE table
+#: (per-table collision prob for angle theta is (1-theta/pi)^bits).
+LSH_TABLES = 4
+LSH_BITS = 4
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -173,25 +176,34 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # hyperplanes derive from xxhash64 bit mixing (no DuckDB builtin) -> rows-only
     tags=("similarity", "lsh", "ann", "north-star"),
     doc=(
-        "Random-hyperplane LSH bucketing: 8 sign bits from fixed pseudo-random "
-        "hyperplanes (xxhash64(bit, dim)-derived weights), bucket id per vector. "
-        "Candidates = bucket equality; recall vs sim_cosine_topk asserted in "
-        "tests/test_rows_only.py."
+        "Random-hyperplane LSH: 4 independent hash tables x 4 sign bits from "
+        "fixed pseudo-random hyperplanes (xxhash64(table, bit, dim)-derived "
+        "weights). One row per (vector, table); near-dup candidates = bucket "
+        "equality within any table. Bucket quality (same-bucket cosine > global "
+        "mean) asserted in tests/test_rows_only.py."
     ),
 )
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    # hyperplane weight for (bit, dim): xxhash64 -> [-1, 1) fixed pseudo-random
-    def plane(bit: int) -> Column:
-        # weights as a literal-free expression over the dim index
+
+    def plane(table: int, bit: int) -> Column:
+        # hyperplane weight for (table, bit, dim): xxhash64 -> [-1, 1)
         return F.transform(
             F.sequence(F.lit(0), F.lit(63)),
-            lambda j: (F.xxhash64(F.lit(bit), j) % 1000000).cast("double") / 1000000.0,
+            lambda j: (F.xxhash64(F.lit(table), F.lit(bit), j) % 1000000).cast("double")
+            / 1000000.0,
         )
 
-    bucket = None
-    for bit in range(LSH_BITS):
-        proj = dot(F.col("emb"), plane(bit))
-        b = F.when(proj > 0, F.lit(1).cast("long") * (1 << bit)).otherwise(0)
-        bucket = b if bucket is None else bucket + b
-    return e.select("vec_id", "label", bucket.alias("bucket")).orderBy("vec_id")
+    tables = []
+    for t in range(LSH_TABLES):
+        bucket = None
+        for bit in range(LSH_BITS):
+            proj = dot(F.col("emb"), plane(t, bit))
+            b = F.when(proj > 0, F.lit(1).cast("long") * (1 << bit)).otherwise(0)
+            bucket = b if bucket is None else bucket + b
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return (
+        e.select("vec_id", "label", F.explode(F.array(*tables)).alias("t"))
+        .select("vec_id", "label", F.col("t.table_id").alias("table_id"), F.col("t.bucket").alias("bucket"))
+        .orderBy("vec_id", "table_id")
+    )

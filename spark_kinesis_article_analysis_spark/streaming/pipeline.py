@@ -1,0 +1,106 @@
+"""Structured Streaming layer: the reference pipeline under
+readStream/writeStream, plus the streaming-only operators.
+
+This is the streaming counterpart of ``operators/article.py`` — the
+transform code is literally shared (batch/stream unification, SIGMOD'18
+Structured Streaming paper); only the source/sink bindings differ:
+
+reference (``process_articles.py``)      this module
+------------------------------------     --------------------------------
+readStream.format("kinesis") (:53-61)    payload_stream() file source /
+                                         kinesis.reader() when deployed
+withWatermark 10 s (:79)                 article_stream() watermark arg
+window 5 min / 1 min x author (:80)      shared windowed_avg_word_count
+outputMode("append") (:87)               start_parquet_sink / memory sink
+parquet + checkpoint (:88-90)            start_parquet_sink
+awaitAnyTermination (:93)                await_all()
+
+Scale notes: state (window x key aggregates, dedup keys) is bounded by
+the watermark; at 100 TB/day use the RocksDB state store provider and
+partition the source so shard count >= executor cores (see
+session/scale docs). The parquet sink commits exactly-once via the
+manifest + checkpoint WAL, identical to the reference's sink semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from spark_kinesis_article_analysis_spark.operators.article import (
+    article_pipeline,
+    parse_articles,
+    with_word_count,
+)
+
+#: Wire schema of the payload stream: one JSON string per record —
+#: exactly the reference's Kinesis record shape after the :62 cast.
+PAYLOAD_SCHEMA = T.StructType([T.StructField("data", T.StringType(), True)])
+
+
+def payload_stream(spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Bounded-replay stand-in for the Kinesis source: a file-source
+    readStream over parquet payload files (one ``data`` string column).
+
+    ``maxFilesPerTrigger=1`` makes micro-batch boundaries deterministic,
+    which is what lets the watermark/append-mode tests assert exact
+    emission sets (SURVEY.md §5)."""
+    return (
+        spark.readStream.schema(PAYLOAD_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def article_stream(
+    payload: DataFrame,
+    watermark: str = "10 seconds",
+    slide: str | None = "1 minute",
+) -> DataFrame:
+    """The reference pipeline (watermark + sliding window avg) on a
+    streaming payload DataFrame — same transform objects as batch."""
+    return article_pipeline(payload, slide=slide, watermark=watermark)
+
+
+def article_dedup_stream(payload: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact-dedup: dropDuplicatesWithinWatermark on article_id.
+
+    State holds one key per article_id seen within the watermark horizon —
+    the streaming sibling of dedup_exact."""
+    parsed = with_word_count(parse_articles(payload))
+    return parsed.withWatermark("publish_date", watermark).dropDuplicatesWithinWatermark(
+        ["article_id"]
+    )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str, how: str = "inner") -> DataFrame:
+    """Stream-static join: enrich a stream against a (broadcastable)
+    static dimension — stateless, the dim is re-read per micro-batch."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
+    """Memory sink for semantic tests: processAllAvailable() then
+    ``spark.sql(f"select * from {name}")``."""
+    return df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+
+
+def start_parquet_sink(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """The reference's sink (``process_articles.py:85-91``): append-mode
+    parquet with a checkpoint location — exactly-once via manifest+WAL."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def await_all(spark: SparkSession) -> None:
+    """``spark.streams.awaitAnyTermination()`` (``process_articles.py:93``)."""
+    spark.streams.awaitAnyTermination()

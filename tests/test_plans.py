@@ -1,0 +1,68 @@
+"""Plan-shape regression tests: the physical plans must stay the plans
+we designed for 100 TB (broadcasts chosen, pushdown reaching the scan,
+shuffle counts bounded, codegen covering the hot path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.plans import inspect
+from spark_kinesis_article_analysis_spark.registry import all_specs
+from tests.conftest import SF_CORRECTNESS
+
+SPECS = all_specs()
+
+
+class TestBroadcasts:
+    def test_dim_joins_broadcast(self, spark):
+        for name in ["join_broadcast_dim", "join_multiway_star", "sim_cosine_topk"]:
+            df = SPECS[name].build(spark, SF_CORRECTNESS)
+            assert inspect.has_broadcast_join(df), f"{name}: dim join must broadcast"
+
+    def test_star_join_fact_shuffles_once(self, spark):
+        """5-way star: one fact-fact sort-merge pair + final agg; all dims
+        broadcast. Exchange count must stay small (no dim shuffles)."""
+        df = SPECS["join_multiway_star"].build(spark, SF_CORRECTNESS)
+        assert inspect.count_exchanges(df) <= 3, inspect.explain_str(df)
+
+
+class TestPushdown:
+    def test_filters_reach_parquet_scan(self, spark):
+        df = SPECS["filter_predicates"].build(spark, SF_CORRECTNESS)
+        pf = inspect.pushed_filters(df)
+        assert "GreaterThan" in pf or "GreaterThanOrEqual" in pf, pf
+        assert "In(l_returnflag" in pf or "In(" in pf, pf
+
+    def test_column_pruning_reaches_scan(self, spark):
+        df = SPECS["distinct_projection"].build(spark, SF_CORRECTNESS)
+        cols = inspect.read_schema_columns(df)
+        assert set(cols) == {"c_mktsegment", "c_nationkey"}, cols
+
+
+class TestShuffleBudget:
+    def test_article_pipeline_single_shuffle(self, spark):
+        """JSON parse -> tokenize -> window agg is one hash exchange; a second
+        one appearing means partial aggregation or projection fusion broke."""
+        df = SPECS["article_pipeline_sliding"].build(spark, SF_CORRECTNESS)
+        assert inspect.count_exchanges(df) == 1, inspect.explain_str(df)
+
+    def test_pricing_summary_single_shuffle(self, spark):
+        df = SPECS["agg_pricing_summary"].build(spark, SF_CORRECTNESS)
+        assert inspect.count_exchanges(df) == 1, inspect.explain_str(df)
+
+    def test_dedup_exact_single_shuffle(self, spark):
+        df = SPECS["dedup_exact"].build(spark, SF_CORRECTNESS)
+        assert inspect.count_exchanges(df) == 1, inspect.explain_str(df)
+
+
+class TestCodegen:
+    def test_hot_paths_whole_stage_codegen(self, spark):
+        """AQE hides codegen subtrees in the un-executed plan, so check the
+        non-adaptive plan — same operators, codegen annotations visible."""
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            for name in ["agg_pricing_summary", "filter_predicates", "scalar_math_functions"]:
+                df = SPECS[name].build(spark, SF_CORRECTNESS)
+                assert inspect.codegen_stage_count(df) >= 1, f"{name}: no codegen stage"
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,210 @@
+"""Streaming semantics tests (SURVEY.md §5/M4): the reference pipeline
+under readStream with deterministic micro-batch replay.
+
+Strategy: write payload parquet files (one file per micro-batch,
+``maxFilesPerTrigger=1``) so event-time progression — and therefore
+watermark advancement and append-mode emission — is exactly
+controlled. Memory sink collects what was emitted.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+
+def _write_batch(spark, dir_path: str, idx: int, articles: list[dict]) -> None:
+    rows = [(json.dumps(a),) for a in articles]
+    spark.createDataFrame(rows, sp.PAYLOAD_SCHEMA).coalesce(1).write.mode(
+        "append" if idx else "overwrite"
+    ).parquet(dir_path)
+
+
+def _article(aid: str, author: str, ts: str, content: str = "w1 w2 w3 w4") -> dict:
+    return {
+        "article_id": aid,
+        "title": f"title {aid}",
+        "author": author,
+        "publish_date": ts,
+        "content": content,
+    }
+
+
+@pytest.fixture()
+def payload_dir(tmp_path):
+    return str(tmp_path / "payload")
+
+
+def _run_to_completion(df, name: str, output_mode: str = "append"):
+    q = sp.start_memory_sink(df, name, output_mode)
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+class TestArticleStreamPipeline:
+    def test_append_mode_emits_closed_windows(self, spark, payload_dir, tmp_path):
+        """Windows are emitted once the watermark (max event time - 10s)
+        passes window.end — the G1/G5 semantics of the reference."""
+        # batch 0: two authors inside 00:00-00:05-ish windows
+        _write_batch(
+            spark,
+            payload_dir,
+            0,
+            [
+                _article("a1", "alice", "2024-01-01 00:00:30", "a b c d"),  # wc 4
+                _article("b1", "bob", "2024-01-01 00:00:45", "a b"),  # wc 2
+            ],
+        )
+        # batch 1: event time jumps far ahead -> watermark closes all earlier windows
+        _write_batch(spark, payload_dir, 1, [_article("c1", "carol", "2024-01-01 02:00:00")])
+
+        stream = sp.article_stream(sp.payload_stream(spark, payload_dir), watermark="10 seconds")
+        _run_to_completion(stream, "closed_windows")
+        out = spark.sql("SELECT * FROM closed_windows").collect()
+
+        # sliding 5m/1m: each event belongs to 5 windows; alice+bob windows all
+        # closed by the 02:00 event; carol's windows stay open (never emitted).
+        authors = {r.author for r in out}
+        assert authors == {"alice", "bob"}, f"expected only closed windows, got {authors}"
+        alice = [r for r in out if r.author == "alice"]
+        assert len(alice) == 5
+        assert all(r.average_word_count == 4.0 for r in alice)
+        # the window containing 00:00:30 starting at 23:56 exists
+        starts = {str(r.window_start) for r in alice}
+        assert "2023-12-31 23:56:00" in starts and "2024-01-01 00:00:00" in starts
+
+    def test_late_rows_beyond_watermark_dropped(self, spark, payload_dir):
+        """A row older than (max event time - 10 s) must not resurrect an
+        already-closed window (G1)."""
+        _write_batch(spark, payload_dir, 0, [_article("a1", "alice", "2024-01-01 00:00:30")])
+        _write_batch(spark, payload_dir, 1, [_article("f1", "frank", "2024-01-01 01:00:00")])
+        # batch 2: very late row for alice's window — beyond watermark, dropped
+        _write_batch(spark, payload_dir, 2, [_article("a2", "alice", "2024-01-01 00:00:40")])
+        _write_batch(spark, payload_dir, 3, [_article("g1", "gina", "2024-01-01 02:00:00")])
+
+        stream = sp.article_stream(sp.payload_stream(spark, payload_dir), watermark="10 seconds")
+        _run_to_completion(stream, "late_drop")
+        out = spark.sql("SELECT * FROM late_drop WHERE author = 'alice'").collect()
+        # a2 dropped: every alice window aggregates only a1 (4 words from default content)
+        assert len(out) == 5
+        assert all(r.average_word_count == 4.0 for r in out)
+
+    def test_batch_stream_parity(self, spark, payload_dir):
+        """The same transform over the same rows gives identical results in
+        batch and streaming (with watermark far enough to close everything) —
+        the unification property the engine's test strategy rests on."""
+        arts = [
+            _article("a1", "alice", "2024-01-01 00:00:30", "x y"),
+            _article("b1", "bob", "2024-01-01 00:01:10", "x y z"),
+            _article("z9", "zoe", "2024-01-01 09:00:00"),  # closes the others
+        ]
+        _write_batch(spark, payload_dir, 0, arts[:2])
+        _write_batch(spark, payload_dir, 1, arts[2:])
+
+        stream = sp.article_stream(sp.payload_stream(spark, payload_dir), watermark="10 seconds")
+        _run_to_completion(stream, "parity_stream")
+        streamed = {
+            (str(r.window_start), r.author): r.average_word_count
+            for r in spark.sql("SELECT * FROM parity_stream").collect()
+        }
+
+        batch_df = sp.article_pipeline(
+            spark.createDataFrame([(json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA)
+        )
+        batch = {
+            (str(r.window_start), r.author): r.average_word_count for r in batch_df.collect()
+        }
+        # every streamed (closed) window must equal the batch result exactly
+        assert streamed
+        for k, v in streamed.items():
+            assert batch[k] == v
+
+
+class TestStreamingDedup:
+    def test_drop_duplicates_within_watermark(self, spark, payload_dir):
+        _write_batch(
+            spark,
+            payload_dir,
+            0,
+            [
+                _article("a1", "alice", "2024-01-01 00:00:30"),
+                _article("a1", "alice", "2024-01-01 00:00:31"),  # dup in same batch
+            ],
+        )
+        _write_batch(spark, payload_dir, 1, [_article("a1", "alice", "2024-01-01 00:00:32")])  # dup later batch
+        _write_batch(spark, payload_dir, 2, [_article("b1", "bob", "2024-01-01 00:05:00")])
+
+        dedup = sp.article_dedup_stream(sp.payload_stream(spark, payload_dir), watermark="10 minutes")
+        _run_to_completion(dedup, "dedup_stream")
+        out = spark.sql("SELECT article_id FROM dedup_stream").collect()
+        ids = sorted(r.article_id for r in out)
+        assert ids == ["a1", "b1"], f"duplicates not collapsed: {ids}"
+
+
+class TestStreamStaticJoin:
+    def test_enrich_against_static_dim(self, spark, payload_dir):
+        _write_batch(
+            spark,
+            payload_dir,
+            0,
+            [_article("a1", "en", "2024-01-01 00:00:30"), _article("b1", "xx", "2024-01-01 00:00:40")],
+        )
+        langs = spark.createDataFrame(
+            [("en", "english"), ("de", "german")], ["author", "lang_name"]
+        )
+        parsed = sp.parse_articles(sp.payload_stream(spark, payload_dir))
+        joined = sp.stream_static_enrich(parsed, langs, on="author", how="inner")
+        _run_to_completion(joined, "enriched")
+        out = spark.sql("SELECT article_id, lang_name FROM enriched").collect()
+        assert [(r.article_id, r.lang_name) for r in out] == [("a1", "english")]
+
+
+class TestParquetSinkRestart:
+    def test_checkpoint_exactly_once_restart(self, spark, payload_dir, tmp_path):
+        """G6: stop the query, add data, restart from the same checkpoint —
+        previously-committed batches are not re-emitted (no duplicates)."""
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(spark, payload_dir, 0, [_article("a1", "alice", "2024-01-01 00:00:30")])
+
+        parsed = sp.with_word_count(sp.parse_articles(sp.payload_stream(spark, payload_dir)))
+        cols = ["article_id", "author", "word_count"]
+        q = sp.start_parquet_sink(parsed.select(*cols), out_dir, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        first = spark.read.parquet(out_dir).count()
+        assert first == 1
+
+        _write_batch(spark, payload_dir, 1, [_article("b1", "bob", "2024-01-01 00:01:00")])
+        parsed2 = sp.with_word_count(sp.parse_articles(sp.payload_stream(spark, payload_dir)))
+        q2 = sp.start_parquet_sink(parsed2.select(*cols), out_dir, ckpt)
+        q2.processAllAvailable()
+        q2.stop()
+        rows = spark.read.parquet(out_dir).collect()
+        ids = sorted(r.article_id for r in rows)
+        assert ids == ["a1", "b1"], f"restart must not duplicate batches: {ids}"
+
+
+class TestKinesisPlumbing:
+    def test_option_mapping_mirrors_reference(self, spark):
+        from spark_kinesis_article_analysis_spark.streaming.kinesis import KinesisConfig, reader
+
+        cfg = KinesisConfig(
+            stream_name="articles",
+            region="us-east-1",
+            endpoint_url="http://localhost:4566",
+            access_key="k",
+            secret_key="s",
+            checkpoint_location="/tmp/ckpt",
+        )
+        opts = cfg.options()
+        assert opts["streamName"] == "articles"
+        assert opts["startingPosition"] == "TRIM_HORIZON"
+        assert opts["awsSecretKey"] == "s"  # the reference's key-swap bug is NOT replicated
+        reader(spark, cfg)  # builds without the connector jar (load() not called)
