@@ -246,10 +246,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification of candidates only (cheap: |candidates| pairs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # Exact-Jaccard verification restricted to candidate docs: re-shingle
+    # only rows that survive LSH (broadcast semi-join on the candidate id
+    # set) — at 100 TB the verify stage shuffles candidate shingles only,
+    # a vanishing fraction of the corpus, instead of re-materializing the
+    # full shingle explode three times.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = cand_sh.alias("sa")
+    sb = cand_sh.alias("sb")
     inter = (
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(

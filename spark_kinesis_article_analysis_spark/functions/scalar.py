@@ -223,3 +223,135 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "chars").alias("chars_val"),
         F.element_at(m, "tokens").alias("tokens_val"),
     )
+
+
+@register(
+    "scalar_null_functions",
+    oracle="""
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING')           AS status_norm,
+       (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F')     AS is_f_nullsafe,
+       (nullif(o_orderstatus, 'P') IS NULL)                      AS was_pending,
+       ifnull(nullif(o_orderpriority, '1-URGENT'), 'urgent!')    AS prio_norm
+FROM orders
+""",
+    tags=("scalar", "null"),
+    doc="coalesce/nullif/ifnull + null-safe equality (<=> / IS NOT DISTINCT FROM).",
+)
+def scalar_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    status_nn = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(status_nn, F.lit("PENDING")).alias("status_norm"),
+        status_nn.eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
+        status_nn.isNull().alias("was_pending"),
+        F.ifnull(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")), F.lit("urgent!")).alias(
+            "prio_norm"
+        ),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity >= 40 THEN 'bulk'
+            WHEN l_quantity >= 10 THEN 'mid'
+            ELSE 'small' END                           AS qty_band,
+       CASE l_returnflag WHEN 'A' THEN 'accepted'
+                         WHEN 'R' THEN 'returned'
+                         ELSE 'none' END               AS flag_name,
+       greatest(l_discount, l_tax)                     AS max_rate,
+       least(l_discount, l_tax)                        AS min_rate,
+       if(l_discount > 0.05, 'discounted', 'full')     AS price_kind
+FROM lineitem
+""",
+    tags=("scalar", "conditional"),
+    doc="CASE WHEN (searched + simple), if(), greatest/least.",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_band"),
+        F.when(F.col("l_returnflag") == "A", "accepted")
+        .when(F.col("l_returnflag") == "R", "returned")
+        .otherwise("none")
+        .alias("flag_name"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.when(F.col("l_discount") > 0.05, "discounted").otherwise("full").alias("price_kind"),
+    )
+
+
+@register(
+    "scalar_hash_encode",
+    oracle="""
+SELECT c_custkey,
+       md5(c_name)                       AS name_md5,
+       sha256(c_name)                    AS name_sha256,
+       to_base64(c_name::BLOB)           AS name_b64,
+       hex(c_name::BLOB)                 AS name_hex
+FROM customer
+""",
+    tags=("scalar", "hash", "encode"),
+    doc="md5 / sha2-256 / base64 / hex — content-hash utilities the dedup ops build on.",
+)
+def scalar_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.base64(F.encode("c_name", "utf-8")).alias("name_b64"),
+        F.hex(F.col("c_name")).alias("name_hex"),
+    )
+
+
+@register(
+    "scalar_months_between",
+    oracle="""
+SELECT o_orderkey,
+       round((1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+             + (1 - dayofmonth(o_orderdate)) / 31.0, 8) AS months_to_98
+FROM orders
+""",
+    tags=("scalar", "datetime", "months-between"),
+    doc=(
+        "months_between against 1998-01-01. Spark's 31-day-month fraction rule "
+        "reduces to a closed formula here because the target day-of-month is 1 "
+        "and o_orderdate has no time component — which is what makes it "
+        "oracle-expressible."
+    ),
+)
+def scalar_months_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.months_between(F.lit("1998-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "months_to_98"
+        ),
+    )
+
+
+@register(
+    "scalar_posexplode",
+    oracle="""
+SELECT doc_id, i - 1 AS pos, t[i] AS token
+FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+     LATERAL unnest(generate_series(1, len(t))) AS u(i)
+WHERE doc_id < 50
+""",
+    tags=("scalar", "array", "posexplode"),
+    doc="posexplode: token stream with 0-based positions (bounded to 50 docs).",
+)
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token")
+    )

@@ -274,3 +274,39 @@ def agg_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
         F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value
+FROM (
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+""",
+    tags=("agg", "unpivot"),
+    doc="unpivot/melt: wide measures -> long (measure, value) pairs — pivot's inverse.",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    name_map = F.create_map(
+        F.lit("l_quantity"), F.lit("quantity"),
+        F.lit("l_extendedprice"), F.lit("price"),
+        F.lit("l_discount"), F.lit("discount"),
+    )
+    return melted.select(
+        "l_orderkey",
+        "l_linenumber",
+        name_map[F.col("measure")].alias("measure"),
+        F.round("value", 4).alias("value"),
+    )

@@ -131,3 +131,33 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.count("*").over(w).alias("n_similar_smaller"),
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w                 AS first_price,
+       last_value(o_totalprice)  OVER w                 AS latest_price,
+       nth_value(o_totalprice, 2) OVER w                AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window-analytic", "first-last-nth"),
+    doc="first_value/last_value/nth_value over an explicit full-partition frame.",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

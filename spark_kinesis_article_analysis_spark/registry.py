@@ -88,6 +88,7 @@ def _load_all() -> None:
         article,
         joins,
         relational,
+        subqueries,
         windows_analytic,
         windows_time,
     )

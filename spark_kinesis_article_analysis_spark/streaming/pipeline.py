@@ -81,6 +81,34 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str, how: str = 
     return stream.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    interval: str = "10 minutes",
+    left_watermark: str = "10 seconds",
+    right_watermark: str = "10 seconds",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    bound: right row within [left_time - interval, left_time].
+
+    Both sides carry watermarks, so each side's join state is evicted
+    once the other side's watermark passes the interval bound — the
+    state-bounding recipe from the Structured Streaming paper. At
+    100 TB/day the state footprint is rate x interval per key, never
+    unbounded."""
+    lw = left.withWatermark(left_time, left_watermark)
+    rw = right.withWatermark(right_time, right_watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {interval}"))
+        & (rw[right_time] <= lw[left_time])
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
     """Memory sink for semantic tests: processAllAvailable() then
     ``spark.sql(f"select * from {name}")``."""

@@ -1,0 +1,82 @@
+"""Scale-layout tests: bucketing and pre-partitioning — the 100 TB
+techniques that make fact-fact joins shuffle-free. Verified by plan
+shape on real (small) data: the point is that the *plan* changes, which
+is scale-independent evidence."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.plans import inspect
+from tests.conftest import SF_SMOKE
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark, tmp_path):
+        """Both sides bucketed on the join key -> SortMergeJoin with zero
+        shuffle exchanges. This is the layout lineitem/orders would use at
+        100 TB (bucket count ~ cluster cores)."""
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        try:
+            li = load(spark, SF_SMOKE, "lineitem")
+            o = load(spark, SF_SMOKE, "orders")
+            # explicit paths: warehouse.dir is a static conf on a live session
+            (
+                li.write.mode("overwrite")
+                .bucketBy(4, "l_orderkey")
+                .sortBy("l_orderkey")
+                .option("path", str(tmp_path / "li_bucketed"))
+                .saveAsTable("li_bucketed")
+            )
+            (
+                o.write.mode("overwrite")
+                .bucketBy(4, "o_orderkey")
+                .sortBy("o_orderkey")
+                .option("path", str(tmp_path / "o_bucketed"))
+                .saveAsTable("o_bucketed")
+            )
+            lb = spark.table("li_bucketed")
+            ob = spark.table("o_bucketed")
+            joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+                "l_orderkey", "o_totalprice", "l_quantity"
+            )
+            assert inspect.count_exchanges(joined) == 0, inspect.explain_str(joined)
+            # and it actually runs
+            assert joined.count() > 0
+            # contrast: the unbucketed plan needs two exchanges
+            plain = li.join(o, li.l_orderkey == o.o_orderkey).select(
+                "l_orderkey", "o_totalprice", "l_quantity"
+            )
+            assert inspect.count_exchanges(plain) >= 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+            spark.sql("DROP TABLE IF EXISTS li_bucketed")
+            spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+    def test_repartition_reused_across_aggregations(self, spark):
+        """Pre-partitioning on a key lets two groupBys on that key share one
+        exchange (the second agg reuses the partitioning)."""
+        ev = load(spark, SF_SMOKE, "events").repartition(8, "user_id")
+        agg1 = ev.groupBy("user_id").agg(F.sum("value").alias("s"))
+        # groupBy on the same key after repartition: no extra exchange beyond
+        # the explicit repartition itself
+        n = inspect.count_exchanges(agg1)
+        assert n == 1, inspect.explain_str(agg1)
+
+
+class TestPartitionedWrite:
+    def test_partitioned_parquet_prunes(self, spark, tmp_path):
+        from spark_kinesis_article_analysis_spark.sources.files import write_parquet
+
+        d = load(spark, SF_SMOKE, "documents")
+        out = str(tmp_path / "docs_by_lang")
+        write_parquet(d, out, partition_by=["lang"])
+        scan = spark.read.parquet(out).filter(F.col("lang") == "en")
+        plan = inspect.explain_str(scan, "formatted")
+        # partition filter must be a PartitionFilters entry, not a post-scan filter
+        assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+        assert scan.count() == d.filter(F.col("lang") == "en").count()

@@ -208,3 +208,56 @@ class TestKinesisPlumbing:
         assert opts["startingPosition"] == "TRIM_HORIZON"
         assert opts["awsSecretKey"] == "s"  # the reference's key-swap bug is NOT replicated
         reader(spark, cfg)  # builds without the connector jar (load() not called)
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_clicks_to_purchases(self, spark, tmp_path):
+        """Stream-stream inner interval join: each click joins purchases by
+        the same user within the preceding 10 minutes."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("user", T.StringType()),
+                T.StructField("ts", T.StringType()),
+                T.StructField("kind", T.StringType()),
+            ]
+        )
+        ldir, rdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+        clicks = [("u1", "2024-01-01 00:10:00"), ("u2", "2024-01-01 00:12:00")]
+        purchases = [
+            ("u1", "2024-01-01 00:05:00"),  # within 10 min of u1's click -> joins
+            ("u1", "2024-01-01 00:11:00"),  # AFTER the click -> excluded
+            ("u2", "2024-01-01 00:01:00"),  # 11 min before u2's click -> excluded
+        ]
+        spark.createDataFrame([(u, t, "c") for u, t in clicks], schema).write.mode(
+            "overwrite"
+        ).parquet(ldir)
+        spark.createDataFrame([(u, t, "p") for u, t in purchases], schema).write.mode(
+            "overwrite"
+        ).parquet(rdir)
+
+        left = (
+            spark.readStream.schema(schema).parquet(ldir)
+            .select(F.col("user").alias("l_user"), F.to_timestamp("ts").alias("l_ts"))
+        )
+        right = (
+            spark.readStream.schema(schema).parquet(rdir)
+            .select(F.col("user").alias("r_user"), F.to_timestamp("ts").alias("r_ts"))
+        )
+        # key columns differ by name -> build the interval-join condition
+        # directly (same shape as sp.stream_stream_interval_join)
+        lw = left.withWatermark("l_ts", "10 seconds")
+        rw = right.withWatermark("r_ts", "10 seconds")
+        cond = (
+            (lw.l_user == rw.r_user)
+            & (rw.r_ts >= lw.l_ts - F.expr("INTERVAL 10 minutes"))
+            & (rw.r_ts <= lw.l_ts)
+        )
+        q = sp.start_memory_sink(lw.join(rw, cond, "inner"), "ssjoin")
+        q.processAllAvailable()
+        q.stop()
+        out = [(r.l_user, str(r.r_ts)) for r in spark.sql("SELECT * FROM ssjoin").collect()]
+        assert out == [("u1", "2024-01-01 00:05:00")], out
