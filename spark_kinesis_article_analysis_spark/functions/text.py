@@ -225,3 +225,51 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).select(
         "lang", "bg", "n"
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, tkn
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+         LATERAL unnest(t) AS u(tkn)
+),
+tf AS (SELECT doc_id, tkn, count(*) AS tf FROM tok GROUP BY doc_id, tkn),
+df AS (SELECT tkn, count(DISTINCT doc_id) AS df FROM tok GROUP BY tkn),
+n AS (SELECT count(*) AS n_docs FROM documents),
+weighted AS (
+    SELECT tf.doc_id, tf.tkn AS term,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY round(tf.tf * ln(n.n_docs / df.df), 6) DESC,
+                                       tf.tkn ASC) AS rn
+    FROM tf JOIN df ON tf.tkn = df.tkn CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM weighted WHERE rn <= 3
+""",
+    tags=("text", "tfidf", "north-star"),
+    doc=(
+        "TF-IDF token weighting (explode -> tf per (doc,term), df per term, "
+        "ln(N/df) idf) with top-3 terms per doc. The df side is a tiny "
+        "vocabulary aggregate -> broadcast back onto the tf stream; at 100 TB "
+        "the only big shuffle is the (doc,term) count."
+    ),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; at scale use a broadcast single-row join
+    weighted = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )

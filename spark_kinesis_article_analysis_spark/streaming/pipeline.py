@@ -109,6 +109,44 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner")
 
 
+def running_author_stats(parsed_with_wc: DataFrame) -> DataFrame:
+    """Arbitrary stateful operator (``applyInPandasWithState``): per-author
+    running article count and running mean word count, maintained as
+    explicit ``(n, total)`` state across micro-batches.
+
+    This is the escape hatch for semantics the declarative operators
+    can't express (nothing in the v0 surface needs it — see SURVEY.md §2
+    'Arbitrary stateful ops' — but the capability is part of a complete
+    engine). State is per-key and Arrow-batched; at scale the RocksDB
+    state store holds it off-heap."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (author,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["word_count"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "author": [author],
+                "n_articles": [n],
+                "mean_word_count": [total / n if n else 0.0],
+            }
+        )
+
+    return parsed_with_wc.groupBy("author").applyInPandasWithState(
+        update,
+        outputStructType="author string, n_articles long, mean_word_count double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append") -> StreamingQuery:
     """Memory sink for semantic tests: processAllAvailable() then
     ``spark.sql(f"select * from {name}")``."""

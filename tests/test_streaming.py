@@ -261,3 +261,32 @@ class TestStreamStreamJoin:
         q.stop()
         out = [(r.l_user, str(r.r_ts)) for r in spark.sql("SELECT * FROM ssjoin").collect()]
         assert out == [("u1", "2024-01-01 00:05:00")], out
+
+
+class TestArbitraryStatefulOp:
+    def test_running_author_stats_accumulates_across_batches(self, spark, payload_dir):
+        """applyInPandasWithState: explicit per-key state survives micro-batch
+        boundaries (batch 1's count continues from batch 0's state)."""
+        _write_batch(
+            spark,
+            payload_dir,
+            0,
+            [
+                _article("a1", "alice", "2024-01-01 00:00:30", "w1 w2"),      # wc 2
+                _article("a2", "alice", "2024-01-01 00:01:00", "w1 w2 w3 w4"),  # wc 4
+            ],
+        )
+        _write_batch(
+            spark, payload_dir, 1, [_article("a3", "alice", "2024-01-01 00:02:00", "w1 w2 w3")]
+        )  # wc 3
+
+        parsed = sp.with_word_count(sp.parse_articles(sp.payload_stream(spark, payload_dir)))
+        stats = sp.running_author_stats(parsed.select("author", "word_count"))
+        q = sp.start_memory_sink(stats, "author_stats", output_mode="update")
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(
+            "SELECT * FROM author_stats WHERE author = 'alice' ORDER BY n_articles"
+        ).collect()
+        # update mode emits one row per micro-batch touching the key
+        assert [(r.n_articles, r.mean_word_count) for r in rows] == [(2, 3.0), (3, 3.0)]
