@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5: tokenizer parity
+against a reference model, dedup idempotence, PERMISSIVE parse
+robustness on arbitrary malformed payloads.
+
+One Spark job per test (hypothesis generates the corpus up front) so
+runtime stays bounded."""
+
+from __future__ import annotations
+
+import json
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.operators.article import (
+    ARTICLE_SCHEMA,
+    parse_articles,
+    with_word_count,
+)
+
+# printable-ish text incl. whitespace runs, unicode, empties
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    min_size=0,
+    max_size=80,
+)
+
+
+def _ref_word_count(s: str) -> int:
+    """Reference model of Spark's size(split(s, '\\s+')). Spark's split
+    passes limit=-1 to the Java regex engine, so trailing empty tokens
+    are KEPT (unlike bare String.split): ' ' -> ['', ''] (2), '' -> ['']
+    (1). Java's \\s is exactly [ \\t\\n\\x0B\\f\\r] — narrower than
+    Python's Unicode \\s (which also matches \\x1c-\\x1f etc.), so the
+    model spells the class out."""
+    return len(re.split(r"[ \t\n\x0b\f\r]+", s))
+
+
+class TestTokenizerProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=30))
+    def test_word_count_matches_reference_model(self, spark, corpus):
+        df = spark.createDataFrame([(t,) for t in corpus], "content string")
+        got = [
+            r.word_count
+            for r in df.withColumn("words", F.split("content", r"\s+"))
+            .withColumn("word_count", F.size("words"))
+            .collect()
+        ]
+        want = [_ref_word_count(t) for t in corpus]
+        assert got == want, list(zip(corpus, got, want))
+
+
+class TestDedupProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=30))
+    def test_exact_dedup_idempotent(self, spark, corpus):
+        """dedup(dedup(X)) == dedup(X), and survivors' normalized forms are
+        unique."""
+        from spark_kinesis_article_analysis_spark.functions.dedup import normalized_text_col
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        once = (
+            df.select("doc_id", "text", F.md5(normalized_text_col()).alias("h"))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        n_once = once.count()
+        assert n_once == len({re.sub(r"\s+", " ", t).strip().lower() for t in corpus})
+        # idempotence: dedup over survivors changes nothing
+        survivors = df.join(once.select("doc_id"), "doc_id", "left_semi")
+        twice = (
+            survivors.select(F.md5(normalized_text_col()).alias("h"))
+            .distinct()
+            .count()
+        )
+        assert twice == n_once
+
+
+class TestParseRobustness:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.one_of(texts, st.none()), min_size=1, max_size=20))
+    def test_malformed_payloads_yield_nulls_not_errors(self, spark, payloads):
+        """PERMISSIVE from_json (the reference's mode): arbitrary garbage in
+        the data column parses to null fields, never an exception."""
+        df = spark.createDataFrame([(p,) for p in payloads], "data string")
+        out = parse_articles(df).collect()
+        assert len(out) == len(payloads)
+        valid = json.dumps({"article_id": "x", "title": "t", "author": "a",
+                            "publish_date": "2024-01-01 00:00:00", "content": "c"})
+        df2 = spark.createDataFrame([(valid,)], "data string")
+        row = parse_articles(df2).collect()[0]
+        assert row.article_id == "x" and row.publish_date is not None

@@ -80,3 +80,77 @@ class TestPartitionedWrite:
         # partition filter must be a PartitionFilters entry, not a post-scan filter
         assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
         assert scan.count() == d.filter(F.col("lang") == "en").count()
+
+
+class TestSkewHandling:
+    def test_salted_join_equals_plain_join(self, spark):
+        """Salting must not change join semantics: same (key, payload)
+        multiset as the plain join."""
+        from spark_kinesis_article_analysis_spark.operators.skew import salted_join
+
+        li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+        o = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+        plain = sorted(
+            (r.l_orderkey, r.l_quantity, r.o_totalprice)
+            for r in li.join(o, li.l_orderkey == o.o_orderkey).collect()
+        )
+        salted = sorted(
+            (r.l_orderkey, r.l_quantity, r.o_totalprice)
+            for r in salted_join(li, o, "l_orderkey", "o_orderkey", salt_buckets=4).collect()
+        )
+        assert salted == plain
+
+    def test_two_phase_agg_equals_single_phase(self, spark):
+        from spark_kinesis_article_analysis_spark.operators.skew import two_phase_agg
+
+        ev = load(spark, SF_SMOKE, "events")
+        single = {
+            r.user_id: (round(r.total, 6), r.n)
+            for r in ev.groupBy("user_id")
+            .agg(F.round(F.sum("value"), 6).alias("total"), F.count("*").alias("n"))
+            .collect()
+        }
+        double = {
+            r.user_id: (round(r.total, 6), r.n)
+            for r in two_phase_agg(ev, "user_id", "value").collect()
+        }
+        assert double == single
+
+
+class TestRocksDBStateStore:
+    def test_streaming_agg_with_rocksdb_provider(self, spark, tmp_path):
+        """The 100 TB streaming-state path: RocksDB state store provider
+        (bundled in Spark 4) runs the windowed aggregation end-to-end."""
+        import json as _json
+
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            d = str(tmp_path / "payload")
+            arts = [
+                {"article_id": "a1", "title": "t", "author": "alice",
+                 "publish_date": "2024-01-01 00:00:30", "content": "w1 w2"},
+                {"article_id": "z1", "title": "t", "author": "zoe",
+                 "publish_date": "2024-01-01 03:00:00", "content": "x"},
+            ]
+            spark.createDataFrame(
+                [( _json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            q = sp.start_memory_sink(
+                sp.article_stream(sp.payload_stream(spark, d)), "rocksdb_out"
+            )
+            q.processAllAvailable()
+            q.stop()
+            rows = spark.sql("SELECT * FROM rocksdb_out").collect()
+            assert len(rows) == 5  # alice's 5 closed sliding windows
+            assert all(r.average_word_count == 2.0 for r in rows)
+        finally:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
