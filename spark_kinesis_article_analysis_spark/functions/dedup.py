@@ -234,29 +234,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Candidate pairs WITHOUT a self-join: a self-join would re-derive the
+    # whole scan->shingle->minhash->band upstream once per side (the plan
+    # ballooned to 22 corpus scans before this). Instead group each band
+    # bucket once and expand intra-bucket pairs with a higher-order
+    # combination expression — bucket sizes are small by LSH construction,
+    # so the collect_list per bucket is bounded.
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pair_list = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size("docs")), lambda y: F.struct(
+                    x.alias("doc_a"), y.alias("doc_b")
+                )
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    candidates = (
+        buckets.select(F.explode(pair_list).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     # Exact-Jaccard verification restricted to candidate docs: re-shingle
     # only rows that survive LSH (broadcast semi-join on the candidate id
-    # set) — at 100 TB the verify stage shuffles candidate shingles only,
-    # a vanishing fraction of the corpus, instead of re-materializing the
-    # full shingle explode three times.
+    # set), and persist that small set — it feeds the intersection join
+    # twice plus the size lookup. At 100 TB the verify stage shuffles
+    # candidate shingles only, a vanishing fraction of the corpus.
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    cand_sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi").persist()
     sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = cand_sh.alias("sa")
     sb = cand_sh.alias("sb")

@@ -260,8 +260,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; at scale use a broadcast single-row join
+    # df derives from tf (rows are already distinct (doc,term)) — one
+    # corpus scan + explode total, not two
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()  # scalar; parquet-metadata count, no data scan
     weighted = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",
