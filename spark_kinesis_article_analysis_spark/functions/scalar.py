@@ -355,3 +355,112 @@ def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token")
     )
+
+
+@register(
+    "scalar_array_setops",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_distinct(string_split_regex(text, '\\s+')) AS a,
+           list_distinct(string_split_regex(upper(text), '\\s+')) AS b
+    FROM documents
+)
+SELECT doc_id,
+       len(list_distinct(a || b))                                   AS n_union,
+       len(list_filter(a, x -> list_contains(b, x)))                AS n_intersect,
+       len(list_filter(a, x -> NOT list_contains(b, x)))            AS n_except,
+       array_to_string(list_sort(list_transform(generate_series(1, 3), i -> i * 10)), ',')
+           AS seq_str
+FROM t
+""",
+    tags=("scalar", "array", "setops"),
+    doc="array_union/array_intersect/array_except cardinalities + sequence generation.",
+)
+def scalar_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    a = F.array_distinct(F.split("text", r"\s+"))
+    b = F.array_distinct(F.split(F.upper("text"), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.array_intersect(a, b)).alias("n_intersect"),
+        F.size(F.array_except(a, b)).alias("n_except"),
+        F.array_join(
+            F.sort_array(F.transform(F.sequence(F.lit(1), F.lit(3)), lambda i: i * 10)), ","
+        ).alias("seq_str"),
+    )
+
+
+@register(
+    "scalar_string_extended",
+    oracle="""
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0')       AS key_padded,
+       repeat(c_mktsegment[1:1], 3)                   AS initial_x3,
+       replace(c_name, '#', '-')                      AS name_dashed,
+       CASE WHEN len(c_name) = 0 THEN c_name
+            ELSE upper(c_name[1:1]) || lower(c_name[2:]) END AS name_initcap_ish,
+       split_part(c_name, '#', 1)                     AS name_head,
+       reverse(c_mktsegment)                          AS seg_rev,
+       starts_with(c_mktsegment, 'BU')                AS is_bu,
+       contains(c_name, '1')                          AS has_one
+FROM customer
+""",
+    tags=("scalar", "string", "extended"),
+    doc="lpad/repeat/replace/split_part/reverse/startswith/contains (+ a portable initcap form).",
+)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("initial_x3"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.when(F.length("c_name") == 0, F.col("c_name"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("c_name", 1, 1)),
+                F.lower(F.expr("substring(c_name, 2)")),
+            )
+        )
+        .alias("name_initcap_ish"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.startswith(F.col("c_mktsegment"), F.lit("BU")).alias("is_bu"),
+        F.contains(F.col("c_name"), F.lit("1")).alias("has_one"),
+    )
+
+
+@register(
+    "scalar_date_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)               AS due_date,
+       CAST(CAST(o_orderdate AS DATE) - 7 AS TIMESTAMP)                AS week_before,
+       CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS quarter_later,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)          AS month_end,
+       date_trunc('quarter', o_orderdate)                              AS quarter_start,
+       quarter(o_orderdate)                                            AS q,
+       weekofyear(o_orderdate)                                         AS woy
+FROM orders
+""",
+    tags=("scalar", "datetime", "arithmetic"),
+    doc="date_add/date_sub/add_months/last_day/quarter/weekofyear arithmetic.",
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    # DATE results are cast back to timestamp: a DATE column collects as
+    # python date objects, which hash/compare differently from the
+    # oracle's datetime64 values even when equal
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.date_sub(d, 7).cast("timestamp").alias("week_before"),
+        F.add_months(d, 3).cast("timestamp").alias("quarter_later"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.quarter("o_orderdate").alias("q"),
+        F.weekofyear("o_orderdate").alias("woy"),
+    )

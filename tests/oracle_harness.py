@@ -26,6 +26,8 @@ def duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -35,6 +37,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("Int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
+        elif pd.api.types.is_object_dtype(df[c]):
+            # DATE columns: Spark collects datetime.date objects, DuckDB
+            # may give datetime64 — align both on datetime64[us]
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], (datetime.date, datetime.datetime)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
 
 

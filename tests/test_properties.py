@@ -71,7 +71,12 @@ class TestDedupProperties:
             .agg(F.min("doc_id").alias("doc_id"))
         )
         n_once = once.count()
-        assert n_once == len({re.sub(r"\s+", " ", t).strip().lower() for t in corpus})
+        # model Java regex \s ([ \t\n\x0B\f\r]) and Spark trim (' ' only),
+        # NOT Python's Unicode \s / str.strip() which also match \x1c-\x1f
+        norm = {
+            re.sub(r"[ \t\n\x0b\f\r]+", " ", t).strip(" ").lower() for t in corpus
+        }
+        assert n_once == len(norm)
         # idempotence: dedup over survivors changes nothing
         survivors = df.join(once.select("doc_id"), "doc_id", "left_semi")
         twice = (
