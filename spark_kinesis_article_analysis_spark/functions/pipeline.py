@@ -1,0 +1,252 @@
+"""Training-data pipeline operators: chunking, sequence packing,
+deterministic splits, quantile gating, dedup clustering.
+
+Extends the reference's single text transform (whitespace word count,
+``app/process_articles.py:74-75``) into the corpus-preparation stages an
+LLM pre-training pipeline runs after text analysis and dedup scoring
+(BASELINE.json north star).
+
+Scale posture: chunking and split assignment are pure map-side
+(scan-fused, zero shuffles). Packing and percentile gating window by
+``lang`` so no single-partition global sort exists; at 100 TB you would
+sub-shard hot languages (e.g. ``lang, pmod(hash(doc_id), k)``) the same
+way — the operator shape is unchanged. Component clustering is the
+min-label-propagation primitive of the MapReduce connected-components
+family (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): each round is two keyed min-aggregations + a join, so rounds
+are shuffle-bounded and the iteration count is the graph diameter, not
+the data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+#: Chunking geometry: 50-token chunks every 40 tokens (10-token overlap).
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+#: Sequence-packing budget (tokens per packed training sequence).
+PACK_BUDGET = 2048
+
+
+def _toks(text_col: str = "text"):
+    return F.split(F.col(text_col), r"\s+")
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+c AS (
+    SELECT doc_id, i AS chunk_id,
+           toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS chunk
+    FROM t, LATERAL unnest(generate_series(0, (len(toks) - 1) // {CHUNK_STRIDE})) AS u(i)
+)
+SELECT doc_id, chunk_id,
+       array_to_string(chunk, ' ') AS chunk_text,
+       len(chunk)                  AS chunk_tokens
+FROM c
+""",
+    tags=("text", "chunk", "north-star"),
+    doc=(
+        "Sliding-window document chunking: fixed-size token chunks with overlap "
+        "(50 tokens every 40). sequence -> slice -> posexplode, all Catalyst "
+        "higher-order functions: map-only, scan-fused, zero shuffles."
+    ),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", _toks().alias("toks"))
+    n_chunks = (F.floor((F.size("toks") - F.lit(1)) / F.lit(CHUNK_STRIDE)) + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("toks"), i * CHUNK_STRIDE + 1, CHUNK_TOKENS),
+    )
+    return t.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")).select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("chunk", " ").alias("chunk_text"),
+        F.size("chunk").alias("chunk_tokens"),
+    )
+
+
+@register(
+    "pack_sequences_bounded",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id
+FROM t
+""",
+    tags=("text", "packing", "north-star"),
+    doc=(
+        "Greedy contiguous sequence packing: docs are assigned to fixed-budget "
+        "training packs (2048 tokens) by exclusive running token count within "
+        "each language. One shuffle (window by lang); deterministic given the "
+        "doc_id order."
+    ),
+)
+def pack_sequences_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(_toks()).alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET)).alias("pack_id"),
+    )
+
+
+@register(
+    "split_hash_assign",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+    FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 'cd' THEN 'train'
+            WHEN bucket < 'e6' THEN 'valid'
+            ELSE 'test' END AS split
+FROM t
+""",
+    tags=("text", "split", "north-star"),
+    doc=(
+        "Deterministic train/valid/test assignment: first md5 byte of the doc "
+        "key buckets each doc into ~80/10/10 via hex-string thresholds. Pure "
+        "map-side, stable across engines and runs — the property a split "
+        "column must have when the corpus is re-materialized."
+    ),
+)
+def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < "cd", "train")
+        .when(bucket < "e6", "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "quality_percentile_gate",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, lang,
+           round(length(text) / len(string_split_regex(text, '\\s+')), 6) AS score
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang, score,
+           percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+    FROM t
+)
+SELECT doc_id, lang, score, round(pr, 6) AS pct_rank
+FROM r WHERE pr >= 0.6
+""",
+    tags=("text", "quality", "quantile", "north-star"),
+    doc=(
+        "Quantile-based quality gating: keep the top 40% of docs per language "
+        "by mean-token-length score using percent_rank (rank arithmetic, so "
+        "engine-exact — no interpolated-percentile float drift). Window by "
+        "lang keeps the sort distributed."
+    ),
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.round(F.length("text") / F.size(_toks()), 6).alias("score"),
+    )
+    pr = F.percent_rank().over(W.partitionBy("lang").orderBy("score", "doc_id"))
+    return (
+        t.withColumn("pr", pr)
+        .filter(F.col("pr") >= 0.6)
+        .select("doc_id", "lang", "score", F.round("pr", 6).alias("pct_rank"))
+    )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle="""
+WITH RECURSIVE d AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' '))
+               AS fp,
+           md5(substr(text, 1, 64)) AS ph
+    FROM documents
+),
+e AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst FROM d a JOIN d b ON a.fp = b.fp
+    UNION
+    SELECT a.doc_id AS src, b.doc_id AS dst FROM d a JOIN d b ON a.ph = b.ph
+),
+walk(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM d
+    UNION
+    SELECT e.src, w.label FROM walk w JOIN e ON e.dst = w.doc_id
+),
+comp AS (SELECT doc_id, min(label) AS component_id FROM walk GROUP BY doc_id)
+SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id) AS component_size
+FROM comp
+""",
+    tags=("dedup", "components", "iterative", "north-star"),
+    doc=(
+        "Duplicate-cluster discovery: connected components over the graph whose "
+        "edges link docs sharing either dedup key (full-content fingerprint OR "
+        "64-char prefix hash), so transitive chains collapse into one cluster. "
+        "Spark side: min-label propagation — per round, a min() per key group "
+        "joined back (two keyed aggs + one join per round, iterations bounded "
+        "by graph diameter). Oracle: DuckDB recursive CTE closure."
+    ),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.array_distinct(_toks())), " ")).alias("fp"),
+        F.md5(F.substring("text", 1, 64)).alias("ph"),
+        F.col("doc_id").alias("label"),
+    ).localCheckpoint(eager=True)
+    for _ in range(20):
+        m1 = nodes.groupBy("fp").agg(F.min("label").alias("l1"))
+        m2 = nodes.groupBy("ph").agg(F.min("label").alias("l2"))
+        nxt = (
+            nodes.join(m1, "fp")
+            .join(m2, "ph")
+            .select("doc_id", "fp", "ph", F.least("label", "l1", "l2").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(nodes.select("doc_id", F.col("label").alias("prev")), "doc_id")
+            .filter(F.col("label") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        nodes = nxt
+        if changed == 0:
+            break
+    comp = nodes.select("doc_id", F.col("label").alias("component_id"))
+    return comp.withColumn(
+        "component_size", F.count("*").over(W.partitionBy("component_id"))
+    )

@@ -95,6 +95,7 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         scalar,
         similarity,
         text,
