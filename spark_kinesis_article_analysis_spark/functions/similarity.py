@@ -207,3 +207,57 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.col("t.table_id").alias("table_id"), F.col("t.bucket").alias("bucket"))
         .orderBy("vec_id", "table_id")
     )
+
+
+@register(
+    "embed_centroid_per_label",
+    oracle="""
+WITH p AS (
+    SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS v
+    FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT label, pos, round(avg(v), 6) AS c
+FROM p GROUP BY label, pos
+""",
+    tags=("similarity", "centroid", "north-star"),
+    doc=(
+        "Per-label embedding centroid in long form (label, dim, mean) — the "
+        "k-means / class-prototype building block. posexplode keeps the "
+        "reduction a plain (label, pos) hash agg: partial aggregation is "
+        "map-side, the only shuffle is 10 labels x 64 dims wide."
+    ),
+)
+def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+
+
+@register(
+    "embed_norm_stats",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
+       round(list_min(embedding::DOUBLE[]), 6) AS min_c,
+       round(list_max(embedding::DOUBLE[]), 6) AS max_c
+FROM embeddings
+""",
+    tags=("similarity", "norm", "north-star"),
+    doc=(
+        "Vector norm/statistics per embedding via higher-order fold "
+        "(F.aggregate) — the normalize-before-cosine prerequisite, fully "
+        "JVM-side and map-only (no shuffle, scan-fused)."
+    ),
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    sq = F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x)
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(F.array_min("emb"), 6).alias("min_c"),
+        F.round(F.array_max("emb"), 6).alias("max_c"),
+    )

@@ -64,6 +64,12 @@ def article_stream(
     return article_pipeline(payload, slide=slide, watermark=watermark)
 
 
+def article_stream_parsed(payload: DataFrame) -> DataFrame:
+    """Stateless parse stage only (P1-P6): payload JSON -> typed article
+    rows with word_count. The per-record shape foreachBatch sinks see."""
+    return with_word_count(parse_articles(payload))
+
+
 def article_dedup_stream(payload: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact-dedup: dropDuplicatesWithinWatermark on article_id.
 
@@ -165,6 +171,30 @@ def start_parquet_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def start_foreach_batch_sink(
+    df: DataFrame,
+    checkpoint: str,
+    handler,
+    output_mode: str = "append",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """foreachBatch sink: ``handler(batch_df, batch_id)`` per micro-batch.
+
+    The general-purpose escape hatch for sinks Spark lacks natively
+    (JDBC upsert, idempotent external writes keyed on ``batch_id``). On
+    restart, a replayed batch arrives with the SAME batch_id, so a
+    handler that records processed ids gets exactly-once effects on top
+    of the at-least-once replay. ``available_now=True`` uses
+    Trigger.AvailableNow: drain everything currently in the source in
+    rate-limited batches, then stop — the batch-job-over-streaming-
+    checkpoint operating mode (backfill at 100 TB without an always-on
+    cluster)."""
+    w = df.writeStream.outputMode(output_mode).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.foreachBatch(handler).start()
 
 
 def await_all(spark: SparkSession) -> None:

@@ -290,3 +290,72 @@ class TestArbitraryStatefulOp:
         ).collect()
         # update mode emits one row per micro-batch touching the key
         assert [(r.n_articles, r.mean_word_count) for r in rows] == [(2, 3.0), (3, 3.0)]
+
+
+class TestForeachBatchSink:
+    def test_available_now_drains_and_terminates(self, spark, payload_dir, tmp_path):
+        """foreachBatch + Trigger.AvailableNow: every source row is handed to
+        the handler exactly once across micro-batches, then the query stops on
+        its own (the backfill operating mode)."""
+        _write_batch(spark, payload_dir, 0, [_article("a1", "alice", "2024-01-01 00:00:30")])
+        _write_batch(spark, payload_dir, 1, [_article("b1", "bob", "2024-01-01 00:01:00")])
+
+        seen: list[tuple[int, list[str]]] = []
+
+        def handler(batch_df, batch_id):
+            seen.append((batch_id, [r.article_id for r in batch_df.collect()]))
+
+        parsed = sp.article_stream_parsed(sp.payload_stream(spark, payload_dir))
+        q = sp.start_foreach_batch_sink(
+            parsed, str(tmp_path / "cp"), handler, available_now=True
+        )
+        assert q.awaitTermination(120), "AvailableNow query did not self-terminate"
+        ids = sorted(i for _, batch in seen for i in batch)
+        assert ids == ["a1", "b1"]
+        assert len(seen) >= 2  # maxFilesPerTrigger=1 -> one batch per file
+        assert len({bid for bid, _ in seen}) == len(seen)  # distinct batch ids
+
+    def test_restart_replays_only_new_data(self, spark, payload_dir, tmp_path):
+        """Restarting from the same checkpoint hands the handler only batches
+        it has not seen — batch_id-keyed handlers get exactly-once effects."""
+        cp = str(tmp_path / "cp")
+        _write_batch(spark, payload_dir, 0, [_article("a1", "alice", "2024-01-01 00:00:30")])
+
+        first: list[str] = []
+        q = sp.start_foreach_batch_sink(
+            sp.article_stream_parsed(sp.payload_stream(spark, payload_dir)),
+            cp,
+            lambda df, bid: first.extend(r.article_id for r in df.collect()),
+            available_now=True,
+        )
+        assert q.awaitTermination(120)
+        assert sorted(first) == ["a1"]
+
+        _write_batch(spark, payload_dir, 1, [_article("b1", "bob", "2024-01-01 00:01:00")])
+        second: list[str] = []
+        q2 = sp.start_foreach_batch_sink(
+            sp.article_stream_parsed(sp.payload_stream(spark, payload_dir)),
+            cp,
+            lambda df, bid: second.extend(r.article_id for r in df.collect()),
+            available_now=True,
+        )
+        assert q2.awaitTermination(120)
+        assert sorted(second) == ["b1"], f"restart replayed old data: {second}"
+
+
+class TestUpdateMode:
+    def test_update_mode_emits_revisions(self, spark, payload_dir):
+        """update output mode re-emits a (window, author) group every time a
+        new row revises it — unlike append, which emits once at close."""
+        _write_batch(spark, payload_dir, 0, [_article("a1", "alice", "2024-01-01 00:00:30", "a b c d")])
+        _write_batch(spark, payload_dir, 1, [_article("a2", "alice", "2024-01-01 00:00:40", "a b")])
+
+        stream = sp.article_stream(sp.payload_stream(spark, payload_dir), watermark="10 seconds")
+        _run_to_completion(stream, "upd_mode", output_mode="update")
+        rows = spark.sql(
+            "SELECT average_word_count FROM upd_mode "
+            "WHERE author = 'alice' AND window_start = timestamp'2024-01-01 00:00:00'"
+        ).collect()
+        # batch 0 emits avg=4.0, batch 1 revises the same window to 3.0
+        vals = [r.average_word_count for r in rows]
+        assert vals == [4.0, 3.0], vals
