@@ -259,36 +259,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(pair_list).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
+        .persist()  # reused 3x (both id sides + final join); tiny by LSH construction
     )
     # Exact-Jaccard verification restricted to candidate docs: re-shingle
     # only rows that survive LSH (broadcast semi-join on the candidate id
-    # set), and persist that small set — it feeds the intersection join
-    # twice plus the size lookup. At 100 TB the verify stage shuffles
-    # candidate shingles only, a vanishing fraction of the corpus.
+    # set), collect each candidate's distinct-shingle set ONCE, and score
+    # pairs map-side with array_intersect — no shingle-level join, so the
+    # verify stage shuffles one row per candidate doc (its shingle set),
+    # a vanishing fraction of the corpus at 100 TB.
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi").persist()
-    sizes = cand_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = cand_sh.alias("sa")
-    sb = cand_sh.alias("sb")
-    inter = (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    cand_sets = (
+        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shset"))
+        .persist()  # reused by both join sides; one row per candidate doc
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    jac = F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter"))
+    sa = cand_sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha"))
+    sb = cand_sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter / (F.size("sha") + F.size("shb") - inter)
     return (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -331,4 +327,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.2)
+    )
+
+
+@register(
+    "dedup_keep_latest",
+    oracle="""
+WITH r AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+)
+SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+FROM r WHERE rn = 1
+""",
+    tags=("dedup", "keep-latest"),
+    doc=(
+        "Ordered dedup: keep the most recent row per key (row_number = 1 over a "
+        "per-key descending sort) — the deterministic form of dropDuplicates "
+        "when 'which survivor' matters. Single hash shuffle on the key; "
+        "rank-then-filter pushes the per-group sort into the window operator."
+    ),
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+        )
     )

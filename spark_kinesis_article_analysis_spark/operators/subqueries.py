@@ -117,3 +117,20 @@ def join_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "sample_stratified",
+    oracle=None,  # engine-RNG-specific like sample_seeded -> rows-only; strata tested in pytest
+    tags=("sample", "stratified"),
+    doc=(
+        "Stratified sampling (sampleBy): per-stratum Bernoulli fractions keyed "
+        "on lang — the language-rebalancing primitive for corpus curation. "
+        "Map-side only (each row draws against its stratum fraction; no "
+        "shuffle), so it scales identically to a filter."
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.8, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.3}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")

@@ -70,6 +70,28 @@ def article_stream_parsed(payload: DataFrame) -> DataFrame:
     return with_word_count(parse_articles(payload))
 
 
+def article_session_stream(
+    payload: DataFrame, gap: str = "5 minutes", watermark: str = "10 seconds"
+) -> DataFrame:
+    """Per-author session windows over the article stream: events closer
+    than ``gap`` merge into one session; a session is emitted (append
+    mode) once the watermark passes its end. State per open session, so
+    the watermark bounds it exactly like the sliding-window agg."""
+    parsed = with_word_count(parse_articles(payload))
+    return (
+        parsed.withWatermark("publish_date", watermark)
+        .groupBy(F.session_window("publish_date", gap), F.col("author"))
+        .agg(F.count("*").alias("n_articles"), F.avg("word_count").alias("average_word_count"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "author",
+            "n_articles",
+            "average_word_count",
+        )
+    )
+
+
 def article_dedup_stream(payload: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact-dedup: dropDuplicatesWithinWatermark on article_id.
 

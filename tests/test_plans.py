@@ -66,3 +66,44 @@ class TestCodegen:
                 assert inspect.codegen_stage_count(df) >= 1, f"{name}: no codegen stage"
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestCorpusPipelinePlanShape:
+    def test_map_only_ops_have_zero_shuffles(self, spark):
+        """Chunking, split assignment, vector norms, and the scalar families
+        must stay scan-fused map stages — any Exchange here is a regression."""
+        for name in [
+            "text_chunk_sliding",
+            "split_hash_assign",
+            "embed_norm_stats",
+            "scalar_string_extended",
+            "sample_stratified",
+        ]:
+            df = SPECS[name].build(spark, SF_CORRECTNESS)
+            assert inspect.count_exchanges(df) == 0, f"{name}: {inspect.explain_str(df)}"
+
+    def test_single_shuffle_ops(self, spark):
+        """Packing/gating window by lang, centroid aggs by (label, pos),
+        keep-latest windows by custkey, Q6 is scan+global agg: exactly one
+        hash exchange each."""
+        for name in [
+            "pack_sequences_bounded",
+            "quality_percentile_gate",
+            "embed_centroid_per_label",
+            "dedup_keep_latest",
+            "tpch_q6_forecast_revenue",
+        ]:
+            df = SPECS[name].build(spark, SF_CORRECTNESS)
+            assert inspect.count_exchanges(df) == 1, f"{name}: {inspect.explain_str(df)}"
+
+
+class TestTpchPlanShape:
+    def test_q3_broadcasts_customer_and_bounds_shuffles(self, spark):
+        df = SPECS["tpch_q3_shipping_priority"].build(spark, SF_CORRECTNESS)
+        assert inspect.has_broadcast_join(df)
+        assert inspect.count_exchanges(df) <= 3, inspect.explain_str(df)
+
+    def test_q6_predicates_fully_pushed(self, spark):
+        pf = inspect.pushed_filters(SPECS["tpch_q6_forecast_revenue"].build(spark, SF_CORRECTNESS))
+        for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+            assert frag in pf, pf

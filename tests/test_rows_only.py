@@ -127,3 +127,30 @@ class TestEnrichedRows:
         assert len(ids) == 500  # unique per row
         uuid.UUID(next(iter(ids)))  # parseable uuid format
         assert all(r["processing_timestamp"] is not None for r in rows)
+
+
+class TestStratifiedSample:
+    def test_strata_fractions_and_determinism(self, spark):
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+        from tests.conftest import SF_CORRECTNESS
+
+        spec = all_specs()["sample_stratified"]
+        out = spec.build(spark, SF_CORRECTNESS).collect()
+        again = spec.build(spark, SF_CORRECTNESS).collect()
+        assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)  # seeded
+
+        from collections import Counter
+
+        got = Counter(r.lang for r in out)
+        base = Counter(
+            r.lang
+            for r in spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+            .select("lang")
+            .collect()
+        )
+        fractions = {"en": 0.8, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.3}
+        for lang, frac in fractions.items():
+            if base[lang] < 20:
+                continue
+            ratio = got[lang] / base[lang]
+            assert abs(ratio - frac) < 0.25, (lang, ratio, frac)

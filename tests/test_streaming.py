@@ -359,3 +359,49 @@ class TestUpdateMode:
         # batch 0 emits avg=4.0, batch 1 revises the same window to 3.0
         vals = [r.average_word_count for r in rows]
         assert vals == [4.0, 3.0], vals
+
+
+class TestStreamingSessionWindow:
+    def test_session_gap_merge_and_close(self, spark, payload_dir):
+        """Two events within the gap merge into one session; the session is
+        emitted once the watermark passes session end (last event + gap)."""
+        _write_batch(
+            spark,
+            payload_dir,
+            0,
+            [
+                _article("a1", "alice", "2024-01-01 00:00:00", "a b"),
+                _article("a2", "alice", "2024-01-01 00:03:00", "a b c d e f"),
+            ],
+        )
+        # far-future event advances the watermark past alice's session end
+        _write_batch(spark, payload_dir, 1, [_article("z1", "zoe", "2024-01-01 02:00:00")])
+
+        stream = sp.article_session_stream(sp.payload_stream(spark, payload_dir))
+        _run_to_completion(stream, "sessions")
+        rows = spark.sql("SELECT * FROM sessions WHERE author = 'alice'").collect()
+        assert len(rows) == 1, rows
+        r = rows[0]
+        # session spans first event .. last event + 5 min gap
+        assert str(r.session_start) == "2024-01-01 00:00:00"
+        assert str(r.session_end) == "2024-01-01 00:08:00"
+        assert r.n_articles == 2 and r.average_word_count == 4.0
+
+    def test_events_beyond_gap_split_sessions(self, spark, payload_dir):
+        _write_batch(
+            spark,
+            payload_dir,
+            0,
+            [
+                _article("a1", "alice", "2024-01-01 00:00:00"),
+                _article("a2", "alice", "2024-01-01 00:10:00"),  # > 5 min later
+            ],
+        )
+        _write_batch(spark, payload_dir, 1, [_article("z1", "zoe", "2024-01-01 02:00:00")])
+        stream = sp.article_session_stream(sp.payload_stream(spark, payload_dir))
+        _run_to_completion(stream, "split_sessions")
+        rows = spark.sql(
+            "SELECT * FROM split_sessions WHERE author = 'alice' ORDER BY session_start"
+        ).collect()
+        assert len(rows) == 2, rows
+        assert all(r.n_articles == 1 for r in rows)
