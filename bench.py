@@ -41,6 +41,10 @@ HEADLINE = [
     "sim_cosine_topk",            # brute-force similarity baseline
     "text_quality_score",         # text analysis map stage
     "scalar_array_functions",     # higher-order array ops
+    "tpch_q3_shipping_priority",  # selective dim filter -> fact join -> top-k
+    "tpch_q6_forecast_revenue",   # fully-pushed-down scan + global agg
+    "text_chunk_sliding",         # corpus-prep map stage (chunking)
+    "dedup_cluster_components",   # iterative label propagation
 ]
 
 

@@ -228,24 +228,24 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.substring("text", 1, 64)).alias("ph"),
         F.col("doc_id").alias("label"),
     ).localCheckpoint(eager=True)
+    # Convergence probe: labels only ever decrease (least of mins), so the
+    # label sum is strictly decreasing until the fixpoint — comparing sums
+    # costs one scalar agg per round instead of a join against the
+    # previous state.
+    prev_sum = None
     for _ in range(20):
         m1 = nodes.groupBy("fp").agg(F.min("label").alias("l1"))
         m2 = nodes.groupBy("ph").agg(F.min("label").alias("l2"))
-        nxt = (
+        nodes = (
             nodes.join(m1, "fp")
             .join(m2, "ph")
             .select("doc_id", "fp", "ph", F.least("label", "l1", "l2").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            nxt.join(nodes.select("doc_id", F.col("label").alias("prev")), "doc_id")
-            .filter(F.col("label") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        nodes = nxt
-        if changed == 0:
+        label_sum = nodes.agg(F.sum("label")).collect()[0][0]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     comp = nodes.select("doc_id", F.col("label").alias("component_id"))
     return comp.withColumn(
         "component_size", F.count("*").over(W.partitionBy("component_id"))

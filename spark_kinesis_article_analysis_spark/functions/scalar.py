@@ -464,3 +464,69 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("q"),
         F.weekofyear("o_orderdate").alias("woy"),
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255                      AS low_byte,
+       o_orderkey | 15                       AS or15,
+       xor(o_orderkey, 255)                  AS xor255,
+       o_orderkey << 2                       AS shl2,
+       o_orderkey >> 3                       AS shr3,
+       bit_count(CAST(o_orderkey AS BIGINT)) AS popcount,
+       ~o_orderkey                           AS inverted
+FROM orders
+""",
+    tags=("scalar", "bitwise"),
+    doc="Bitwise family: and/or/xor/shifts/popcount/not — sketch and bucketing building blocks.",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("low_byte"),
+        k.bitwiseOR(15).alias("or15"),
+        k.bitwiseXOR(255).alias("xor255"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k.cast("bigint")).alias("popcount"),
+        F.bitwise_not(k).alias("inverted"),
+    )
+
+
+@register(
+    "agg_histogram_width_bucket",
+    oracle="""
+-- DuckDB has no width_bucket; this is its exact definition for
+-- (lo=0, hi=600000, n=12): bucket width 600000/12 = 50000.0 exactly,
+-- so the double arithmetic matches Spark's WidthBucket bit-for-bit.
+SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                 WHEN o_totalprice >= 600000 THEN 13
+                 ELSE floor(o_totalprice / 50000.0) + 1 END AS INT) AS bucket,
+       count(*)                            AS n,
+       round(min(o_totalprice), 4)         AS lo,
+       round(max(o_totalprice), 4)         AS hi
+FROM orders
+GROUP BY bucket
+""",
+    tags=("agg", "histogram"),
+    doc=(
+        "Equi-width numeric histogram via width_bucket + count — the "
+        "profiling pass shape. Partial aggregation makes it one small "
+        "shuffle of at most n_buckets rows per task at any scale."
+    ),
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).cast("int").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )

@@ -261,3 +261,57 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("emb"), 6).alias("min_c"),
         F.round(F.array_max("emb"), 6).alias("max_c"),
     )
+
+
+@register(
+    "cluster_kmeans_lloyd",
+    oracle=None,  # iterative refinement: float-summation order differs across engines -> rows-only; semantics in pytest
+    tags=("similarity", "clustering", "iterative", "north-star"),
+    doc=(
+        "K-means (Lloyd, k=8, 3 rounds, deterministic lowest-vec_id init): "
+        "assignment is a broadcast of 8 centroids against the corpus with a "
+        "zip_with squared-distance fold and min_by argmin (ties broken by "
+        "centroid id); re-centering is a posexplode (cluster, dim) mean. Per "
+        "round: one broadcast (no pairwise shuffle) + one hash agg — the "
+        "iterative-refinement template at 100 TB, where k centroids always "
+        "fit in a broadcast and the corpus never self-joins."
+    ),
+)
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, ROUNDS = 8, 3
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(K)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cent"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("emb", "cent", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assign = None
+    for _ in range(ROUNDS):
+        assign = (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "emb", "cid", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cid", F.struct("d2", "cid")).alias("cluster"),
+                F.min("d2").alias("d2"),
+            )
+        )
+        cents = (
+            assign.join(e, "vec_id")
+            .select("cluster", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cent")
+            )
+            .select(F.col("cluster").alias("cid"), "cent")
+        )
+    return assign.select("vec_id", "cluster", F.round(F.sqrt("d2"), 6).alias("dist"))
