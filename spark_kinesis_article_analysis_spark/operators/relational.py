@@ -236,3 +236,125 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 4) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+""",
+    tags=("tpch", "q18", "join", "having"),
+    doc=(
+        "TPC-H Q18 shape (large-volume orders): HAVING-filtered aggregate over "
+        "the fact feeds back as a broadcast semi-filter on the same fact — the "
+        "self-referential agg-then-filter pattern. The qualifying-order set is "
+        "tiny by construction, so it broadcasts and lineitem shuffles once."
+    ),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("oq"))
+        .filter(F.col("oq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "funnel_user_stages",
+    oracle="""
+WITH su AS (
+    SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+vw AS (
+    SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN su ON e.user_id = su.user_id
+    WHERE e.event_type = 'view' AND e.ts >= su.t0 GROUP BY e.user_id
+),
+ck AS (
+    SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN vw ON e.user_id = vw.user_id
+    WHERE e.event_type = 'click' AND e.ts >= vw.t1 GROUP BY e.user_id
+),
+pu AS (
+    SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN ck ON e.user_id = ck.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= ck.t2 GROUP BY e.user_id
+)
+SELECT su.user_id,
+       make_timestamp(epoch_us(su.t0)) AS t_signup,
+       make_timestamp(epoch_us(vw.t1)) AS t_view,
+       make_timestamp(epoch_us(ck.t2)) AS t_click,
+       make_timestamp(epoch_us(pu.t3)) AS t_purchase,
+       CAST(1 + CASE WHEN vw.t1 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN ck.t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN pu.t3 IS NULL THEN 0 ELSE 1 END AS INT) AS stages_reached
+FROM su
+LEFT JOIN vw ON su.user_id = vw.user_id
+LEFT JOIN ck ON su.user_id = ck.user_id
+LEFT JOIN pu ON su.user_id = pu.user_id
+""",
+    tags=("events", "funnel", "analytics"),
+    doc=(
+        "Ordered conversion funnel (signup -> view -> click -> purchase): each "
+        "stage is the earliest qualifying event at-or-after the previous "
+        "stage's timestamp. Every stage keys on user_id, so all four joins "
+        "share one hash partitioning — one logical shuffle chain, no "
+        "re-partitioning between stages."
+    ),
+)
+def funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .join(prev.select("user_id", prev_ts), "user_id")
+            .filter(F.col("ts") >= F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    vw = stage("view", su, "t_signup", "t_view")
+    ck = stage("click", vw, "t_view", "t_click")
+    pu = stage("purchase", ck, "t_click", "t_purchase")
+    reached = (
+        F.lit(1)
+        + F.when(F.col("t_view").isNull(), 0).otherwise(1)
+        + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+        + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+    )
+    return (
+        su.join(vw, "user_id", "left")
+        .join(ck, "user_id", "left")
+        .join(pu, "user_id", "left")
+        .select(
+            "user_id", "t_signup", "t_view", "t_click", "t_purchase",
+            reached.cast("int").alias("stages_reached"),
+        )
+    )
