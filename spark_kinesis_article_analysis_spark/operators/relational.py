@@ -318,43 +318,47 @@ LEFT JOIN pu ON su.user_id = pu.user_id
     doc=(
         "Ordered conversion funnel (signup -> view -> click -> purchase): each "
         "stage is the earliest qualifying event at-or-after the previous "
-        "stage's timestamp. Every stage keys on user_id, so all four joins "
-        "share one hash partitioning — one logical shuffle chain, no "
-        "re-partitioning between stages."
+        "stage's timestamp. Single-shuffle design: ONE groupBy collects each "
+        "user's time-sorted event array, then every stage timestamp is a "
+        "map-side higher-order filter over that array (a 4-stage join "
+        "cascade costs 7 exchanges; this costs 1). Per-user state is bounded "
+        "by that user's event count — cap with a per-user limit for "
+        "adversarial keys at 100 TB."
     ),
 )
 def funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-
-    def stage(event_type: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == event_type)
-            .join(prev.select("user_id", prev_ts), "user_id")
-            .filter(F.col("ts") >= F.col(prev_ts))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out_ts))
-        )
-
-    su = (
-        ev.filter(F.col("event_type") == "signup")
+    stages = ["signup", "view", "click", "purchase"]
+    evs = (
+        ev.filter(F.col("event_type").isin(stages))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_signup"))
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
     )
-    vw = stage("view", su, "t_signup", "t_view")
-    ck = stage("click", vw, "t_view", "t_click")
-    pu = stage("purchase", ck, "t_click", "t_purchase")
+
+    def first_ts(event_type: str, after):
+        # earliest event of this type at-or-after `after`; arrays are
+        # ts-sorted so the first qualifying element IS the min. F.get
+        # (not element_at) so an empty match yields null under ANSI.
+        arr = F.filter(
+            "evs",
+            lambda x: (x["event_type"] == event_type)
+            & (x["ts"] >= after if after is not None else F.lit(True)),
+        )
+        return F.get(arr, 0)["ts"]
+
+    d = evs.withColumn("t_signup", first_ts("signup", None)).filter(
+        F.col("t_signup").isNotNull()
+    )
+    d = d.withColumn("t_view", first_ts("view", F.col("t_signup")))
+    d = d.withColumn("t_click", first_ts("click", F.col("t_view")))
+    d = d.withColumn("t_purchase", first_ts("purchase", F.col("t_click")))
     reached = (
         F.lit(1)
         + F.when(F.col("t_view").isNull(), 0).otherwise(1)
         + F.when(F.col("t_click").isNull(), 0).otherwise(1)
         + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
     )
-    return (
-        su.join(vw, "user_id", "left")
-        .join(ck, "user_id", "left")
-        .join(pu, "user_id", "left")
-        .select(
-            "user_id", "t_signup", "t_view", "t_click", "t_purchase",
-            reached.cast("int").alias("stages_reached"),
-        )
+    return d.select(
+        "user_id", "t_signup", "t_view", "t_click", "t_purchase",
+        reached.cast("int").alias("stages_reached"),
     )

@@ -92,6 +92,7 @@ class TestCorpusPipelinePlanShape:
             "embed_centroid_per_label",
             "dedup_keep_latest",
             "tpch_q6_forecast_revenue",
+            "funnel_user_stages",
         ]:
             df = SPECS[name].build(spark, SF_CORRECTNESS)
             assert inspect.count_exchanges(df) == 1, f"{name}: {inspect.explain_str(df)}"
