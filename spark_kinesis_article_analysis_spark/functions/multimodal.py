@@ -108,3 +108,47 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     flat = d.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
     return flat.mapInPandas(fake_decode_features, schema=DECODE_SCHEMA)
+
+
+#: Output schema of the (stubbed) frame sampler.
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+#: Fake frame geometry: 256-byte "frames", keep every 2nd.
+FRAME_BYTES = 256
+FRAME_STRIDE = 2
+
+
+def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler (mapInPandas): a real implementation would
+    ffmpeg-seek keyframes; this fake slices the payload into fixed
+    256-byte 'frames' and keeps every 2nd — deterministic, so the
+    explode-shaped plumbing (one binary row in, N feature rows out) is
+    testable end-to-end."""
+    import hashlib
+
+    for pdf in batches:
+        ids, idxs, hashes = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = max(1, (len(b) + FRAME_BYTES - 1) // FRAME_BYTES)
+            for i in range(0, n_frames, FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(i)
+                hashes.append(hashlib.md5(b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]).hexdigest())
+        yield pd.DataFrame({"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_md5": hashes})
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # sampler is a Python (Arrow-batched) stub -> rows-only; plumbing tested in pytest
+    tags=("multimodal", "frames", "mapInPandas", "north-star"),
+    doc=(
+        "Frame sampling over binary payloads via mapInPandas (stubbed): one "
+        "payload row expands to its sampled frames — the 1-to-N batch shape "
+        "of video/audio frame extraction. Partition-parallel; output size is "
+        "payload_bytes/frame_bytes/stride, never materialized on the driver."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(fake_frame_sample, schema=FRAME_SCHEMA)

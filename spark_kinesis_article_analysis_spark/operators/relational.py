@@ -362,3 +362,50 @@ def funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "t_signup", "t_view", "t_click", "t_purchase",
         reached.cast("int").alias("stages_reached"),
     )
+
+
+@register(
+    "cohort_retention_hourly",
+    oracle="""
+WITH f AS (
+    SELECT user_id, date_trunc('hour', min(ts)) AS cohort_hour FROM events GROUP BY user_id
+),
+act AS (
+    SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+)
+SELECT make_timestamp(epoch_us(f.cohort_hour)) AS cohort_hour,
+       count(*)                                AS cohort_size,
+       count(a.user_id)                        AS retained_next_hour,
+       round(count(a.user_id) / count(*), 6)   AS retention_rate
+FROM f LEFT JOIN act a
+  ON a.user_id = f.user_id AND a.h = f.cohort_hour + INTERVAL 1 HOUR
+GROUP BY f.cohort_hour
+""",
+    tags=("events", "cohort", "retention", "analytics"),
+    doc=(
+        "Cohort retention: users bucketed by first-seen hour; retained = any "
+        "activity in the following hour. Two keyed aggregations + one "
+        "co-partitioned left join on user_id — the cohort table is "
+        "users-grain (small), so at 100 TB it broadcasts against the "
+        "activity-grain side."
+    ),
+)
+def cohort_retention_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    f = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("cohort_hour"))
+        .alias("f")
+    )
+    act = ev.select("user_id", F.date_trunc("hour", "ts").alias("h")).distinct().alias("a")
+    joined = f.join(
+        act,
+        (F.col("a.user_id") == F.col("f.user_id"))
+        & (F.col("a.h") == F.col("f.cohort_hour") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy(F.col("f.cohort_hour").alias("cohort_hour")).agg(
+        F.count("*").alias("cohort_size"),
+        F.count(F.col("a.user_id")).alias("retained_next_hour"),
+        F.round(F.count(F.col("a.user_id")) / F.count("*"), 6).alias("retention_rate"),
+    )

@@ -101,3 +101,49 @@ class TestParseRobustness:
         df2 = spark.createDataFrame([(valid,)], "data string")
         row = parse_articles(df2).collect()[0]
         assert row.article_id == "x" and row.publish_date is not None
+
+
+class TestChunkingProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=15))
+    def test_chunks_cover_all_tokens_with_exact_overlap(self, spark, corpus):
+        """Sliding chunking (50 tokens / stride 40): chunk k starts at token
+        k*40; concatenating each chunk's first 40 tokens (all of the last
+        chunk) reproduces the document's token stream exactly."""
+        from spark_kinesis_article_analysis_spark.functions.pipeline import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        toks = F.split("text", r"\s+")
+        n_chunks = (F.floor((F.size("toks") - F.lit(1)) / F.lit(CHUNK_STRIDE)) + 1).cast("int")
+        chunks = (
+            df.select("doc_id", toks.alias("toks"))
+            .select(
+                "doc_id",
+                "toks",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), n_chunks - 1),
+                        lambda i: F.slice(F.col("toks"), i * CHUNK_STRIDE + 1, CHUNK_TOKENS),
+                    )
+                ).alias("chunk_id", "chunk"),
+            )
+            .collect()
+        )
+        by_doc: dict[int, list] = {}
+        for r in chunks:
+            assert len(r.chunk) <= CHUNK_TOKENS
+            by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+        for i, text in enumerate(corpus):
+            want = re.split(r"[ \t\n\x0b\f\r]+", text)
+            got: list[str] = []
+            parts = sorted(by_doc[i])
+            for k, (cid, chunk) in enumerate(parts):
+                assert cid == k
+                got.extend(chunk if k == len(parts) - 1 else chunk[:CHUNK_STRIDE])
+            # trailing overlap: last chunk may re-cover tokens already taken
+            assert got[: len(want)] == want and len(got) >= len(want)

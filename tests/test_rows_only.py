@@ -176,3 +176,29 @@ class TestKMeans:
 
         mean_final = sum(r.dist for r in out) / len(out)
         assert mean_final > 0 and math.isfinite(mean_final)
+
+
+class TestFrameSample:
+    def test_frame_counts_and_determinism(self, spark):
+        from spark_kinesis_article_analysis_spark.functions.multimodal import (
+            FRAME_BYTES,
+            FRAME_STRIDE,
+        )
+
+        rows = SPECS["multimodal_frame_sample"].build(spark, SF_CORRECTNESS).collect()
+        n_bytes = {
+            r["doc_id"]: r["n_bytes"]
+            for r in SPECS["multimodal_binary_metadata"].build(spark, SF_CORRECTNESS).collect()
+        }
+        by_doc: dict[int, list[int]] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        assert set(by_doc) == set(n_bytes)  # every doc produced frames
+        for doc_id, idxs in by_doc.items():
+            total = max(1, (n_bytes[doc_id] + FRAME_BYTES - 1) // FRAME_BYTES)
+            assert sorted(idxs) == list(range(0, total, FRAME_STRIDE)), doc_id
+        again = {
+            (r["doc_id"], r["frame_idx"]): r["frame_md5"]
+            for r in SPECS["multimodal_frame_sample"].build(spark, SF_CORRECTNESS).collect()
+        }
+        assert {(r["doc_id"], r["frame_idx"]): r["frame_md5"] for r in rows} == again

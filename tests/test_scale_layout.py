@@ -154,3 +154,39 @@ class TestRocksDBStateStore:
             assert all(r.average_word_count == 2.0 for r in rows)
         finally:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+class TestOrcAndTextFormats:
+    def test_orc_roundtrip_preserves_rows(self, spark, tmp_path):
+        from spark_kinesis_article_analysis_spark.sources import files
+        from tests.conftest import SF_CORRECTNESS
+
+        src = spark.read.parquet(f"{SF_CORRECTNESS}/nation.parquet")
+        path = str(tmp_path / "nation_orc")
+        files.write_orc(src, path)
+        back = files.read_orc(spark, path)
+        assert back.schema == src.schema
+        assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+            r.n_nationkey for r in src.collect()
+        )
+
+    def test_orc_pushdown_reaches_scan(self, spark, tmp_path):
+        from spark_kinesis_article_analysis_spark.plans import inspect
+        from spark_kinesis_article_analysis_spark.sources import files
+        from tests.conftest import SF_CORRECTNESS
+
+        src = spark.read.parquet(f"{SF_CORRECTNESS}/orders.parquet")
+        path = str(tmp_path / "orders_orc")
+        files.write_orc(src, path)
+        df = files.read_orc(spark, path).filter("o_totalprice > 100000").select("o_orderkey")
+        plan = inspect.explain_str(df)
+        assert "PushedFilters" in plan and "o_totalprice" in inspect.pushed_filters(df)
+
+    def test_text_read_one_line_per_row(self, spark, tmp_path):
+        from spark_kinesis_article_analysis_spark.sources import files
+
+        p = tmp_path / "lines.txt"
+        p.write_text("alpha\nbeta\ngamma\n")
+        df = files.read_text(spark, str(p))
+        assert [f.name for f in df.schema.fields] == ["value"]
+        assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
