@@ -1,0 +1,149 @@
+"""User-defined function surface: Python UDTF, vectorized pandas_udf,
+grouped-agg pandas UDAF, and the pure-SQL entry point.
+
+The engine's hot paths are 100% built-in Catalyst expressions (SURVEY.md
+§2 'UDF/UDAF' row — the reference itself uses only builtins). These
+operators exist to cover the *capability* checklist: when a user genuinely
+needs Python, the right tools are (in order) vectorized Arrow-batched
+pandas_udf / grouped-agg pandas UDAF (10-100x over row-at-a-time), and
+UDTF for table-valued expansion. Each query here has a builtin-only
+equivalent elsewhere in the repo (embed_norm_stats, agg_pricing_summary)
+so the overhead is measurable, not hidden.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+
+@register(
+    "udtf_sentence_spans",
+    oracle="""
+WITH spans AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split_regex(text, '[.!?]'), p -> trim(p)),
+                       p -> p <> '') AS sp
+    FROM documents
+)
+SELECT doc_id, i - 1 AS span_idx, sp[i] AS span_text,
+       CAST(len(string_split_regex(sp[i], '\\s+')) AS INT) AS n_tokens
+FROM spans, LATERAL unnest(generate_series(1, len(sp))) AS u(i)
+""",
+    tags=("udtf", "text"),
+    doc=(
+        "Python UDTF (table-valued function): one document row expands to its "
+        "sentence-ish spans with index and token count, invoked via SQL "
+        "LATERAL. Row-at-a-time Python — capability demo; the builtin "
+        "posexplode form (scalar_posexplode) is the hot-path equivalent."
+    ),
+)
+def udtf_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="span_idx int, span_text string, n_tokens int")
+    class SentenceSpans:
+        def eval(self, text: str):
+            idx = 0
+            for part in re.split(r"[.!?]", text or ""):
+                span = part.strip(" ")
+                if span:
+                    yield (idx, span, len(re.split(r"[ \t\n\x0b\f\r]+", span)))
+                    idx += 1
+
+    spark.udtf.register("sentence_spans", SentenceSpans)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.span_idx, s.span_text, s.n_tokens "
+        "FROM _udtf_docs, LATERAL sentence_spans(text) s"
+    )
+
+
+@register(
+    "udf_pandas_vector_norm",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm
+FROM embeddings
+""",
+    tags=("udf", "pandas", "similarity"),
+    doc=(
+        "Vectorized (Arrow-batched) scalar pandas_udf: per-row L2 norm "
+        "computed with numpy over the whole batch. The builtin higher-order "
+        "fold (embed_norm_stats) is the zero-Python equivalent."
+    ),
+)
+def udf_pandas_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def l2_norm(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return emb.map(lambda v: float(np.sqrt(np.dot(v, v))))
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.select("vec_id", F.round(l2_norm("emb"), 6).alias("l2_norm"))
+
+
+@register(
+    "udaf_pandas_weighted_mean",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_mean_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("udaf", "pandas", "agg"),
+    doc=(
+        "Grouped-agg pandas UDAF (GROUPED_AGG pandas_udf): quantity-weighted "
+        "mean price per return flag. Arrow ships each group's columns to "
+        "Python once; the builtin sum()/sum() expression form is the "
+        "zero-Python equivalent."
+    ),
+)
+def udaf_pandas_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def wmean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wmean("l_extendedprice", "l_quantity"), 4).alias("weighted_mean_price"))
+    )
+
+
+_SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register(
+    "sql_interface_revenue_by_nation",
+    oracle=_SQL_REVENUE_BY_NATION,
+    tags=("sql", "join", "agg"),
+    doc=(
+        "Pure SQL front-end: the exact same ANSI text runs on spark.sql() "
+        "(over registered views) and on the DuckDB oracle — Catalyst plans "
+        "it identically to the DataFrame form (broadcast dims, one fact "
+        "shuffle)."
+    ),
+)
+def sql_interface_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_REVENUE_BY_NATION)

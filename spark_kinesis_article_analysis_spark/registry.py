@@ -97,6 +97,7 @@ def _load_all() -> None:
         multimodal,
         pipeline,
         scalar,
+        udfs,
         similarity,
         text,
     )
