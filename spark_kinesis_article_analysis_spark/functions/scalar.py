@@ -530,3 +530,34 @@ def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "scalar_json_extended",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                    AS k_tuple,
+       '{"k":' || json_extract_string(props, '$.k') || '}'  AS canonical_json,
+       'STRUCT<k: BIGINT>'                                  AS schema_str,
+       'a,b'                                                AS map_keys_str
+FROM events
+""",
+    tags=("scalar", "json", "map"),
+    doc=(
+        "json_tuple multi-field extraction, from_json->to_json canonical "
+        "round-trip, schema_of_json inference (pinned textually), and "
+        "str_to_map parsing. Completes the JSON family beyond "
+        "get_json_object/from_json."
+    ),
+)
+def scalar_json_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.json_tuple("props", "k").alias("k_tuple"),
+        F.to_json(F.from_json("props", "k bigint")).alias("canonical_json"),
+        F.schema_of_json(F.lit('{"k": 87}')).alias("schema_str"),
+        F.array_join(
+            F.map_keys(F.str_to_map(F.lit("a:1,b:2"), F.lit(","), F.lit(":"))), ","
+        ).alias("map_keys_str"),
+    )
