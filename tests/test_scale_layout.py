@@ -190,3 +190,43 @@ class TestOrcAndTextFormats:
         df = files.read_text(spark, str(p))
         assert [f.name for f in df.schema.fields] == ["value"]
         assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_partition(self, spark):
+        """A hot join key (90% of rows) must be handled by AQE's skew-join
+        split (SortMergeJoin(skew=true) in the final adaptive plan) — the
+        runtime half of the skew strategy; operators/skew.py's salting is
+        the plan-time half for cases AQE can't see."""
+        from pyspark.sql import functions as F
+
+        overrides = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        }
+        saved = {k: spark.conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        try:
+            left = spark.range(200000).select(
+                F.when(F.col("id") < 180000, 7).otherwise(F.col("id") % 100).alias("k"),
+                F.col("id").alias("v"),
+            )
+            right = spark.range(100).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+            )
+            j = left.join(right, "k")
+            # collect() executes j's own queryExecution (count() would build
+            # and execute a different plan, leaving j's un-finalized)
+            assert len(j.collect()) == 200000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, plan[:2000]
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)
