@@ -561,3 +561,57 @@ def scalar_json_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_keys(F.str_to_map(F.lit("a:1,b:2"), F.lit(","), F.lit(":"))), ","
         ).alias("map_keys_str"),
     )
+
+
+@register(
+    "scalar_regexp_misc",
+    oracle="""
+SELECT c_custkey,
+       len(regexp_extract_all(c_name, '[0-9]'))                 AS n_digits,
+       array_to_string(regexp_extract_all(c_name, '[0-9]'), '') AS digits_cat,
+       translate(c_mktsegment, 'AEIOU', 'aeiou')                AS seg_vowel_lower,
+       c_name[1:9] || '<<' || c_name[12:]                       AS name_overlaid
+FROM customer
+""",
+    tags=("scalar", "string", "regexp"),
+    doc=(
+        "regexp_extract_all (all matches, not just first), translate "
+        "(char-map), overlay (splice) — the remaining string builtins."
+    ),
+)
+def scalar_regexp_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    # Spark's regexp_extract_all extracts group 1 by default -> wrap the
+    # class in a group (DuckDB's extracts the full match, same thing here)
+    digits = F.regexp_extract_all(F.col("c_name"), F.lit("([0-9])"))
+    return c.select(
+        "c_custkey",
+        F.size(digits).alias("n_digits"),
+        F.array_join(digits, "").alias("digits_cat"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_vowel_lower"),
+        F.overlay("c_name", F.lit("<<"), 10, 2).alias("name_overlaid"),
+    )
+
+
+@register(
+    "scalar_explode_outer",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 18) AS rare
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(rare) = 0 THEN NULL ELSE u.tok END AS rare_token
+FROM t LEFT JOIN LATERAL unnest(CASE WHEN len(rare) = 0 THEN [NULL] ELSE rare END) AS u(tok) ON TRUE
+""",
+    tags=("scalar", "array", "explode"),
+    doc=(
+        "explode_outer: docs with no qualifying element keep one null row "
+        "instead of vanishing — the outer form of the 1-to-N expansion."
+    ),
+)
+def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rare = F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 18)
+    return d.select("doc_id", F.explode_outer(rare).alias("rare_token"))

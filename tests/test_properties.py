@@ -147,3 +147,43 @@ class TestChunkingProperties:
                 got.extend(chunk if k == len(parts) - 1 else chunk[:CHUNK_STRIDE])
             # trailing overlap: last chunk may re-cover tokens already taken
             assert got[: len(want)] == want and len(got) >= len(want)
+
+
+class TestPackingProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=3000), min_size=1, max_size=40))
+    def test_pack_ids_contiguous_and_budget_bounded(self, spark, token_counts):
+        """Sequence packing: pack ids are 0..K contiguous and non-decreasing
+        in doc order; a pack only exceeds the budget when a single document
+        alone does (greedy contiguous semantics)."""
+        from spark_kinesis_article_analysis_spark.functions.pipeline import PACK_BUDGET
+
+        from pyspark.sql import Window as W
+
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(token_counts)], "doc_id long, n_tokens long"
+        )
+        w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        cum = F.sum("n_tokens").over(w)
+        out = sorted(
+            (r.doc_id, r.pack_id)
+            for r in df.select(
+                "doc_id",
+                "n_tokens",
+                F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET)).alias("pack_id"),
+            ).collect()
+        )
+        pack_ids = [p for _, p in out]
+        assert pack_ids == sorted(pack_ids)  # non-decreasing in doc order
+        assert pack_ids[0] == 0
+        # pack totals: sum of docs whose pack_id == k
+        totals: dict[int, int] = {}
+        for (doc_id, p), n in zip(out, token_counts):
+            totals[p] = totals.get(p, 0) + n
+        # Straddle rule (exclusive-prefix assignment): a doc joins the pack
+        # its first token lands in, so only the LAST doc of a pack may
+        # overflow the budget — everything before it fits.
+        for p, tot in totals.items():
+            docs_in_pack = [(d, n) for (d, pp), n in zip(out, token_counts) if pp == p]
+            n_last = max(docs_in_pack)[1]
+            assert tot - n_last < PACK_BUDGET, (p, tot, n_last)
