@@ -51,6 +51,13 @@ def get_spark(
         # cluster profile can widen it. Dim tables (region/nation/customer/
         # supplier/part) stay broadcast even at 100 TB fact scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Runtime bloom-filter pushdown: on selective non-broadcast joins the
+        # optimizer builds a bloom filter on the filtered build side and
+        # semi-filters the probe-side SCAN before the shuffle — at 100 TB
+        # this is the difference between shuffling the full fact table and
+        # shuffling only rows that can match (verified in
+        # tests/test_scale_layout.py::TestRuntimeBloomFilter).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # --- Python boundary: Arrow batches for the Pandas-UDF slow path ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -230,3 +230,38 @@ class TestAqeSkewJoin:
                     spark.conf.set(k, v)
                 else:
                     spark.conf.unset(k)
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_join_injects_bloom_semi_filter(self, spark):
+        """InjectRuntimeFilter: a selective filter on the build side of a
+        shuffle join must produce a might_contain(bloom) predicate on the
+        probe side, so the fact scan is pre-filtered before the shuffle."""
+        from spark_kinesis_article_analysis_spark.plans import inspect
+        from tests.conftest import SF_CORRECTNESS
+
+        overrides = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+            # fixture-sized thresholds (defaults assume multi-GB tables)
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        }
+        saved = {k: spark.conf.get(k, None) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        try:
+            li = spark.read.parquet(f"{SF_CORRECTNESS}/lineitem.parquet")
+            o = spark.read.parquet(f"{SF_CORRECTNESS}/orders.parquet").filter(
+                "o_orderpriority = '1-URGENT'"
+            )
+            j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+                "l_orderkey", "o_orderpriority"
+            )
+            plan = inspect.explain_str(j)
+            assert "might_contain" in plan, plan[:3000]
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+                else:
+                    spark.conf.unset(k)

@@ -438,3 +438,35 @@ class TestStateApiV2:
         finally:
             if old is not None:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+class TestRateSource:
+    def test_rate_source_produces_rows(self, spark):
+        """Built-in rate source: the standing load generator for streaming
+        smoke tests (the harness's stand-in for the reference's Kinesis
+        publisher when no fixture replay is needed)."""
+        df = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "500")
+            .load()
+            .withColumn("bucket", F.col("value") % 10)
+        )
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rate_rows")
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 30
+            n = 0
+            while time.time() < deadline:
+                n = spark.sql("SELECT count(*) AS n FROM rate_rows").collect()[0].n
+                if n > 0:
+                    break
+                time.sleep(0.5)
+            assert n > 0, "rate source produced no rows within 30s"
+        finally:
+            q.stop()
