@@ -202,3 +202,20 @@ class TestFrameSample:
             for r in SPECS["multimodal_frame_sample"].build(spark, SF_CORRECTNESS).collect()
         }
         assert {(r["doc_id"], r["frame_idx"]): r["frame_md5"] for r in rows} == again
+
+
+class TestObservedMetrics:
+    def test_observation_rides_the_action(self, spark):
+        """df.observe(): corpus accounting metrics come out of the same job
+        that materializes the filtered data — no second scan."""
+        from spark_kinesis_article_analysis_spark.functions.pipeline import (
+            observed_quality_gate,
+        )
+
+        docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+        kept, obs = observed_quality_gate(docs)
+        n_kept = kept.count()  # the one action; metrics ride it
+        m = obs.get
+        assert m["rows_in"] == docs.count()
+        assert m["rows_kept"] == n_kept
+        assert m["tokens_kept"] > 0
