@@ -470,3 +470,57 @@ class TestRateSource:
             assert n > 0, "rate source produced no rows within 30s"
         finally:
             q.stop()
+
+
+class TestSessionWindowParity:
+    def test_batch_and_stream_session_windows_agree(self, spark, payload_dir):
+        """The same session_window transform over the same rows gives
+        identical (closed) sessions in batch and streaming — the
+        batch/stream unification property, already proven for sliding
+        windows, holds for session windows too."""
+        arts = [
+            _article("a1", "alice", "2024-01-01 00:00:00", "a b"),
+            _article("a2", "alice", "2024-01-01 00:03:00", "a b c d e f"),
+            _article("b1", "bob", "2024-01-01 00:01:00", "x y z"),
+            _article("z1", "zoe", "2024-01-01 02:00:00"),  # closes all
+        ]
+        _write_batch(spark, payload_dir, 0, arts[:3])
+        _write_batch(spark, payload_dir, 1, arts[3:])
+
+        _run_to_completion(
+            sp.article_session_stream(sp.payload_stream(spark, payload_dir)), "sess_parity"
+        )
+        streamed = {
+            (str(r.session_start), str(r.session_end), r.author): (
+                r.n_articles,
+                r.average_word_count,
+            )
+            for r in spark.sql("SELECT * FROM sess_parity").collect()
+        }
+
+        batch_payload = spark.createDataFrame(
+            [(json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA
+        )
+        parsed = sp.with_word_count(sp.parse_articles(batch_payload))
+        batch = {
+            (str(r.session_start), str(r.session_end), r.author): (
+                r.n_articles,
+                r.average_word_count,
+            )
+            for r in parsed.groupBy(F.session_window("publish_date", "5 minutes"), "author")
+            .agg(
+                F.count("*").alias("n_articles"),
+                F.avg("word_count").alias("average_word_count"),
+            )
+            .select(
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "author",
+                "n_articles",
+                "average_word_count",
+            )
+            .collect()
+        }
+        assert streamed  # alice + bob sessions closed by zoe's event
+        for k, v in streamed.items():
+            assert batch[k] == v, (k, v, batch.get(k))
