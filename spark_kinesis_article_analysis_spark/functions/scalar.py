@@ -615,3 +615,47 @@ def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     rare = F.filter(F.split("text", r"\s+"), lambda x: F.length(x) > 18)
     return d.select("doc_id", F.explode_outer(rare).alias("rare_token"))
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       TRY_CAST(o_orderpriority AS BIGINT) AS priority_as_int,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_digit,
+       CASE WHEN CAST(l_quantity AS BIGINT) - 1 = 0 THEN NULL
+            ELSE l_extendedprice / (CAST(l_quantity AS BIGINT) - 1) END
+           AS price_per_extra_unit,
+       CASE WHEN len(string_split_regex(o_orderpriority, '-')) >= 3
+            THEN string_split_regex(o_orderpriority, '-')[3] ELSE NULL END
+           AS priority_part3
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+    tags=("scalar", "ansi", "try"),
+    doc=(
+        "ANSI-safe error handling (Spark 4 runs ansi=true): try_cast yields "
+        "null on bad casts ('1-URGENT' is not a BIGINT; its leading digit is), "
+        "try_divide on zero denominators (quantity=1 rows), try_element_at "
+        "past array bounds — instead of failing the 100-TB job on one bad "
+        "row. Oracle spells out the same null semantics with CASE."
+    ),
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    qty_minus_1 = F.col("l_quantity").cast("bigint") - 1
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("priority_as_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "priority_digit"
+        ),
+        # raw IEEE division: bit-identical across engines (round() is NOT —
+        # Spark rounds half-up, DuckDB half-even, and /16-style quotients
+        # hit exact .5 ties)
+        F.try_divide("l_extendedprice", qty_minus_1).alias("price_per_extra_unit"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3)).alias(
+            "priority_part3"
+        ),
+    )
