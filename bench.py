@@ -45,6 +45,7 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",   # fully-pushed-down scan + global agg
     "text_chunk_sliding",         # corpus-prep map stage (chunking)
     "dedup_cluster_components",   # iterative label propagation
+    "corpus_prep_end_to_end",     # composed dedup->gate->split->pack pipeline
 ]
 
 

@@ -274,3 +274,73 @@ def observed_quality_gate(df: DataFrame, min_tokens: int = 20, max_tokens: int =
         observed.filter(F.col("n_tokens").between(min_tokens, max_tokens)),
         obs,
     )
+
+
+@register(
+    "corpus_prep_end_to_end",
+    oracle=f"""
+WITH surv AS (
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+),
+d AS (
+    SELECT doc.doc_id, doc.lang, len(string_split_regex(doc.text, '\\s+')) AS n_tokens
+    FROM documents doc JOIN surv ON doc.doc_id = surv.doc_id
+),
+q AS (SELECT * FROM d WHERE n_tokens BETWEEN 20 AND 1000),
+s AS (
+    SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+                   ELSE 'test' END AS split
+    FROM q
+)
+SELECT doc_id, lang, split, n_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id
+FROM s
+""",
+    tags=("text", "pipeline", "end-to-end", "north-star"),
+    doc=(
+        "The full corpus-preparation pipeline as ONE composed query: exact "
+        "dedup (md5-of-normalized-text survivors) -> token-count quality "
+        "gate -> deterministic train/valid/test split -> per-(lang, split) "
+        "sequence packing. Composition stays declarative, so Catalyst fuses "
+        "the stages: one dedup shuffle, one semi-join, one window shuffle — "
+        "the stage boundaries a 100 TB corpus build actually pays for."
+    ),
+)
+def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_kinesis_article_analysis_spark.functions.dedup import normalized_text_col
+
+    d = load(spark, sf_dir, "documents")
+    surv = (
+        d.select(F.md5(normalized_text_col()).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = (
+        d.join(surv, "doc_id", "left_semi")
+        .select("doc_id", "lang", F.size(_toks()).alias("n_tokens"))
+        .filter(F.col("n_tokens").between(20, 1000))
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "valid").otherwise("test")
+    )
+    s = kept.withColumn("split", split)
+    w = (
+        W.partitionBy("lang", "split")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return s.select(
+        "doc_id",
+        "lang",
+        "split",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET)).alias("pack_id"),
+    )

@@ -108,3 +108,13 @@ class TestTpchPlanShape:
         pf = inspect.pushed_filters(SPECS["tpch_q6_forecast_revenue"].build(spark, SF_CORRECTNESS))
         for frag in ["l_shipdate", "l_discount", "l_quantity"]:
             assert frag in pf, pf
+
+
+class TestCorpusEndToEndPlanShape:
+    def test_composed_pipeline_two_shuffles(self, spark):
+        """dedup agg + packing window are the only exchanges; the survivor
+        semi-join broadcasts. Catalyst fuses the four stages to exactly the
+        shuffles the data flow requires."""
+        df = SPECS["corpus_prep_end_to_end"].build(spark, SF_CORRECTNESS)
+        assert inspect.count_exchanges(df) <= 2, inspect.explain_str(df)
+        assert inspect.has_broadcast_join(df)
