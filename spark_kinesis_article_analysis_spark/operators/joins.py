@@ -241,3 +241,61 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts", "last_purchase_ts")
     )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+WITH periods AS (
+    SELECT i AS promo_id,
+           TIMESTAMP '1996-01-01' + i * INTERVAL 1 MONTH AS p_start,
+           TIMESTAMP '1996-01-01' + i * INTERVAL 1 MONTH + INTERVAL 45 DAY AS p_end
+    FROM (SELECT unnest(generate_series(0, 11)) AS i)
+)
+SELECT o_orderkey, promo_id, p_start, p_end
+FROM orders JOIN periods
+  ON o_orderdate >= p_start AND o_orderdate < p_end
+""",
+    tags=("join", "range", "binned", "scale"),
+    doc=(
+        "Binned range join: overlapping 45-day promo periods matched to "
+        "orders. The naive plan is a BroadcastNestedLoopJoin evaluating "
+        "every (order, period) pair; here each period explodes into the "
+        "months it covers and the join is month-EQUI + residual range "
+        "filter — hash-joinable, partition-prunable, and O(n + matches) "
+        "instead of O(n x periods) at 100 TB. The oracle is the plain "
+        "range-join semantics, proving the rewrite is lossless."
+    ),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    base = F.lit("1996-01-01").cast("timestamp")
+    periods = spark.range(12).select(
+        F.col("id").cast("int").alias("promo_id"),
+        F.timestamp_add("MONTH", F.col("id"), base).alias("p_start"),
+        F.timestamp_add(
+            "DAY", F.lit(45), F.timestamp_add("MONTH", F.col("id"), base)
+        ).alias("p_end"),
+    )
+    # explode each period into the calendar months it overlaps -> equi key
+    binned = periods.select(
+        "promo_id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "p_start"),
+                F.date_trunc("month", F.timestamp_add("DAY", F.lit(-1), F.col("p_end"))),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("bin_month"),
+    )
+    return (
+        o.withColumn("bin_month", F.date_trunc("month", "o_orderdate"))
+        .join(F.broadcast(binned), "bin_month")
+        .filter(
+            (F.col("o_orderdate") >= F.col("p_start"))
+            & (F.col("o_orderdate") < F.col("p_end"))
+        )
+        .select("o_orderkey", "promo_id", "p_start", "p_end")
+    )

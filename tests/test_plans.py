@@ -118,3 +118,14 @@ class TestCorpusEndToEndPlanShape:
         df = SPECS["corpus_prep_end_to_end"].build(spark, SF_CORRECTNESS)
         assert inspect.count_exchanges(df) <= 2, inspect.explain_str(df)
         assert inspect.has_broadcast_join(df)
+
+
+class TestBinnedRangeJoin:
+    def test_binned_rewrite_avoids_nested_loop(self, spark):
+        """The bin-equi rewrite must plan as a hash join; a
+        BroadcastNestedLoopJoin appearing means the equi key was lost and
+        every (row, period) pair is being evaluated again."""
+        df = SPECS["join_range_binned"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
