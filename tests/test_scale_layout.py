@@ -265,3 +265,49 @@ class TestRuntimeBloomFilter:
                     spark.conf.set(k, v)
                 else:
                     spark.conf.unset(k)
+
+
+class TestSortedWriteClustering:
+    def test_sorted_write_narrows_rowgroup_ranges(self, spark, tmp_path):
+        """sortWithinPartitions before a write clusters values, so each
+        parquet row group covers a narrow key range — the zone-map property
+        that lets min/max stats skip row groups at scan time. At 100 TB this
+        (plus partitioning) is what turns a key-range query from a full scan
+        into a few row groups."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from tests.conftest import SF_CORRECTNESS
+
+        li = spark.read.parquet(f"{SF_CORRECTNESS}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+
+        def span_sum(path: str) -> tuple[int, int]:
+            total, overall_min, overall_max = 0, None, None
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)  # l_orderkey
+                    lo, hi = col.statistics.min, col.statistics.max
+                    total += hi - lo
+                    overall_min = lo if overall_min is None else min(overall_min, lo)
+                    overall_max = hi if overall_max is None else max(overall_max, hi)
+            return total, overall_max - overall_min
+
+        scattered = str(tmp_path / "scattered")
+        li.repartition(4).write.mode("overwrite").parquet(scattered)
+        clustered = str(tmp_path / "clustered")
+        (
+            li.repartitionByRange(4, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .parquet(clustered)
+        )
+
+        span_scattered, full = span_sum(scattered)
+        span_clustered, _ = span_sum(clustered)
+        # scattered: every row group spans ~the whole key domain;
+        # clustered: row groups tile it, so the summed span ~= the domain
+        assert span_clustered < span_scattered / 2, (span_clustered, span_scattered, full)
