@@ -147,3 +147,41 @@ def sql_interface_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     for t in ("lineitem", "orders", "customer", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_REVENUE_BY_NATION)
+
+
+@register(
+    "grouped_map_zscore",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, lang, length(text) AS n_chars FROM documents
+)
+SELECT doc_id, lang,
+       round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+             / stddev_samp(n_chars) OVER (PARTITION BY lang), 6) AS z
+FROM t
+""",
+    tags=("udf", "pandas", "grouped-map"),
+    doc=(
+        "Grouped-map applyInPandas: per-language z-score of document length, "
+        "each group normalized as one Arrow-batched pandas DataFrame. The "
+        "window-function form in the oracle is the builtin equivalent — "
+        "use applyInPandas only when the per-group logic genuinely needs "
+        "pandas/numpy (sklearn transforms, per-group model scoring)."
+    ),
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z": ((pdf["n_chars"] - mu) / sd).round(6),
+            }
+        )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+    return d.groupBy("lang").applyInPandas(zscore, "doc_id long, lang string, z double")
