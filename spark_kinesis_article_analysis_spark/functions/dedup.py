@@ -262,18 +262,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # reused 3x (both id sides + final join); tiny by LSH construction
     )
     # Exact-Jaccard verification restricted to candidate docs: re-shingle
-    # only rows that survive LSH (broadcast semi-join on the candidate id
-    # set), collect each candidate's distinct-shingle set ONCE, and score
+    # only rows that survive LSH (semi-join on the candidate id set),
+    # collect each candidate's distinct-shingle set ONCE, and score
     # pairs map-side with array_intersect — no shingle-level join, so the
     # verify stage shuffles one row per candidate doc (its shingle set),
-    # a vanishing fraction of the corpus at 100 TB.
+    # a vanishing fraction of the corpus at 100 TB. The semi-join is NOT
+    # broadcast-hinted: the candidate set's size is data-dependent (a
+    # mistuned band count on a skewed corpus can make it huge), so a
+    # pinned broadcast risks driver/executor OOM at scale — AQE converts
+    # it to a broadcast join at runtime when it actually is small.
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     cand_sets = (
-        sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        sh.join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shset"))
         .persist()  # reused by both join sides; one row per candidate doc

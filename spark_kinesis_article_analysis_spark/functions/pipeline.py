@@ -113,6 +113,46 @@ def pack_sequences_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_sharded",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id
+FROM t
+""",
+    tags=("text", "packing", "skew", "north-star"),
+    doc=(
+        "pack_sequences_bounded without the per-language straggler: the "
+        "running token count comes from a two-phase range-sharded prefix sum "
+        "(operators/skew.range_sharded_running_sum), so a language holding "
+        "half the corpus spreads over many contiguous shards instead of one "
+        "reducer. Output (and oracle) are row-identical to the plain form — "
+        "this is the 100 TB execution shape of the same operator."
+    ),
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_kinesis_article_analysis_spark.operators.skew import (
+        range_sharded_running_sum,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(_toks()).alias("n_tokens"))
+    shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cum = range_sharded_running_sum(t, ["lang"], "doc_id", "n_tokens", "__cum", shards)
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)).alias("pack_id"),
+    )
+
+
+@register(
     "split_hash_assign",
     oracle="""
 WITH t AS (
@@ -181,6 +221,50 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.withColumn("pr", pr)
         .filter(F.col("pr") >= 0.6)
+        .select("doc_id", "lang", "score", F.round("pr", 6).alias("pct_rank"))
+    )
+
+
+@register(
+    "quality_gate_sharded",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, lang,
+           round(length(text) / len(string_split_regex(text, '\\s+')), 6) AS score
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang, score,
+           percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+    FROM t
+)
+SELECT doc_id, lang, score, round(pr, 6) AS pct_rank
+FROM r WHERE pr >= 0.6
+""",
+    tags=("text", "quality", "quantile", "skew", "north-star"),
+    doc=(
+        "quality_percentile_gate without the per-language straggler: "
+        "percent_rank from two-phase range-sharded ranking (operators/"
+        "skew.range_sharded_percent_rank; (score, doc_id) is tie-free, so "
+        "rank composes as local row_number + earlier-shard counts). Output "
+        "and oracle are row-identical to the plain form."
+    ),
+)
+def quality_gate_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_kinesis_article_analysis_spark.operators.skew import (
+        range_sharded_percent_rank,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.round(F.length("text") / F.size(_toks()), 6).alias("score"),
+    )
+    shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pr = range_sharded_percent_rank(t, ["lang"], ["score", "doc_id"], "pr", shards)
+    return (
+        pr.filter(F.col("pr") >= 0.6)
         .select("doc_id", "lang", "score", F.round("pr", 6).alias("pct_rank"))
     )
 
@@ -307,12 +391,17 @@ FROM s
         "dedup (md5-of-normalized-text survivors) -> token-count quality "
         "gate -> deterministic train/valid/test split -> per-(lang, split) "
         "sequence packing. Composition stays declarative, so Catalyst fuses "
-        "the stages: one dedup shuffle, one semi-join, one window shuffle — "
-        "the stage boundaries a 100 TB corpus build actually pays for."
+        "the dedup/gate/split stages into one dedup shuffle + one semi-join; "
+        "packing runs as the range-sharded two-phase prefix sum (operators/"
+        "skew.range_sharded_running_sum) so the hot (lang, split) group of a "
+        "real corpus — ~50%+ one language — never lands on one reducer."
     ),
 )
 def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_kinesis_article_analysis_spark.functions.dedup import normalized_text_col
+    from spark_kinesis_article_analysis_spark.operators.skew import (
+        range_sharded_running_sum,
+    )
 
     d = load(spark, sf_dir, "documents")
     surv = (
@@ -331,16 +420,12 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < "cd", "train").when(bucket < "e6", "valid").otherwise("test")
     )
     s = kept.withColumn("split", split)
-    w = (
-        W.partitionBy("lang", "split")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    cum = F.sum("n_tokens").over(w)
-    return s.select(
+    shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cum = range_sharded_running_sum(s, ["lang", "split"], "doc_id", "n_tokens", "__cum", shards)
+    return cum.select(
         "doc_id",
         "lang",
         "split",
         "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET)).alias("pack_id"),
+        F.floor((F.col("__cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)).alias("pack_id"),
     )

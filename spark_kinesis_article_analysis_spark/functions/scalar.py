@@ -100,10 +100,10 @@ SELECT l_orderkey, l_linenumber,
        round(sqrt(l_quantity), 6)                   AS qty_sqrt,
        round(ln(l_extendedprice), 6)                AS price_ln,
        round(pow(l_quantity, 2), 4)                 AS qty_sq,
-       ceil(l_discount * 100)                       AS disc_pct_ceil,
-       floor(l_tax * 100)                           AS tax_pct_floor,
+       CAST(ceil(l_discount * 100) AS BIGINT)       AS disc_pct_ceil,
+       CAST(floor(l_tax * 100) AS BIGINT)           AS tax_pct_floor,
        CAST(l_orderkey % 7 AS BIGINT)               AS key_mod7,
-       sign(l_discount - 0.04)                      AS disc_sign
+       CAST(sign(l_discount - 0.04) AS DOUBLE)      AS disc_sign
 FROM lineitem
 """,
     tags=("scalar", "math"),

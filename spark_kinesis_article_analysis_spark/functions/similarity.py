@@ -274,11 +274,16 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid id); re-centering is a posexplode (cluster, dim) mean. Per "
         "round: one broadcast (no pairwise shuffle) + one hash agg — the "
         "iterative-refinement template at 100 TB, where k centroids always "
-        "fit in a broadcast and the corpus never self-joins."
+        "fit in a broadcast and the corpus never self-joins. Centroids are "
+        "localCheckpoint-ed per round so plan size stays flat in ROUNDS."
     ),
 )
 def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    K, ROUNDS = 8, 3
+    return kmeans_lloyd(spark, sf_dir, rounds=3)
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
+    K, ROUNDS = 8, rounds
     e = _emb(spark, sf_dir).select("vec_id", "emb")
     cents = (
         e.orderBy("vec_id")
@@ -313,5 +318,9 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cent")
             )
             .select(F.col("cluster").alias("cid"), "cent")
+            # truncate lineage per round (as dedup_cluster_components does):
+            # without this the plan doubles every round and both planning
+            # time and stage DAG size grow with ROUNDS instead of staying flat
+            .localCheckpoint(eager=True)
         )
     return assign.select("vec_id", "cluster", F.round(F.sqrt("d2"), 6).alias("dist"))

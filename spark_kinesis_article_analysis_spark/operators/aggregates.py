@@ -117,7 +117,10 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "The 100 TB cardinality/quantile path: approx_count_distinct (HLL++) and "
         "percentile_approx (GK sketch) — mergeable one-pass sketches; rows-only "
-        "check here, error-bound asserts live in tests/test_rows_only.py."
+        "check here, error-bound asserts live in tests/test_rows_only.py. "
+        "Quartiles are emitted as scalar q25/q75 columns (not the array form): "
+        "the driver's rows-only canonicalizer sorts every column and an "
+        "array<double> cell is unhashable there."
     ),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +128,8 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_quartiles"),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("q25"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("q75"),
     )
 
 

@@ -16,7 +16,7 @@ key — the classic hot-key aggregation fix for algebraic aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,4 +63,106 @@ def two_phase_agg(
     )
     return partial.groupBy(key).agg(
         F.sum("__s").alias("total"), F.sum("__n").alias("n")
+    )
+
+
+def range_sharded_running_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    val_col: str,
+    out_col: str,
+    num_shards: int,
+) -> DataFrame:
+    """Running sum of ``val_col`` over ``PARTITION BY part_cols ORDER BY
+    order_col`` (inclusive frame), computed WITHOUT a single reducer per
+    partition key — the straggler that kills ``Window.partitionBy(lang)``
+    when one language holds half a 100 TB corpus.
+
+    Two-phase distributed prefix sum (hash sub-sharding cannot express an
+    order-dependent window, so shards must be contiguous runs of the sort
+    order — i.e. range shards):
+
+    1. ``repartitionByRange(num_shards, part_cols..., order_col)`` splits
+       every hot key across many contiguous shards; the local running sum
+       within ``(shard, part_cols)`` is a bounded-size window.
+    2. Per-(shard, key) totals — ``num_shards × |keys|`` rows, tiny — get
+       an exclusive prefix over shard id per key: each shard's offset.
+    3. offset + local running sum = the exact global running sum; output
+       is row-identical to the plain window (tests/test_scale_layout.py).
+
+    ``spark_partition_id()`` is stable here: both consumers of the ranged
+    frame read the same reused exchange, and range boundaries are
+    deterministic for a given input.
+    """
+    ranged = df.repartitionByRange(num_shards, *part_cols, order_col).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__shard", *part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__lcum", F.sum(val_col).over(w_local))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("__shard", *part_cols)
+        .agg(F.sum(val_col).alias("__tot"))
+        .withColumn("__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)))
+        .drop("__tot")
+    )
+    return (
+        local.join(offsets, ["__shard", *part_cols])
+        .withColumn(out_col, F.col("__lcum") + F.col("__off"))
+        .drop("__shard", "__lcum", "__off")
+    )
+
+
+def range_sharded_percent_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    out_col: str,
+    num_shards: int,
+) -> DataFrame:
+    """``percent_rank() OVER (PARTITION BY part_cols ORDER BY
+    order_cols)`` without a single reducer per partition key.
+
+    Requires a TIE-FREE total order (append a unique tiebreak column to
+    ``order_cols``) so rank == row_number and ranks can be composed as
+    local row_number + count of rows in earlier range shards. Same
+    two-phase shape as :func:`range_sharded_running_sum`; group sizes
+    for the (n-1) denominator come from the same tiny per-shard count
+    table, so no extra pass over the data.
+    """
+    ranged = df.repartitionByRange(num_shards, *part_cols, *order_cols).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__shard", *part_cols).orderBy(*order_cols)
+    local = ranged.withColumn("__lrank", F.row_number().over(w_local))
+    counts = local.groupBy("__shard", *part_cols).agg(F.count("*").alias("__cnt"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*part_cols)
+    offsets = counts.select(
+        "__shard",
+        *part_cols,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    rank = F.col("__lrank") + F.col("__off")
+    pr = F.when(F.col("__n") > 1, (rank - F.lit(1)) / (F.col("__n") - F.lit(1))).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        local.join(offsets, ["__shard", *part_cols])
+        .withColumn(out_col, pr)
+        .drop("__shard", "__lrank", "__off", "__n")
     )

@@ -82,30 +82,77 @@ def register(
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Import order is the verification-priority order: the driver verdicts
+    only the FIRST 50 entries of ``queries()`` each round, so modules
+    whose queries most need a fresh verdict import first (fixed entries,
+    then the north-star LLM-pipeline surface), and ``all_specs`` pushes
+    already-driver-verified names to the back (see ``_verified_names``).
+    """
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
-        aggregates,
+        aggregates,  # fixed r1 harness crash (agg_approx_sketches)
+        relational,  # fixed r1 hash mismatch (tpch_q12)
+    )
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        dedup,
+        similarity,
+        text,
+        pipeline,
+        multimodal,
+        udfs,
+    )
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         article,
         joins,
-        relational,
         subqueries,
         windows_analytic,
         windows_time,
     )
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
-        dedup,
-        multimodal,
-        pipeline,
         scalar,
-        udfs,
-        similarity,
-        text,
     )
 
 
+def _verified_names() -> frozenset[str]:
+    """Query names with a clean driver verdict in any prior round.
+
+    Reads ``CORRECTNESS_r*.json`` at the repo root (written by the
+    driver, one per round). "Clean" = value-hash green, or a rows-only
+    record for an oracle-less spec (``err == 'no_oracle'``). Broken
+    entries (hash mismatch, harness crash) stay unverified so they are
+    re-checked after a fix. Names absent from every file have never been
+    checked — the driver caps each round at 50 queries.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    done: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, v in data.items():
+            if isinstance(v, dict) and (v.get("hash_match") is True or v.get("err") == "no_oracle"):
+                done.add(name)
+    return frozenset(done)
+
+
 def all_specs() -> dict[str, QuerySpec]:
+    """All registered specs, never-driver-verified first.
+
+    The driver verdicts the first 50 entries per round; ordering
+    unverified-first rotates the budget across rounds until every query
+    has a recorded verdict, with no per-round hand-curation.
+    """
     _load_all()
-    return dict(_REGISTRY)
+    verified = _verified_names()
+    order = [n for n in _REGISTRY if n not in verified] + [n for n in _REGISTRY if n in verified]
+    return {name: _REGISTRY[name] for name in order}
 
 
 def queries() -> dict[str, Builder]:

@@ -52,5 +52,15 @@ def compare(spark, spec, sf_dir: str) -> None:
     assert list(got.columns) == list(want.columns), (
         f"{spec.name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
+    # The driver's value hash is dtype-sensitive: DuckDB HUGEINT (int128,
+    # e.g. sum over integers) lands in pandas as float64 while Spark sums
+    # to int64 — numerically equal, hash-different. Fail that drift here
+    # (fix: CAST(... AS BIGINT) in the oracle) instead of at the driver.
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert gk == wk, (
+            f"{spec.name}.{c}: cross-engine dtype drift spark={got[c].dtype} "
+            f"oracle={want[c].dtype} — CAST the oracle column (HUGEINT?) so kinds match"
+        )
     assert len(got) == len(want), f"{spec.name}: row count {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=spec.name)

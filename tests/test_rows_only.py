@@ -38,8 +38,7 @@ class TestApproxSketches:
             assert abs(r["approx_parts"] - nd) <= max(3, 0.10 * nd)
             # GK with accuracy 10000 on ~20k rows per group: near-exact
             assert abs(r["approx_median_price"] - med) / med < 0.05
-            q25, q75 = r["approx_quartiles"]
-            assert q25 <= r["approx_median_price"] <= q75
+            assert r["q25"] <= r["approx_median_price"] <= r["q75"]
 
 
 class TestMinHashLSH:
@@ -176,6 +175,19 @@ class TestKMeans:
 
         mean_final = sum(r.dist for r in out) / len(out)
         assert mean_final > 0 and math.isfinite(mean_final)
+
+    def test_plan_size_flat_in_rounds(self, spark):
+        """Per-round localCheckpoint truncates lineage: the final plan must
+        not grow with ROUNDS (without it, plan size doubles per round)."""
+        from spark_kinesis_article_analysis_spark.functions.similarity import kmeans_lloyd
+        from tests.conftest import SF_CORRECTNESS
+
+        p3 = kmeans_lloyd(spark, SF_CORRECTNESS, rounds=3)._jdf.queryExecution().toString()
+        p6 = kmeans_lloyd(spark, SF_CORRECTNESS, rounds=6)._jdf.queryExecution().toString()
+        assert len(p6) < 1.5 * len(p3), (len(p3), len(p6))
+        # still deterministic and complete at 6 rounds
+        out = kmeans_lloyd(spark, SF_CORRECTNESS, rounds=6).collect()
+        assert len(out) == 500
 
 
 class TestFrameSample:

@@ -116,6 +116,79 @@ class TestSkewHandling:
         }
         assert double == single
 
+    def test_range_sharded_running_sum_equals_plain_window(self, spark):
+        """The hot-language window fix must be row-identical to the plain
+        PARTITION BY lang running sum, at every shard count (1 shard =
+        degenerate single range; >rows shards = mostly-empty ranges)."""
+        from pyspark.sql import Window as W
+
+        from spark_kinesis_article_analysis_spark.operators.skew import (
+            range_sharded_running_sum,
+        )
+
+        d = load(spark, SF_SMOKE, "documents").select(
+            "doc_id", "lang", F.size(F.split("text", r"\s+")).alias("n_tokens")
+        )
+        plain = {
+            r.doc_id: r.cum
+            for r in d.withColumn(
+                "cum",
+                F.sum("n_tokens").over(
+                    W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+                ),
+            ).collect()
+        }
+        for shards in (1, 7, 64):
+            got = {
+                r.doc_id: r.cum
+                for r in range_sharded_running_sum(
+                    d, ["lang"], "doc_id", "n_tokens", "cum", shards
+                ).collect()
+            }
+            assert got == plain, f"shards={shards}"
+
+    def test_range_sharded_percent_rank_equals_plain_window(self, spark):
+        from pyspark.sql import Window as W
+
+        from spark_kinesis_article_analysis_spark.operators.skew import (
+            range_sharded_percent_rank,
+        )
+
+        d = load(spark, SF_SMOKE, "documents").select(
+            "doc_id", "lang", (F.length("text") * 1.0).alias("score")
+        )
+        plain = {
+            r.doc_id: round(r.pr, 9)
+            for r in d.withColumn(
+                "pr", F.percent_rank().over(W.partitionBy("lang").orderBy("score", "doc_id"))
+            ).collect()
+        }
+        for shards in (1, 7, 64):
+            got = {
+                r.doc_id: round(r.pr, 9)
+                for r in range_sharded_percent_rank(
+                    d, ["lang"], ["score", "doc_id"], "pr", shards
+                ).collect()
+            }
+            assert got == plain, f"shards={shards}"
+
+    def test_sharded_pack_window_partitions_on_shard_key(self, spark):
+        """The registered sharded packing query must window on the
+        (__shard, lang) composite — i.e. the straggler key is actually
+        split in the plan, not just in the helper's intent."""
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+        from tests.conftest import SF_CORRECTNESS
+
+        import re
+
+        plan = inspect.explain_str(
+            all_specs()["pack_sequences_sharded"].build(spark, SF_CORRECTNESS)
+        )
+        # the corpus-scale running sum windows over (__shard, lang), and the
+        # data is hash-partitioned on that composite (the straggler split)
+        assert re.search(r"windowspecdefinition\(__shard[^,]*, lang", plan), plan
+        assert re.search(r"hashpartitioning\(__shard[^,]*, lang", plan), plan
+
 
 class TestRocksDBStateStore:
     def test_streaming_agg_with_rocksdb_provider(self, spark, tmp_path):
