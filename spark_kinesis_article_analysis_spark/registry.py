@@ -101,6 +101,7 @@ def _load_all() -> None:
         pipeline,
         multimodal,
         udfs,
+        corpus,
     )
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         article,

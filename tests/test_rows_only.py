@@ -40,6 +40,32 @@ class TestApproxSketches:
             assert abs(r["approx_median_price"] - med) / med < 0.05
             assert r["q25"] <= r["approx_median_price"] <= r["q75"]
 
+    def test_hll_partial_merge_vs_exact(self, spark):
+        got = {
+            r["l_returnflag"]: r["approx_orders"]
+            for r in SPECS["agg_hll_partial_merge"].build(spark, SF_CORRECTNESS).collect()
+        }
+        exact = {
+            r[0]: r[1]
+            for r in duck(SF_CORRECTNESS)
+            .sql(
+                """SELECT l_returnflag, count(DISTINCT l_orderkey)
+                   FROM lineitem GROUP BY 1"""
+            )
+            .fetchall()
+        }
+        exact["ALL"] = (
+            duck(SF_CORRECTNESS)
+            .sql("SELECT count(DISTINCT l_orderkey) FROM lineitem")
+            .fetchone()[0]
+        )
+        assert set(got) == set(exact)
+        for key, nd in exact.items():
+            # Datasketches HLL default lgK=12: rse ~0.8%; allow 5 sigma.
+            assert abs(got[key] - nd) <= max(3, 0.04 * nd), key
+        # the merged ALL sketch must not undercount any single group
+        assert got["ALL"] >= max(v for k, v in got.items() if k != "ALL")
+
 
 class TestMinHashLSH:
     def test_candidates_recall_vs_exact_jaccard(self, spark):
