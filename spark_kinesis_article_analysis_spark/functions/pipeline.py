@@ -137,13 +137,23 @@ FROM t
 )
 def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_kinesis_article_analysis_spark.operators.skew import (
+        monotone_range_shard,
         range_sharded_running_sum,
     )
 
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", "lang", F.size(_toks()).alias("n_tokens"))
     shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cum = range_sharded_running_sum(t, ["lang"], "doc_id", "n_tokens", "__cum", shards)
+    # doc_id is a dense integer key: shard by id-range arithmetic (one
+    # column-pruned min/max scan) instead of repartitionByRange, whose
+    # boundary sampling would re-execute the child plan.
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        lo, hi = 0, 0
+    shard = monotone_range_shard("doc_id", lo, hi, shards)
+    cum = range_sharded_running_sum(
+        t, ["lang"], "doc_id", "n_tokens", "__cum", shards, shard_by=shard
+    )
     return cum.select(
         "doc_id",
         "lang",
@@ -400,6 +410,7 @@ FROM s
 def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_kinesis_article_analysis_spark.functions.dedup import normalized_text_col
     from spark_kinesis_article_analysis_spark.operators.skew import (
+        monotone_range_shard,
         range_sharded_running_sum,
     )
 
@@ -421,7 +432,17 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = kept.withColumn("split", split)
     shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cum = range_sharded_running_sum(s, ["lang", "split"], "doc_id", "n_tokens", "__cum", shards)
+    # Shard by doc_id-range arithmetic (dense key, bounds from one
+    # column-pruned min/max scan of the RAW table — not the deduped
+    # subplan): repartitionByRange's boundary sampling would re-execute
+    # the whole dedup semi-join just to find split points.
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        lo, hi = 0, 0
+    shard = monotone_range_shard("doc_id", lo, hi, shards)
+    cum = range_sharded_running_sum(
+        s, ["lang", "split"], "doc_id", "n_tokens", "__cum", shards, shard_by=shard
+    )
     return cum.select(
         "doc_id",
         "lang",

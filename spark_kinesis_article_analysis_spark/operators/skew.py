@@ -66,6 +66,19 @@ def two_phase_agg(
     )
 
 
+def monotone_range_shard(order_col: str, lo: int, hi: int, num_shards: int) -> Column:
+    """Contiguous shard id for an integer sort key with known bounds:
+    ``floor((key - lo) / width)``. Monotone in ``order_col`` by
+    construction, so it satisfies the contiguity requirement of the
+    sharded window rewrites with ZERO extra jobs — unlike
+    ``repartitionByRange``, which runs a sampling pass over the (possibly
+    expensive) child plan to discover boundaries, this is pure arithmetic
+    on bounds the caller already knows (dense ids, or parquet footer
+    min/max)."""
+    width = max(1, -(-(hi - lo + 1) // num_shards))  # ceil div
+    return F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("int")
+
+
 def range_sharded_running_sum(
     df: DataFrame,
     part_cols: list[str],
@@ -73,6 +86,7 @@ def range_sharded_running_sum(
     val_col: str,
     out_col: str,
     num_shards: int,
+    shard_by: Column | None = None,
 ) -> DataFrame:
     """Running sum of ``val_col`` over ``PARTITION BY part_cols ORDER BY
     order_col`` (inclusive frame), computed WITHOUT a single reducer per
@@ -83,21 +97,31 @@ def range_sharded_running_sum(
     order-dependent window, so shards must be contiguous runs of the sort
     order — i.e. range shards):
 
-    1. ``repartitionByRange(num_shards, part_cols..., order_col)`` splits
-       every hot key across many contiguous shards; the local running sum
-       within ``(shard, part_cols)`` is a bounded-size window.
+    1. Split every hot key across many contiguous shards; the local
+       running sum within ``(shard, part_cols)`` is a bounded-size window.
     2. Per-(shard, key) totals — ``num_shards × |keys|`` rows, tiny — get
        an exclusive prefix over shard id per key: each shard's offset.
     3. offset + local running sum = the exact global running sum; output
        is row-identical to the plain window (tests/test_scale_layout.py).
 
-    ``spark_partition_id()`` is stable here: both consumers of the ranged
-    frame read the same reused exchange, and range boundaries are
-    deterministic for a given input.
+    Sharding strategy: pass ``shard_by`` (any expression monotone
+    non-decreasing in ``order_col``, e.g. :func:`monotone_range_shard`
+    over a dense id) to shard with NO extra exchange — the local window's
+    own hash exchange on ``(__shard, part_cols)`` is then the only
+    corpus-scale shuffle. Without it, ``repartitionByRange`` discovers
+    boundaries by sampling, which re-executes the child plan for the
+    sample and adds a range exchange ahead of the window's hash exchange
+    — correct for arbitrary sort keys, but two extra corpus-scale passes.
+    ``spark_partition_id()`` is stable in that path: both consumers of
+    the ranged frame read the same reused exchange, and range boundaries
+    are deterministic for a given input.
     """
-    ranged = df.repartitionByRange(num_shards, *part_cols, order_col).withColumn(
-        "__shard", F.spark_partition_id()
-    )
+    if shard_by is not None:
+        ranged = df.withColumn("__shard", shard_by)
+    else:
+        ranged = df.repartitionByRange(num_shards, *part_cols, order_col).withColumn(
+            "__shard", F.spark_partition_id()
+        )
     w_local = (
         Window.partitionBy("__shard", *part_cols)
         .orderBy(order_col)

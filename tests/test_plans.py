@@ -112,15 +112,19 @@ class TestTpchPlanShape:
 
 class TestCorpusEndToEndPlanShape:
     def test_composed_pipeline_bounded_shuffles(self, spark):
-        """Corpus-scale exchanges stay at exactly three — dedup agg, the
-        range shard split, and the (__shard, lang, split) local-window
-        hash; the survivor semi-join broadcasts. The remaining exchanges
-        all move the per-shard totals table (num_shards x |lang x split|
-        rows — KBs at any corpus size), the price of packing without a
-        per-language straggler reducer (skew.range_sharded_running_sum)."""
+        """Corpus-scale exchanges stay at exactly two — the dedup agg and
+        the (__shard, lang, split) local-window hash; the survivor
+        semi-join broadcasts and the shard id is doc_id-range arithmetic
+        (monotone_range_shard), so there is no repartitionByRange and no
+        boundary-sampling pass. The remaining exchanges all move the
+        per-shard totals table (num_shards x |lang x split| rows — KBs at
+        any corpus size), the price of packing without a per-language
+        straggler reducer (skew.range_sharded_running_sum)."""
         df = SPECS["corpus_prep_end_to_end"].build(spark, SF_CORRECTNESS)
         plan = inspect.explain_str(df)
-        assert inspect.count_exchanges(df) <= 7, plan
+        assert inspect.count_exchanges(df) <= 5, plan
+        # arithmetic sharding: no range exchange, no sampling pass
+        assert "rangepartitioning" not in plan, plan
         # the corpus-scale window carries the shard split
         import re
 

@@ -147,6 +147,27 @@ class TestSkewHandling:
             }
             assert got == plain, f"shards={shards}"
 
+        # monotone-shard fast path (no sampling pass): same identity
+        from spark_kinesis_article_analysis_spark.operators.skew import (
+            monotone_range_shard,
+        )
+
+        lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+        for shards in (1, 7, 64):
+            got = {
+                r.doc_id: r.cum
+                for r in range_sharded_running_sum(
+                    d,
+                    ["lang"],
+                    "doc_id",
+                    "n_tokens",
+                    "cum",
+                    shards,
+                    shard_by=monotone_range_shard("doc_id", lo, hi, shards),
+                ).collect()
+            }
+            assert got == plain, f"monotone shards={shards}"
+
     def test_range_sharded_percent_rank_equals_plain_window(self, spark):
         from pyspark.sql import Window as W
 
