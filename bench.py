@@ -46,6 +46,9 @@ HEADLINE = [
     "text_chunk_sliding",         # corpus-prep map stage (chunking)
     "dedup_cluster_components",   # iterative label propagation
     "corpus_prep_end_to_end",     # composed dedup->gate->split->pack pipeline
+    "text_segment_dedup",         # C4-style segment-level corpus dedup
+    "embed_quantize_int8",        # map-only embedding quantization
+    "window_session_dynamic_gap", # per-row gap expression sessions
 ]
 
 

@@ -524,3 +524,60 @@ class TestSessionWindowParity:
         assert streamed  # alice + bob sessions closed by zoe's event
         for k, v in streamed.items():
             assert batch[k] == v, (k, v, batch.get(k))
+
+    def test_dynamic_gap_sessions_agree_batch_vs_stream(self, spark, payload_dir):
+        """session_window with a PER-ROW gap expression (long articles hold
+        the session open 10 minutes, short ones 2) — the dynamic-gap
+        operator behind the window_session_dynamic_gap query — merges
+        identically in batch and streaming."""
+        gap = F.when(F.col("word_count") >= 5, F.lit("10 minutes")).otherwise(
+            F.lit("2 minutes")
+        )
+        arts = [
+            _article("a1", "alice", "2024-01-01 00:00:00", "a b"),  # 2-min gap
+            _article("a2", "alice", "2024-01-01 00:03:00", "c d"),  # new session
+            _article("a3", "alice", "2024-01-01 00:03:30", "a b c d e f"),  # 10-min
+            _article("a4", "alice", "2024-01-01 00:05:00", "x y"),  # merges into a3's
+            _article("z1", "zoe", "2024-01-01 02:00:00"),  # closes all
+        ]
+        _write_batch(spark, payload_dir, 0, arts[:4])
+        _write_batch(spark, payload_dir, 1, arts[4:])
+
+        _run_to_completion(
+            sp.article_session_stream(sp.payload_stream(spark, payload_dir), gap=gap),
+            "dyn_sess",
+        )
+        streamed = {
+            (str(r.session_start), str(r.session_end), r.author): (
+                r.n_articles,
+                r.average_word_count,
+            )
+            for r in spark.sql("SELECT * FROM dyn_sess WHERE author = 'alice'").collect()
+        }
+        assert len(streamed) == 2, streamed  # short session + merged long one
+
+        batch_payload = spark.createDataFrame(
+            [(json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA
+        )
+        parsed = sp.with_word_count(sp.parse_articles(batch_payload))
+        batch = {
+            (str(r.session_start), str(r.session_end), r.author): (
+                r.n_articles,
+                r.average_word_count,
+            )
+            for r in parsed.groupBy(F.session_window("publish_date", gap), "author")
+            .agg(
+                F.count("*").alias("n_articles"),
+                F.avg("word_count").alias("average_word_count"),
+            )
+            .select(
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "author",
+                "n_articles",
+                "average_word_count",
+            )
+            .filter(F.col("author") == "alice")
+            .collect()
+        }
+        assert streamed == batch, (streamed, batch)
