@@ -77,13 +77,20 @@ GROUP BY doc_id
     ),
 )
 def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`segment_dedup` over the documents table."""
+    return segment_dedup(load(spark, sf_dir, "documents"))
+
+
+def segment_dedup(d: DataFrame) -> DataFrame:
     """Scale shape: first-occurrence is ``min(struct(doc_id, pos))`` per
     segment — an algebraic aggregate with map-side partial combine, so a
     boilerplate segment repeated 10^9 times costs one row per map task,
     not a single-reducer window (``row_number() OVER (PARTITION BY
     seg)`` would straggle exactly there). The join back on ``seg`` is
-    AQE-skew-splittable. Two shuffles total (seg, then doc_id)."""
-    d = load(spark, sf_dir, "documents")
+    AQE-skew-splittable. Two shuffles total (seg, then doc_id).
+
+    Takes any ``(doc_id, text)`` frame; idempotent — a deduped corpus
+    passes through unchanged (tests/test_properties.py)."""
     words = d.select("doc_id", F.split("text", " ").alias("w"))
     n_segs = (F.floor((F.size("w") - F.lit(1)) / F.lit(SEG_WORDS)) + 1).cast("int")
     segs = F.transform(

@@ -78,6 +78,8 @@ class TestCorpusPipelinePlanShape:
             "embed_norm_stats",
             "scalar_string_extended",
             "sample_stratified",
+            "text_pii_scrub",
+            "embed_quantize_int8",
         ]:
             df = SPECS[name].build(spark, SF_CORRECTNESS)
             assert inspect.count_exchanges(df) == 0, f"{name}: {inspect.explain_str(df)}"
@@ -93,9 +95,21 @@ class TestCorpusPipelinePlanShape:
             "dedup_keep_latest",
             "tpch_q6_forecast_revenue",
             "funnel_user_stages",
+            "window_session_dynamic_gap",
         ]:
             df = SPECS[name].build(spark, SF_CORRECTNESS)
             assert inspect.count_exchanges(df) == 1, f"{name}: {inspect.explain_str(df)}"
+
+    def test_segment_dedup_is_agg_join_not_window(self, spark):
+        """Segment-level dedup must find first occurrences with a map-side
+        combinable min(struct) aggregation + join — NEVER a row_number
+        window partitioned by segment, whose hot boilerplate segments
+        would each land on a single reducer. Two corpus-grain shuffles
+        (segment agg, doc reassembly) plus AQE's choice of join exchange."""
+        df = SPECS["text_segment_dedup"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "Window" not in plan, plan
+        assert inspect.count_exchanges(df) <= 3, plan
 
 
 class TestTpchPlanShape:
