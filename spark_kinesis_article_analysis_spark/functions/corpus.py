@@ -249,6 +249,136 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Quantized-search geometry (matches similarity.py's brute-force pair).
+QTOPK_QUERIES = 8
+QTOPK_K = 5
+
+
+@register(
+    "sim_quantized_topk",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+qz AS (
+    SELECT vec_id,
+           list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale,
+           list_transform(e, x -> CASE WHEN list_max(list_transform(e, y -> abs(y))) = 0
+                                       THEN 0.0
+                                       ELSE floor(x / (list_max(list_transform(e, y -> abs(y))) / 127.0) + 0.5)
+                                  END) AS q
+    FROM b
+),
+qs AS (SELECT vec_id AS query_id, scale AS s_q, q AS qv FROM qz WHERE vec_id < {QTOPK_QUERIES}),
+cs AS (SELECT vec_id AS neighbor_id, scale AS s_c, q AS cv FROM qz WHERE vec_id >= {QTOPK_QUERIES}),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_inner_product(qv, cv) * s_q * s_c, 6) AS qdot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(list_inner_product(qv, cv) * s_q * s_c, 6) DESC,
+                                       neighbor_id ASC) AS rn
+    FROM qs, cs
+)
+SELECT query_id, neighbor_id, qdot FROM scored WHERE rn <= {QTOPK_K}
+""",
+    tags=("similarity", "topk", "quantize", "north-star"),
+    doc=(
+        "Top-k dot-product search over int8-QUANTIZED vectors: the scale path "
+        "where candidates are stored quantized (4x memory/bandwidth cut) and "
+        "scores are integer dot products rescaled by the two max-abs scales. "
+        "Quantization is deterministic floor arithmetic and the integer dot "
+        "product is exact in any summation order, so this ANN-storage variant "
+        "is fully oracle-checkable — unlike sampling-based ANN."
+    ),
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same plan shape as sim_cosine_topk (broadcast bounded query set,
+    JVM higher-order dot, row_number top-k); the quantized form is what
+    you'd actually ship to 100 TB ANN serving."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    b = emb.select("vec_id", e.alias("e"))
+    scale = (
+        F.aggregate("e", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0)
+    )
+    # two selects: the quantize lambda references `scale` by column alias,
+    # so the alias must exist before the transform runs
+    qz = b.select("vec_id", scale.alias("scale"), "e").select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "e",
+            lambda x: F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+                F.floor(x / F.col("scale") + F.lit(0.5)).cast("double")
+            ),
+        ).alias("q"),
+    )
+    qs = qz.filter(F.col("vec_id") < QTOPK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("scale").alias("s_q"), F.col("q").alias("qv")
+    )
+    cs = qz.filter(F.col("vec_id") >= QTOPK_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("scale").alias("s_c"), F.col("q").alias("cv")
+    )
+    intdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda p, q: p * q), F.lit(0.0), lambda a, v: a + v
+    )
+    scored = cs.join(F.broadcast(qs)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(intdot * F.col("s_q") * F.col("s_c"), 6).alias("qdot"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QTOPK_K)
+        .select("query_id", "neighbor_id", "qdot")
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+),
+counts AS (
+    SELECT term, CAST(count(*) AS DOUBLE) AS tc FROM toks GROUP BY term
+),
+tot AS (SELECT sum(tc) AS n FROM counts)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(tc / n)), 6) AS avg_logprob
+FROM toks JOIN counts USING (term), tot
+GROUP BY doc_id
+""",
+    tags=("text", "quality", "lm", "north-star"),
+    doc=(
+        "Unigram language-model quality score (the CCNet-style LM filter, "
+        "reduced to its unigram core): per-document mean log-probability of "
+        "tokens under the corpus's own unigram distribution — boilerplate and "
+        "common-token spam score HIGH, rare-garbage documents score LOW."
+    ),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus explode feeds both the vocabulary counts and the
+    per-document scoring join (same derive-don't-rescan shape as
+    text_tfidf_top_terms). The vocabulary aggregate is tiny next to the
+    corpus; hot terms in the scoring join are AQE-skew-splittable, and
+    the corpus total rides a 1-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").cast("double").alias("tc"))
+    total = counts.agg(F.sum("tc").alias("n"))
+    scored = toks.join(counts, "term").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("tc") / F.col("n"))), 6).alias("avg_logprob"),
+    )
+
+
 @register(
     "window_session_dynamic_gap",
     oracle="""
