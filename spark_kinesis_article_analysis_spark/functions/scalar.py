@@ -659,3 +659,97 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority_part3"
         ),
     )
+
+
+@register(
+    "scalar_xml_functions",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey   AS xml_id,
+       o_orderpriority AS xml_priority,
+       o_orderstatus   AS xml_status
+FROM orders WHERE o_orderkey % 7 = 0
+""",
+    tags=("scalar", "xml"),
+    doc=(
+        "XML surface (Spark 4 built-ins): rows serialized to an XML string, "
+        "then re-extracted via xpath_long on an attribute, xpath_string on "
+        "elements, and a from_xml struct field. The oracle is the round-trip "
+        "identity — Spark must actually parse the XML to reproduce it."
+    ),
+)
+def scalar_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><priority>'),
+        F.col("o_orderpriority"),
+        F.lit("</priority><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status></order>"),
+    )
+    w = o.select("o_orderkey", xml.alias("xml"))
+    parsed = F.from_xml("xml", "priority STRING, status STRING")
+    return w.select(
+        "o_orderkey",
+        F.xpath_long("xml", F.lit("/order/@id")).alias("xml_id"),
+        parsed.getField("priority").alias("xml_priority"),
+        F.xpath_string("xml", F.lit("/order/status")).alias("xml_status"),
+    )
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+SELECT event_id,
+       CAST(props::JSON ->> 'k' AS INTEGER) AS k_int,
+       CAST(NULL AS VARCHAR)                AS k_missing,
+       TRUE                                 AS bad_parse_is_null
+FROM events
+""",
+    tags=("scalar", "variant", "json"),
+    doc=(
+        "VARIANT type (Spark 4): parse_json into the binary semi-structured "
+        "type, typed path extraction with variant_get, absent paths yield "
+        "null, and try_parse_json turns malformed input into null instead of "
+        "failing the job — the open-schema ingestion path for event data."
+    ),
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.does_not_exist", "string").alias("k_missing"),
+        F.try_parse_json(F.concat(F.lit("{"), F.col("props"))).isNull().alias(
+            "bad_parse_is_null"
+        ),
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("aggregate", "bitmap", "distinct", "scale"),
+    doc=(
+        "EXACT distinct counts via mergeable bitmaps (Spark 4 bitmap "
+        "aggregates): keys bucket into 32k-bit bitmaps, per-bucket bitmaps "
+        "OR-merge, popcounts sum — the partial/merge shape of HLL with zero "
+        "error, for when approximate distincts are unacceptable. Two keyed "
+        "aggregations; state is ~4 KB per live bucket, not per key."
+    ),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_orderkey").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_orderkey")).alias("bm"))
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_orders")
+    )
