@@ -86,41 +86,40 @@ def segment_dedup(d: DataFrame) -> DataFrame:
     segment — an algebraic aggregate with map-side partial combine, so a
     boilerplate segment repeated 10^9 times costs one row per map task,
     not a single-reducer window (``row_number() OVER (PARTITION BY
-    seg)`` would straggle exactly there). The join back on ``seg`` is
-    AQE-skew-splittable. Two shuffles total (seg, then doc_id).
+    seg)`` would straggle exactly there). The aggregate's output IS the
+    surviving occurrence set, so there is NO corpus-grain join back on
+    segment at all: survivors group by doc_id for reassembly, and
+    dropped counts come from a doc-grain join against the per-document
+    segment totals (computed map-side from the same scan). Two
+    corpus-grain shuffles total (segment agg, doc reassembly) plus one
+    document-grain join.
 
     Takes any ``(doc_id, text)`` frame; idempotent — a deduped corpus
     passes through unchanged (tests/test_properties.py)."""
     words = d.select("doc_id", F.split("text", " ").alias("w"))
     n_segs = (F.floor((F.size("w") - F.lit(1)) / F.lit(SEG_WORDS)) + 1).cast("int")
+    doc_totals = words.select("doc_id", n_segs.cast("long").alias("n_segs"))
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
         lambda i: F.array_join(F.slice(F.col("w"), i * SEG_WORDS + 1, SEG_WORDS), " "),
     )
     e = words.select("doc_id", F.posexplode(segs).alias("i", "seg"))
     firsts = e.groupBy("seg").agg(F.min(F.struct("doc_id", "i")).alias("f"))
-    flagged = e.join(firsts, "seg").select(
-        "doc_id",
-        "i",
-        "seg",
-        ((F.col("doc_id") == F.col("f.doc_id")) & (F.col("i") == F.col("f.i"))).alias("is_first"),
+    kept = firsts.select(
+        F.col("f.doc_id").alias("doc_id"), F.col("f.i").alias("i"), "seg"
     )
-    kept_text = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.when(F.col("is_first"), F.struct("i", "seg")))),
-            lambda x: x["seg"],
-        ),
-        " ",
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").alias("segs_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("i", "seg"))), lambda x: x["seg"]),
+            " ",
+        ).alias("clean_text"),
     )
-    return flagged.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).cast("long").alias("segs_kept"),
-        F.sum(F.when(~F.col("is_first"), 1).otherwise(0)).cast("long").alias("segs_dropped"),
-        kept_text.alias("clean_text"),
-    ).select(
+    return doc_totals.join(per_doc, "doc_id", "left").select(
         "doc_id",
-        F.when(F.col("segs_kept") > 0, F.col("clean_text")).alias("clean_text"),
-        "segs_kept",
-        "segs_dropped",
+        "clean_text",
+        F.coalesce("segs_kept", F.lit(0)).alias("segs_kept"),
+        (F.col("n_segs") - F.coalesce("segs_kept", F.lit(0))).alias("segs_dropped"),
     )
 
 

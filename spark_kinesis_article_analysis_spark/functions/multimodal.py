@@ -15,7 +15,7 @@ unchanged.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -46,24 +46,34 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decoder (mapInPandas): the real implementation would decode
-    image/audio bytes (PIL/ffmpeg are not in this container). This fake is
-    deterministic — features derive only from the payload bytes — so tests
-    can assert plumbing end-to-end."""
-    for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "mime": pdf["mime"],
-                "n_bytes": payloads.map(len).astype("int32"),
-                # fake "frame count": one frame per 1 KiB, at least 1
-                "n_frames": payloads.map(lambda b: max(1, len(b) // 1024)).astype("int32"),
-                # fake "luminance": mean byte value — deterministic stand-in
-                "mean_byte": payloads.map(lambda b: float(sum(b)) / max(1, len(b))),
-            }
-        )
+def make_fake_decoder() -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    """STUB decoder factory (mapInPandas): the real implementation would
+    decode image/audio bytes (PIL/ffmpeg are not in this container). The
+    fake is deterministic — features derive only from the payload bytes —
+    so tests can assert plumbing end-to-end.
+
+    Returned as a closure (not a module-level function) so cloudpickle
+    serializes it BY VALUE: the executor Python workers never need this
+    repo on their import path, which holds on any cluster regardless of
+    how code is deployed."""
+    import pandas as pd  # closure-local: workers import pandas, not this repo
+
+    def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    # fake "frame count": one frame per 1 KiB, at least 1
+                    "n_frames": payloads.map(lambda b: max(1, len(b) // 1024)).astype("int32"),
+                    # fake "luminance": mean byte value — deterministic stand-in
+                    "mean_byte": payloads.map(lambda b: float(sum(b)) / max(1, len(b))),
+                }
+            )
+
+    return fake_decode_features
 
 
 @register(
@@ -107,7 +117,7 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     flat = d.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
-    return flat.mapInPandas(fake_decode_features, schema=DECODE_SCHEMA)
+    return flat.mapInPandas(make_fake_decoder(), schema=DECODE_SCHEMA)
 
 
 #: Output schema of the (stubbed) frame sampler.
@@ -118,24 +128,32 @@ FRAME_BYTES = 256
 FRAME_STRIDE = 2
 
 
-def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB frame sampler (mapInPandas): a real implementation would
-    ffmpeg-seek keyframes; this fake slices the payload into fixed
-    256-byte 'frames' and keeps every 2nd — deterministic, so the
-    explode-shaped plumbing (one binary row in, N feature rows out) is
-    testable end-to-end."""
+def make_fake_frame_sampler(
+    frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    """STUB frame-sampler factory (mapInPandas): a real implementation
+    would ffmpeg-seek keyframes; the fake slices the payload into fixed
+    ``frame_bytes`` 'frames' and keeps every ``stride``-th —
+    deterministic, so the explode-shaped plumbing (one binary row in, N
+    feature rows out) is testable end-to-end. Closure-returned for the
+    same by-value-pickling reason as :func:`make_fake_decoder`."""
     import hashlib
 
-    for pdf in batches:
-        ids, idxs, hashes = [], [], []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            n_frames = max(1, (len(b) + FRAME_BYTES - 1) // FRAME_BYTES)
-            for i in range(0, n_frames, FRAME_STRIDE):
-                ids.append(doc_id)
-                idxs.append(i)
-                hashes.append(hashlib.md5(b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]).hexdigest())
-        yield pd.DataFrame({"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_md5": hashes})
+    import pandas as pd
+
+    def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(b[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame_md5": hashes})
+
+    return fake_frame_sample
 
 
 @register(
@@ -151,4 +169,4 @@ def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_binary_payload(load(spark, sf_dir, "documents"))
-    return d.select("doc_id", "payload").mapInPandas(fake_frame_sample, schema=FRAME_SCHEMA)
+    return d.select("doc_id", "payload").mapInPandas(make_fake_frame_sampler(), schema=FRAME_SCHEMA)
