@@ -113,6 +113,12 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         scalar,
     )
+    # Round-3+ additions import LAST: with the driver's 50-query/round
+    # verdict budget, new queries must queue BEHIND the older not-yet-
+    # verified entries, not displace them from the current round's window.
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        tpch_extra,
+    )
 
 
 def _verified_names() -> frozenset[str]:
