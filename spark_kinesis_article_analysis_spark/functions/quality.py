@@ -1,0 +1,281 @@
+"""Corpus quality / curation operators (round-3 additions).
+
+Four pre-training-data operators beyond the round-1 north-star set
+(SURVEY.md §2 Part B mandates the LLM-pipeline surface; the reference
+itself has only a word count, ``reference/app/process_articles.py:74-75``):
+
+- ``text_repetition_stats`` — Gopher-style repetition quality signals
+  (duplicate-token / duplicate-bigram / top-bigram fractions) as pure
+  map-side higher-order expressions.
+- ``text_contamination_flags`` — benchmark-contamination screen: flag
+  corpus docs sharing word-5-grams with a (small, broadcast) eval set.
+- ``dedup_incremental_batch`` — dedup a NEW batch against an existing
+  corpus by content hash: anti join + intra-batch first-occurrence.
+- ``corpus_mixture_resample`` — deterministic down-sampling toward a
+  uniform language mixture (hash-uniform < per-language keep weight).
+
+Scale notes (100 TB): repetition stats never shuffle (all per-row array
+folds — pinned map-only in tests/test_plans.py); contamination joins the
+corpus's shingle stream against an eval-set shingle list that is tiny by
+construction (benchmarks are KB-MB scale) and broadcasts; incremental
+dedup shuffles each side once on a 32-hex content hash; mixture
+resampling is one language-grain count (KB) broadcast back over a
+map-side hash threshold — no corpus shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+
+def _toks():
+    return F.split("text", r"\s+")
+
+
+def _bigrams(toks):
+    """Word-2-gram array: one entry per adjacent token pair (JVM-side)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+g AS (
+    SELECT doc_id, t,
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1]) AS bg
+    FROM t
+),
+topf AS (
+    SELECT doc_id, max(cnt) AS top_cnt
+    FROM (
+        SELECT doc_id, b, count(*) AS cnt
+        FROM g, LATERAL unnest(bg) AS u(b)
+        GROUP BY doc_id, b
+    )
+    GROUP BY doc_id
+)
+SELECT g.doc_id,
+       len(t)                                              AS n_tokens,
+       round(1 - len(list_distinct(t))  / len(t),  6)      AS dup_token_frac,
+       round(1 - len(list_distinct(bg)) / len(bg), 6)      AS dup_bigram_frac,
+       round(top_cnt / len(bg), 6)                         AS top_bigram_frac,
+       (top_cnt / len(bg) <= 0.2
+        AND 1 - len(list_distinct(t)) / len(t) <= 0.7)     AS passes_gate
+FROM g JOIN topf ON g.doc_id = topf.doc_id
+""",
+    tags=("text", "quality", "gopher", "north-star"),
+    doc=(
+        "Gopher-style repetition quality signals (Rae et al. 2021 §A1.1): "
+        "duplicate-token fraction, duplicate-bigram fraction, and the "
+        "most-frequent-bigram fraction, plus the combined pass/fail gate. "
+        "Entirely map-side: the top-bigram count is a sorted-array run- "
+        "length fold (F.aggregate over array_sort), NOT a (doc, gram) "
+        "grain aggregation — zero shuffles at any corpus size, pinned in "
+        "tests/test_plans.py."
+    ),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", _toks().alias("t")).select(
+        "doc_id", "t", _bigrams(F.col("t")).alias("bg")
+    )
+    # longest equal-run in the sorted bigram array == max occurrence count
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_cnt = F.aggregate(F.array_sort("bg"), acc0, step, lambda acc: acc["best"])
+    dup_tok = F.lit(1) - F.size(F.array_distinct("t")) / F.size("t")
+    dup_bg = F.lit(1) - F.size(F.array_distinct("bg")) / F.size("bg")
+    top_bg = top_cnt / F.size("bg")
+    return t.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(dup_bg, 6).alias("dup_bigram_frac"),
+        F.round(top_bg, 6).alias("top_bigram_frac"),
+        ((top_bg <= 0.2) & (dup_tok <= 0.7)).alias("passes_gate"),
+    )
+
+
+_GRAM5_SQL = """
+    SELECT doc_id, gram
+    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents{where}),
+         LATERAL unnest(list_distinct(list_transform(
+             generate_series(1, len(t) - 4),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS u(gram)
+"""
+
+
+def _grams5(d: DataFrame) -> DataFrame:
+    toks = _toks()
+    g = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+            F.element_at(toks, i + 4),
+        ),
+    )
+    return d.select("doc_id", F.explode(F.array_distinct(g)).alias("gram"))
+
+
+@register(
+    "text_contamination_flags",
+    oracle=f"""
+WITH eval_grams AS (
+    SELECT DISTINCT gram FROM ({_GRAM5_SQL.format(where=" WHERE doc_id % 50 = 0")})
+),
+hits AS (
+    SELECT doc_id, count(*) AS n_shared
+    FROM ({_GRAM5_SQL.format(where=" WHERE doc_id % 50 <> 0")})
+    JOIN eval_grams USING (gram)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_shared, 0) AS n_shared,
+       COALESCE(n_shared, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id % 50 <> 0
+""",
+    tags=("text", "contamination", "north-star"),
+    doc=(
+        "Benchmark-contamination screen: documents sharing any word-5-gram "
+        "with the held-out eval set (stand-in: doc_id % 50 = 0) are flagged, "
+        "with the shared-gram count. The eval shingle list is small by "
+        "construction (benchmarks are KB-MB even when the corpus is 100 TB) "
+        "so the join broadcasts; the corpus side is one explode -> one "
+        "doc-grain count — no corpus self-join."
+    ),
+)
+def text_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_grams = _grams5(d.filter(is_eval)).select("gram").distinct()
+    corpus = d.filter(~is_eval)
+    hits = (
+        _grams5(corpus)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) >= 1).alias("contaminated"),
+    )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+WITH batch AS (
+    SELECT doc_id, lang, md5(text) AS text_hash FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'
+),
+corpus AS (
+    SELECT DISTINCT md5(text) AS text_hash FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+)
+SELECT text_hash,
+       min(doc_id)           AS doc_id,
+       arg_min(lang, doc_id) AS lang
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text_hash = b.text_hash)
+GROUP BY text_hash
+""",
+    tags=("dedup", "incremental", "north-star"),
+    doc=(
+        "Incremental dedup of a NEW ingest batch against the existing "
+        "corpus (the continuous-pipeline form of dedup_exact): batch rows "
+        "anti-join the corpus on content hash, then intra-batch first "
+        "occurrence via min(struct) — the batch/corpus split reuses the "
+        "deterministic md5 split rule of split_hash_assign. Each side "
+        "shuffles once on the 32-hex hash; at 100 TB the corpus side is a "
+        "pre-materialized hash index, not a rescan, and the anti join is "
+        "the only corpus-size-dependent cost."
+    ),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    h = F.md5("text").alias("text_hash")
+    batch = d.filter(bucket >= "cd").select(h, "doc_id", "lang")
+    corpus = d.filter(bucket < "cd").select(h).distinct()
+    return (
+        batch.join(corpus, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(F.min(F.struct("doc_id", "lang")).alias("f"))
+        .select("text_hash", F.col("f.doc_id").alias("doc_id"), F.col("f.lang").alias("lang"))
+    )
+
+
+@register(
+    "corpus_mixture_resample",
+    oracle="""
+WITH lc AS (
+    SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+),
+tot AS (
+    SELECT count(*) AS total, count(DISTINCT lang) AS n_langs FROM documents
+),
+w AS (
+    SELECT lang, n_l, least(1.0, (total / n_langs) / n_l) AS keep_w
+    FROM lc, tot
+)
+SELECT doc_id, d.lang, round(keep_w, 6) AS keep_w
+FROM documents d JOIN w ON d.lang = w.lang
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6)) AS BIGINT)
+      / 16777216.0 < keep_w
+""",
+    tags=("sampling", "mixture", "north-star"),
+    doc=(
+        "Deterministic resampling toward a uniform language mixture: per- "
+        "language keep weight = min(1, target_share / actual_share), "
+        "applied via a content-addressed uniform (md5 of doc_id, 24 bits "
+        "-> [0,1)) so the sample is reproducible across engines and runs. "
+        "The language histogram rides a partial-aggregate exchange that "
+        "carries per-partition language counts (KB) — no row-grain "
+        "shuffle — and broadcasts back; selection is a map-side threshold. "
+        "Down-sampling only (weights capped at 1); up-weighting a rare "
+        "language would repeat docs at the pack stage instead."
+    ),
+)
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lc = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    tot = d.agg(F.count("*").alias("total"), F.countDistinct("lang").alias("n_langs"))
+    w = lc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(F.lit(1.0), (F.col("total") / F.col("n_langs")) / F.col("n_l")).alias("keep_w"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 6), 16, 10)
+        .cast("long")
+        / F.lit(16777216.0)
+    )
+    return (
+        d.join(F.broadcast(w), "lang")
+        .filter(u < F.col("keep_w"))
+        .select("doc_id", "lang", F.round("keep_w", 6).alias("keep_w"))
+    )

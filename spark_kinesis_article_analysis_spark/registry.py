@@ -119,6 +119,9 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         tpch_extra,
     )
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        quality,
+    )
 
 
 def _verified_names() -> frozenset[str]:

@@ -80,6 +80,7 @@ class TestCorpusPipelinePlanShape:
             "sample_stratified",
             "text_pii_scrub",
             "embed_quantize_int8",
+            "text_repetition_stats",
         ]:
             df = SPECS[name].build(spark, SF_CORRECTNESS)
             assert inspect.count_exchanges(df) == 0, f"{name}: {inspect.explain_str(df)}"
@@ -108,6 +109,24 @@ class TestCorpusPipelinePlanShape:
         (segment agg, doc reassembly) plus AQE's choice of join exchange."""
         df = SPECS["text_segment_dedup"].build(spark, SF_CORRECTNESS)
         plan = inspect.explain_str(df)
+        assert "Window" not in plan, plan
+        assert inspect.count_exchanges(df) <= 3, plan
+
+
+class TestQualityOpsPlanShape:
+    def test_contamination_broadcasts_eval_grams(self, spark):
+        """The eval-set shingle list is benchmark-sized (tiny) — the corpus
+        shingle stream must join it via broadcast, never a corpus shuffle."""
+        df = SPECS["text_contamination_flags"].build(spark, SF_CORRECTNESS)
+        assert inspect.has_broadcast_join(df), inspect.explain_str(df)
+
+    def test_mixture_resample_broadcasts_weights(self, spark):
+        """Per-language weights broadcast back over the corpus; the only
+        exchanges carry language-grain partial counts, so the count stays
+        bounded and no Window/sort appears."""
+        df = SPECS["corpus_mixture_resample"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert inspect.has_broadcast_join(df), plan
         assert "Window" not in plan, plan
         assert inspect.count_exchanges(df) <= 3, plan
 
