@@ -44,6 +44,38 @@ def _bigrams(toks):
     )
 
 
+def repetition_stats(d: DataFrame) -> DataFrame:
+    """Append the Gopher repetition signals to any frame with a ``text``
+    column — pure map-side expressions, so it composes into batch AND
+    streaming plans unchanged (used by
+    ``streaming.pipeline.corpus_ingest_stream``)."""
+    t = d.withColumn("__t", _toks()).withColumn("__bg", _bigrams(F.col("__t")))
+    # longest equal-run in the sorted bigram array == max occurrence count
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_cnt = F.aggregate(F.array_sort("__bg"), acc0, step, lambda acc: acc["best"])
+    dup_tok = F.lit(1) - F.size(F.array_distinct("__t")) / F.size("__t")
+    dup_bg = F.lit(1) - F.size(F.array_distinct("__bg")) / F.size("__bg")
+    top_bg = top_cnt / F.size("__bg")
+    return (
+        t.withColumn("n_tokens", F.size("__t"))
+        .withColumn("dup_token_frac", F.round(dup_tok, 6))
+        .withColumn("dup_bigram_frac", F.round(dup_bg, 6))
+        .withColumn("top_bigram_frac", F.round(top_bg, 6))
+        .withColumn("passes_gate", (top_bg <= 0.2) & (dup_tok <= 0.7))
+        .drop("__t", "__bg")
+    )
+
+
+
 @register(
     "text_repetition_stats",
     oracle="""
@@ -86,32 +118,13 @@ FROM g JOIN topf ON g.doc_id = topf.doc_id
     ),
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", _toks().alias("t")).select(
-        "doc_id", "t", _bigrams(F.col("t")).alias("bg")
-    )
-    # longest equal-run in the sorted bigram array == max occurrence count
-    acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
-        )
-
-    top_cnt = F.aggregate(F.array_sort("bg"), acc0, step, lambda acc: acc["best"])
-    dup_tok = F.lit(1) - F.size(F.array_distinct("t")) / F.size("t")
-    dup_bg = F.lit(1) - F.size(F.array_distinct("bg")) / F.size("bg")
-    top_bg = top_cnt / F.size("bg")
-    return t.select(
+    return repetition_stats(load(spark, sf_dir, "documents")).select(
         "doc_id",
-        F.size("t").alias("n_tokens"),
-        F.round(dup_tok, 6).alias("dup_token_frac"),
-        F.round(dup_bg, 6).alias("dup_bigram_frac"),
-        F.round(top_bg, 6).alias("top_bigram_frac"),
-        ((top_bg <= 0.2) & (dup_tok <= 0.7)).alias("passes_gate"),
+        "n_tokens",
+        "dup_token_frac",
+        "dup_bigram_frac",
+        "top_bigram_frac",
+        "passes_gate",
     )
 
 

@@ -103,6 +103,52 @@ def article_dedup_stream(payload: DataFrame, watermark: str = "10 minutes") -> D
     )
 
 
+#: Wire schema of a document ingest stream (the corpus-prep analog of
+#: PAYLOAD_SCHEMA): id + raw text + ingest event time.
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("ingest_ts", T.TimestampType(), True),
+    ]
+)
+
+
+def document_stream(spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source readStream of document batches (DOC_SCHEMA parquet) —
+    the corpus-ingest counterpart of payload_stream."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def corpus_ingest_stream(docs: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Continuous training-data ingest: the streaming composition of the
+    batch corpus-prep operators — Gopher repetition gate
+    (``functions.quality.repetition_stats``, pure map-side so it drops
+    into a streaming plan unchanged) then content-hash dedup bounded by
+    the watermark (``dropDuplicatesWithinWatermark``, the streaming form
+    of ``dedup_incremental_batch``: state holds one md5 key per novel
+    document within the horizon).
+
+    At 100 TB/day: the gate is stateless and scales with source
+    parallelism; dedup state is bounded by (novel docs within watermark)
+    — use the RocksDB provider. Docs deduped against history OLDER than
+    the watermark are the batch ``dedup_incremental_batch`` anti-join's
+    job, run periodically over the sink output."""
+    from spark_kinesis_article_analysis_spark.functions.quality import repetition_stats
+
+    gated = repetition_stats(docs).filter(F.col("passes_gate"))
+    return (
+        gated.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select("doc_id", "ingest_ts", "text_hash", "n_tokens", "dup_token_frac", "top_bigram_frac")
+    )
+
+
 def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str, how: str = "inner") -> DataFrame:
     """Stream-static join: enrich a stream against a (broadcastable)
     static dimension — stateless, the dim is re-read per micro-batch."""

@@ -147,6 +147,49 @@ class TestStreamingDedup:
         assert ids == ["a1", "b1"], f"duplicates not collapsed: {ids}"
 
 
+class TestCorpusIngestStream:
+    GOOD_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    GOOD_B = "one two three four five six seven eight nine ten eleven"
+    JUNK = "spam spam spam spam spam spam spam spam spam spam spam spam"
+
+    def _write_docs(self, spark, dir_path, idx, rows):
+        spark.createDataFrame(rows, sp.DOC_SCHEMA).coalesce(1).write.mode(
+            "append" if idx else "overwrite"
+        ).parquet(dir_path)
+
+    def test_gate_plus_dedup_and_batch_parity(self, spark, payload_dir, tmp_path):
+        """Low-quality docs never enter dedup state; duplicate content is
+        emitted once across micro-batches; and the surviving set equals
+        the batch composition of the same transforms (batch/stream
+        unification — the shared-code property SURVEY §3.3 relies on)."""
+        import datetime as dt
+
+        ts = lambda s: dt.datetime.fromisoformat(f"2024-01-01 00:{s}")
+        b0 = [(1, self.GOOD_A, ts("00:10")), (2, self.JUNK, ts("00:20")), (3, self.GOOD_A, ts("00:30"))]
+        b1 = [(4, self.GOOD_A, ts("01:00")), (5, self.GOOD_B, ts("01:10"))]
+        self._write_docs(spark, payload_dir, 0, b0)
+        self._write_docs(spark, payload_dir, 1, b1)
+
+        out = sp.corpus_ingest_stream(sp.document_stream(spark, payload_dir), watermark="10 minutes")
+        _run_to_completion(out, "corpus_ingest")
+        got = {r.doc_id for r in spark.sql("SELECT doc_id FROM corpus_ingest").collect()}
+        # doc 2 fails the repetition gate; docs 3 and 4 duplicate doc 1's content
+        assert got == {1, 5}, got
+
+        # batch parity: same gate + first-occurrence dedup over the union
+        from spark_kinesis_article_analysis_spark.functions.quality import repetition_stats
+
+        batch = spark.createDataFrame(b0 + b1, sp.DOC_SCHEMA)
+        gated = repetition_stats(batch).filter(F.col("passes_gate"))
+        firsts = (
+            gated.withColumn("text_hash", F.md5("text"))
+            .groupBy("text_hash")
+            .agg(F.min(F.struct("ingest_ts", "doc_id")).alias("f"))
+            .select(F.col("f.doc_id").alias("doc_id"))
+        )
+        assert {r.doc_id for r in firsts.collect()} == got
+
+
 class TestStreamStaticJoin:
     def test_enrich_against_static_dim(self, spark, payload_dir):
         _write_batch(
