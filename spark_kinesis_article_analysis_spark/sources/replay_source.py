@@ -1,0 +1,259 @@
+"""Pluggable ``article_replay`` data source (Spark 4 Python DataSource API).
+
+The reference ingests articles from a Kinesis stream
+(``reference/app/process_articles.py:53-61``): one reader per shard,
+per-shard monotonically increasing sequence numbers, records carrying a
+``partitionKey`` and a binary ``data`` payload. No Kinesis connector jar
+exists in this environment, so this module supplies the same *source
+contract* as a first-class pluggable source instead of an ad-hoc test
+fixture:
+
+* an **archive** is a directory of ``shard-*.jsonl`` files — one file per
+  stream shard, one JSON envelope per line
+  (``{"partitionKey": ..., "data": ...}``), line number = Kinesis
+  sequence number;
+* **batch** reads parallelize one input partition per shard file and
+  push shard-equality filters down to file pruning (the Python-source
+  analogue of Kinesis shard-level parallelism + partition pruning);
+* **streaming** reads implement the full ``DataSourceStreamReader``
+  offset protocol — offsets are ``{shard_id: next_sequence_number}``
+  dicts, so a restarted query resumes exactly where the checkpoint says,
+  giving the same exactly-once replay semantics the reference relies on
+  Kinesis checkpointing for.
+
+Scale posture: executors read shard files independently (no driver
+fan-in; the driver only lists files and line counts for offsets). At
+real scale the hot path stays the JVM Kinesis/parquet readers — this
+source fills the connector gap with the identical downstream contract,
+so ``operators/article.py`` transforms run unchanged on either.
+
+Register per session::
+
+    spark.dataSource.register(ArticleReplayDataSource)
+    spark.read.format("article_replay").option("path", d).load()
+    spark.readStream.format("article_replay").option("path", d).load()
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FORMAT_NAME = "article_replay"
+
+#: Kinesis-record-shaped schema: the reference's pipeline consumes
+#: exactly ``data`` (binary, cast to string downstream) — shard id /
+#: sequence number / partition key are the stream-position columns a
+#: replay consumer needs for audit and resume.
+RECORD_SCHEMA = StructType(
+    [
+        StructField("shard_id", StringType(), nullable=False),
+        StructField("sequence_number", LongType(), nullable=False),
+        StructField("partition_key", StringType(), nullable=True),
+        StructField("data", BinaryType(), nullable=True),
+    ]
+)
+
+
+def _shard_files(path: str) -> dict[str, str]:
+    """``{shard_id: file_path}`` for an archive directory (sorted, so
+    partition order is deterministic)."""
+    out: dict[str, str] = {}
+    for f in sorted(glob.glob(os.path.join(path, "shard-*.jsonl"))):
+        shard_id = os.path.basename(f)[: -len(".jsonl")]
+        out[shard_id] = f
+    return out
+
+
+def _count_lines(file_path: str) -> int:
+    n = 0
+    with open(file_path, "rb") as f:
+        for _ in f:
+            n += 1
+    return n
+
+
+def _read_lines(
+    file_path: str, shard_id: str, start: int, end: int | None
+) -> Iterator[tuple]:
+    """Yield record tuples for sequence numbers ``[start, end)`` (or to
+    EOF when ``end`` is None). Sequential scan — shard files are
+    append-only logs, exactly like Kinesis shard iterators."""
+    with open(file_path, encoding="utf-8") as f:
+        for seq, line in enumerate(f):
+            if seq < start:
+                continue
+            if end is not None and seq >= end:
+                break
+            if not line.strip():
+                continue
+            env = json.loads(line)
+            data = env.get("data")
+            yield (
+                shard_id,
+                seq,
+                env.get("partitionKey"),
+                data.encode("utf-8") if isinstance(data, str) else data,
+            )
+
+
+@dataclass
+class ShardPartition(InputPartition):
+    """One shard slice = one Spark input partition (executor-side read)."""
+
+    shard_id: str
+    file_path: str
+    start: int
+    end: int | None  # None = read to EOF (batch)
+
+
+class ArticleReplayBatchReader(DataSourceReader):
+    """Batch reader: one partition per shard file, shard-filter pruning."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("article_replay requires .option('path', <archive dir>)")
+        self._shards = _shard_files(path)
+        self._keep: set[str] | None = None  # None = all shards
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Prune shard files on ``shard_id = x`` / ``shard_id IN (...)``
+        — the source-level analogue of partition pruning. Every other
+        filter is returned unhandled so Spark re-applies it above the
+        scan (correctness never depends on the source honoring it).
+
+        Pruning state mutates eagerly (not inside the returned iterator)
+        so ``partitions()`` sees it no matter when Spark drains the
+        remainder."""
+        unhandled: list[Filter] = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("shard_id",):
+                self._keep = {str(f.value)} if self._keep is None else self._keep & {str(f.value)}
+            elif isinstance(f, In) and f.attribute == ("shard_id",):
+                vals = {str(v) for v in f.values}
+                self._keep = vals if self._keep is None else self._keep & vals
+            else:
+                unhandled.append(f)
+        return iter(unhandled)
+
+    def partitions(self) -> Sequence[ShardPartition]:
+        return [
+            ShardPartition(shard_id=s, file_path=p, start=0, end=None)
+            for s, p in self._shards.items()
+            if self._keep is None or s in self._keep
+        ]
+
+    def read(self, partition: ShardPartition) -> Iterator[tuple]:
+        return _read_lines(
+            partition.file_path, partition.shard_id, partition.start, partition.end
+        )
+
+
+class ArticleReplayStreamReader(DataSourceStreamReader):
+    """Micro-batch stream reader over an append-only shard archive.
+
+    Offset = ``{shard_id: next_sequence_number}``. ``latestOffset``
+    re-lists the archive (new shard files = resharding, picked up live)
+    and counts lines; ``partitions(start, end)`` emits one per-shard
+    slice; executors read the slices. Spark's offset log makes a
+    restarted query re-read the exact committed ranges — the
+    exactly-once property the reference gets from checkpointed Kinesis
+    positions (``process_articles.py:88-90``).
+
+    ``maxRowsPerShardBatch`` (option) caps each shard's slice per
+    micro-batch — Kinesis-limit-style rate limiting so one huge backlog
+    can't produce an unbounded first batch.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("article_replay requires .option('path', <archive dir>)")
+        self._max_rows = int(options.get("maxrowspershardbatch", 0)) or None
+
+    def initialOffset(self) -> dict:
+        # Start of every currently-present shard (TRIM_HORIZON semantics).
+        return {shard: 0 for shard in _shard_files(self._path)}
+
+    def latestOffset(self) -> dict:
+        shards = _shard_files(self._path)
+        latest: dict[str, int] = {}
+        for shard, f in shards.items():
+            latest[shard] = _count_lines(f)
+        return latest
+
+    def partitions(self, start: dict, end: dict) -> Sequence[ShardPartition]:
+        shards = _shard_files(self._path)
+        parts: list[ShardPartition] = []
+        for shard, end_seq in end.items():
+            begin = int(start.get(shard, 0))
+            stop = int(end_seq)
+            if self._max_rows is not None:
+                stop = min(stop, begin + self._max_rows)
+            if stop > begin and shard in shards:
+                parts.append(
+                    ShardPartition(
+                        shard_id=shard, file_path=shards[shard], start=begin, end=stop
+                    )
+                )
+        return parts
+
+    def read(self, partition: ShardPartition) -> Iterator[tuple]:
+        return _read_lines(
+            partition.file_path, partition.shard_id, partition.start, partition.end
+        )
+
+    def commit(self, end: dict) -> None:
+        # Positions live in Spark's checkpoint offset log; the archive is
+        # immutable history, so there is nothing source-side to expire.
+        pass
+
+
+class ArticleReplayDataSource(DataSource):
+    """``spark.dataSource.register(ArticleReplayDataSource)`` then
+    ``.format("article_replay")`` for batch or streaming reads."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return RECORD_SCHEMA
+
+    def reader(self, schema: StructType) -> ArticleReplayBatchReader:
+        return ArticleReplayBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> ArticleReplayStreamReader:
+        return ArticleReplayStreamReader(self.options)
+
+
+def write_archive(path: str, shards: dict[str, list[dict]]) -> None:
+    """Materialize an archive directory: ``shards`` maps shard_id to a
+    list of ``{"partitionKey": ..., "data": ...}`` envelopes. Appends to
+    existing shard files (the archive is an append-only log)."""
+    os.makedirs(path, exist_ok=True)
+    for shard_id, envelopes in shards.items():
+        with open(os.path.join(path, f"{shard_id}.jsonl"), "a", encoding="utf-8") as f:
+            for env in envelopes:
+                f.write(json.dumps(env) + "\n")
