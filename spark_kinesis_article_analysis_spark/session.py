@@ -58,6 +58,10 @@ def get_spark(
         # shuffling only rows that can match (verified in
         # tests/test_scale_layout.py::TestRuntimeBloomFilter).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Python DataSource filter pushdown: required for sources that
+        # implement pushFilters() (Spark 4 refuses the read otherwise) —
+        # the article_replay source prunes shard files through this.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- Python boundary: Arrow batches for the Pandas-UDF slow path ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
