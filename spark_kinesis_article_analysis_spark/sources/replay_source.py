@@ -79,7 +79,10 @@ def _shard_files(path: str) -> dict[str, str]:
     """``{shard_id: file_path}`` for an archive directory (sorted, so
     partition order is deterministic)."""
     out: dict[str, str] = {}
-    for f in sorted(glob.glob(os.path.join(path, "shard-*.jsonl"))):
+    # Any .jsonl file is a shard (shard_id = stem) — restricting to a
+    # 'shard-' prefix would silently hide archives written with other
+    # shard-id conventions from both readers.
+    for f in sorted(glob.glob(os.path.join(path, "*.jsonl"))):
         shard_id = os.path.basename(f)[: -len(".jsonl")]
         out[shard_id] = f
     return out
@@ -183,7 +186,11 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
 
     ``maxRowsPerShardBatch`` (option) caps each shard's slice per
     micro-batch — Kinesis-limit-style rate limiting so one huge backlog
-    can't produce an unbounded first batch.
+    can't produce an unbounded first batch. The cap MUST be applied in
+    ``latestOffset`` (admission control), never in ``partitions``: Spark
+    commits whatever ``latestOffset`` returned as the batch's end
+    offset, so shrinking the range afterwards would silently drop the
+    rows between the cap and the committed end.
     """
 
     def __init__(self, options: dict) -> None:
@@ -191,16 +198,29 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
         if not self._path:
             raise ValueError("article_replay requires .option('path', <archive dir>)")
         self._max_rows = int(options.get("maxrowspershardbatch", 0)) or None
+        # Last offset this reader handed to Spark, per shard — the base
+        # the next batch's cap is measured from. Seeded by initialOffset
+        # on a fresh start and re-synced by commit(); on a checkpoint
+        # restart the first latestOffset call has no base, so that one
+        # batch is uncapped (correct, just not rate-limited).
+        self._current: dict[str, int] | None = None
 
     def initialOffset(self) -> dict:
         # Start of every currently-present shard (TRIM_HORIZON semantics).
-        return {shard: 0 for shard in _shard_files(self._path)}
+        start = {shard: 0 for shard in _shard_files(self._path)}
+        self._current = dict(start)
+        return start
 
     def latestOffset(self) -> dict:
         shards = _shard_files(self._path)
         latest: dict[str, int] = {}
         for shard, f in shards.items():
-            latest[shard] = _count_lines(f)
+            avail = _count_lines(f)
+            if self._max_rows is not None and self._current is not None:
+                base = int(self._current.get(shard, 0))
+                avail = min(avail, base + self._max_rows)
+            latest[shard] = avail
+        self._current = dict(latest)
         return latest
 
     def partitions(self, start: dict, end: dict) -> Sequence[ShardPartition]:
@@ -209,8 +229,6 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
         for shard, end_seq in end.items():
             begin = int(start.get(shard, 0))
             stop = int(end_seq)
-            if self._max_rows is not None:
-                stop = min(stop, begin + self._max_rows)
             if stop > begin and shard in shards:
                 parts.append(
                     ShardPartition(
@@ -227,7 +245,8 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Positions live in Spark's checkpoint offset log; the archive is
         # immutable history, so there is nothing source-side to expire.
-        pass
+        # Re-sync the rate-cap base to the authoritative committed end.
+        self._current = {shard: int(seq) for shard, seq in end.items()}
 
 
 class ArticleReplayDataSource(DataSource):
