@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -56,17 +57,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
-        # rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-        # truncate to microseconds — the exact truncation DuckDB's reader
-        # applies when it coerces TIMESTAMP_NS -> TIMESTAMP, so the oracle
-        # sees identical values. `div` keeps the arithmetic integral
-        # (a double division would lose precision above 2^53 ns).
+        # Some corpus generations write events.ts as parquet
+        # TIMESTAMP(NANOS), which the Spark reader rejects outright
+        # ([PARQUET_TYPE_ILLEGAL]); with nanosAsLong it surfaces as a
+        # LongType nanos column. Truncate to microseconds — the exact
+        # truncation DuckDB applies coercing TIMESTAMP_NS -> TIMESTAMP, so
+        # the oracle sees identical values (`div` keeps it integral; double
+        # division would lose precision above 2^53 ns). Newer generations
+        # write TIMESTAMP(MICROS) directly; pass those through untouched.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(table_path(sf_dir, name))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # TIMESTAMP(MICROS) with isAdjustedToUTC=false infers as NTZ;
+            # cast to LTZ (session tz is UTC, so the instant is unchanged)
+            # to keep one timestamp type across corpus generations.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -185,12 +185,31 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
     positions (``process_articles.py:88-90``).
 
     ``maxRowsPerShardBatch`` (option) caps each shard's slice per
-    micro-batch — Kinesis-limit-style rate limiting so one huge backlog
-    can't produce an unbounded first batch. The cap MUST be applied in
+    micro-batch — Kinesis-limit-style rate limiting so a long backlog
+    drains over bounded batches. The cap MUST be applied in
     ``latestOffset`` (admission control), never in ``partitions``: Spark
     commits whatever ``latestOffset`` returned as the batch's end
     offset, so shrinking the range afterwards would silently drop the
     rows between the cap and the committed end.
+
+    Two hard protocol facts (observed against Spark 4.1) shape the cap:
+
+    * the engine may call ``latestOffset`` BEFORE ``initialOffset`` on a
+      fresh start, and never calls ``initialOffset`` on a checkpoint
+      restart — so the first ``latestOffset`` of a reader's life has no
+      reliable base to cap from;
+    * a ``latestOffset`` value lower than one already returned makes the
+      engine plan a batch whose range regresses, re-delivering rows
+      (duplicates) and, worse, logging a regressed end offset into the
+      checkpoint WAL.
+
+    So the reader keeps a per-shard **high-water mark** fed by every
+    offset it sees (its own ``latestOffset`` returns, ``initialOffset``,
+    the engine-authoritative ``partitions``/``commit`` arguments), caps
+    only when a base is known, and never returns below the mark. The one
+    batch after a (re)start is therefore uncapped — assuming a base of 0
+    instead would regress offsets on restart, which is data corruption,
+    not rate limiting.
     """
 
     def __init__(self, options: dict) -> None:
@@ -198,17 +217,23 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
         if not self._path:
             raise ValueError("article_replay requires .option('path', <archive dir>)")
         self._max_rows = int(options.get("maxrowspershardbatch", 0)) or None
-        # Last offset this reader handed to Spark, per shard — the base
-        # the next batch's cap is measured from. Seeded by initialOffset
-        # on a fresh start and re-synced by commit(); on a checkpoint
-        # restart the first latestOffset call has no base, so that one
-        # batch is uncapped (correct, just not rate-limited).
-        self._current: dict[str, int] | None = None
+        # Per-shard high-water mark of every offset observed so far; None
+        # until the first observation (fresh start or restart — the
+        # protocol doesn't let us distinguish them here).
+        self._high: dict[str, int] | None = None
+
+    def _observe(self, offset: dict) -> None:
+        if self._high is None:
+            self._high = {}
+        for shard, seq in offset.items():
+            seq = int(seq)
+            if seq > self._high.get(shard, -1):
+                self._high[shard] = seq
 
     def initialOffset(self) -> dict:
         # Start of every currently-present shard (TRIM_HORIZON semantics).
         start = {shard: 0 for shard in _shard_files(self._path)}
-        self._current = dict(start)
+        self._observe(start)
         return start
 
     def latestOffset(self) -> dict:
@@ -216,14 +241,22 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
         latest: dict[str, int] = {}
         for shard, f in shards.items():
             avail = _count_lines(f)
-            if self._max_rows is not None and self._current is not None:
-                base = int(self._current.get(shard, 0))
+            if self._max_rows is not None and self._high is not None:
+                base = int(self._high.get(shard, 0))
                 avail = min(avail, base + self._max_rows)
+            if self._high is not None:
+                # monotonic guard: never below an offset Spark already saw
+                avail = max(avail, self._high.get(shard, 0))
             latest[shard] = avail
-        self._current = dict(latest)
+        self._observe(latest)
         return latest
 
     def partitions(self, start: dict, end: dict) -> Sequence[ShardPartition]:
+        # start/end come from the engine's offset log — authoritative
+        # (on restart this is the first place the reader learns the
+        # checkpointed position).
+        self._observe(start)
+        self._observe(end)
         shards = _shard_files(self._path)
         parts: list[ShardPartition] = []
         for shard, end_seq in end.items():
@@ -245,8 +278,8 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Positions live in Spark's checkpoint offset log; the archive is
         # immutable history, so there is nothing source-side to expire.
-        # Re-sync the rate-cap base to the authoritative committed end.
-        self._current = {shard: int(seq) for shard, seq in end.items()}
+        # Feed the rate-cap base from the authoritative committed end.
+        self._observe(end)
 
 
 class ArticleReplayDataSource(DataSource):

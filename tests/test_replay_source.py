@@ -124,6 +124,11 @@ class TestBatchRead:
 
 class TestStreamRead:
     def test_incremental_batches_and_rate_cap(self, registered, archive, tmp_path):
+        """The cap bounds steady-state micro-batches without ever
+        re-delivering or dropping a row. The first batch of a reader's
+        life is uncapped by design (``latestOffset`` runs before any
+        base offset is known — see the stream reader docstring), so the
+        cap is asserted on the post-start appends."""
         stream = (
             registered.readStream.format("article_replay")
             .option("path", archive)
@@ -141,25 +146,41 @@ class TestStreamRead:
             got = registered.sql(
                 "SELECT shard_id, sequence_number FROM replay_rows"
             ).collect()
-            assert len(got) == 3
-            # rate cap: shard-000 holds 2 rows but each micro-batch takes <=1
-            # per shard, so draining needed >=2 batches
-            progress = q.recentProgress
-            assert len(progress) >= 2
+            assert sorted((r.shard_id, r.sequence_number) for r in got) == [
+                ("shard-000", 0),
+                ("shard-000", 1),
+                ("shard-001", 0),
+            ]
 
-            # append new envelopes -> picked up as new offsets, no re-reads
+            # append a 3-row backlog to one shard -> with the cap at 1
+            # row/shard/batch it must drain over >=3 further micro-batches,
+            # every row exactly once
+            batches_before = len([p for p in q.recentProgress if p["numInputRows"] > 0])
             write_archive(
                 archive,
-                {"shard-001": [_env("b2", "bob", "2024-01-01 00:02:00", "p q r")]},
+                {
+                    "shard-001": [
+                        _env("b2", "bob", "2024-01-01 00:02:00", "p q r"),
+                        _env("b3", "bob", "2024-01-01 00:02:10", "s t"),
+                        _env("b4", "bob", "2024-01-01 00:02:20", "u"),
+                    ]
+                },
             )
             q.processAllAvailable()
             got = registered.sql(
                 "SELECT shard_id, sequence_number FROM replay_rows"
             ).collect()
-            assert len(got) == 4
-            assert (
-                len({(r.shard_id, r.sequence_number) for r in got}) == 4
-            ), "duplicate replay of an already-delivered record"
+            keys = [(r.shard_id, r.sequence_number) for r in got]
+            assert len(keys) == 6 and len(set(keys)) == 6, (
+                f"expected 6 exactly-once rows, got {sorted(keys)}"
+            )
+            nonempty = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            assert len(nonempty) - batches_before >= 3, (
+                "rate cap should spread the 3-row backlog over >=3 batches"
+            )
+            assert all(p["numInputRows"] <= 1 for p in nonempty[batches_before:]), (
+                "capped batches must carry <=1 row per shard"
+            )
         finally:
             q.stop()
 
