@@ -21,6 +21,7 @@ knows this split — queries ask for a table by name and get:
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,6 +77,50 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+#: (path, column) -> (min, max) — footer stats never change for an
+#: immutable corpus snapshot, so one read serves every build in a session.
+_BOUNDS_CACHE: dict[tuple[str, str], tuple | None] = {}
+
+
+def parquet_column_bounds(path: str, column: str) -> tuple | None:
+    """Global (min, max) of ``column`` from parquet row-group footer
+    statistics — a driver-side metadata read, NO Spark job and NO data
+    scan. This is how a dense-id shard bound should be discovered at
+    100 TB: the footers of even a multi-TB table are a few MB of
+    metadata, vs. an extra full-column scan for ``agg(min, max)``.
+
+    Returns None when any row group lacks stats for the column (caller
+    falls back to the scan).
+    """
+    import pyarrow.parquet as pq
+
+    key = (path, column)
+    if key in _BOUNDS_CACHE:
+        return _BOUNDS_CACHE[key]
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    )
+    lo = hi = None
+    try:
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            if column not in idx:
+                raise KeyError(column)
+            ci = idx[column]
+            for rg in range(meta.num_row_groups):
+                stats = meta.row_group(rg).column(ci).statistics
+                if stats is None or not stats.has_min_max:
+                    raise ValueError("missing row-group stats")
+                lo = stats.min if lo is None else min(lo, stats.min)
+                hi = stats.max if hi is None else max(hi, stats.max)
+        out = None if lo is None else (lo, hi)
+    except (KeyError, ValueError, OSError):
+        out = None
+    _BOUNDS_CACHE[key] = out
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.catalog import load, parquet_column_bounds, table_path
 from spark_kinesis_article_analysis_spark.registry import register
 
 #: Chunking geometry: 50-token chunks every 40 tokens (10-token overlap).
@@ -37,6 +37,24 @@ PACK_BUDGET = 2048
 
 def _toks(text_col: str = "text"):
     return F.split(F.col(text_col), r"\s+")
+
+
+def _doc_id_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(min, max) of documents.doc_id for arithmetic range sharding —
+    parquet footer statistics (driver metadata read, zero Spark jobs),
+    falling back to a column-pruned min/max scan only if a footer lacks
+    stats."""
+    bounds = parquet_column_bounds(table_path(sf_dir, "documents"), "doc_id")
+    if bounds is None:
+        bounds = (
+            load(spark, sf_dir, "documents")
+            .agg(F.min("doc_id"), F.max("doc_id"))
+            .first()
+        )
+    lo, hi = bounds
+    if lo is None:
+        return 0, 0
+    return int(lo), int(hi)
 
 
 @register(
@@ -144,12 +162,11 @@ def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", "lang", F.size(_toks()).alias("n_tokens"))
     shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # doc_id is a dense integer key: shard by id-range arithmetic (one
-    # column-pruned min/max scan) instead of repartitionByRange, whose
-    # boundary sampling would re-execute the child plan.
-    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if lo is None:
-        lo, hi = 0, 0
+    # doc_id is a dense integer key: shard by id-range arithmetic with
+    # bounds from the parquet footers (driver-side metadata, zero jobs)
+    # instead of repartitionByRange, whose boundary sampling would
+    # re-execute the child plan.
+    lo, hi = _doc_id_bounds(spark, sf_dir)
     shard = monotone_range_shard("doc_id", lo, hi, shards)
     cum = range_sharded_running_sum(
         t, ["lang"], "doc_id", "n_tokens", "__cum", shards, shard_by=shard
@@ -263,6 +280,7 @@ FROM r WHERE pr >= 0.6
 def quality_gate_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_kinesis_article_analysis_spark.operators.skew import (
         range_sharded_percent_rank,
+        with_balanced_range_shard,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -272,7 +290,17 @@ def quality_gate_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("text") / F.size(_toks()), 6).alias("score"),
     )
     shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pr = range_sharded_percent_rank(t, ["lang"], ["score", "doc_id"], "pr", shards)
+    # histogram-balanced arithmetic shards: no repartitionByRange, so no
+    # child-plan sampling pass and no full-data range exchange — the only
+    # corpus-scale shuffle left is the local window's own hash exchange
+    pr = range_sharded_percent_rank(
+        t,
+        ["lang"],
+        ["score", "doc_id"],
+        "pr",
+        shards,
+        shard_source=lambda x: with_balanced_range_shard(x, ["lang"], "score", shards),
+    )
     return (
         pr.filter(F.col("pr") >= 0.6)
         .select("doc_id", "lang", "score", F.round("pr", 6).alias("pct_rank"))
@@ -432,13 +460,11 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = kept.withColumn("split", split)
     shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # Shard by doc_id-range arithmetic (dense key, bounds from one
-    # column-pruned min/max scan of the RAW table — not the deduped
-    # subplan): repartitionByRange's boundary sampling would re-execute
-    # the whole dedup semi-join just to find split points.
-    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if lo is None:
-        lo, hi = 0, 0
+    # Shard by doc_id-range arithmetic (dense key, bounds from the
+    # parquet footers — no extra job, and emphatically not from the
+    # deduped subplan: repartitionByRange's boundary sampling would
+    # re-execute the whole dedup semi-join just to find split points).
+    lo, hi = _doc_id_bounds(spark, sf_dir)
     shard = monotone_range_shard("doc_id", lo, hi, shards)
     cum = range_sharded_running_sum(
         s, ["lang", "split"], "doc_id", "n_tokens", "__cum", shards, shard_by=shard

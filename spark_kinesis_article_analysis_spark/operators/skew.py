@@ -146,12 +146,78 @@ def range_sharded_running_sum(
     )
 
 
+def with_balanced_range_shard(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    num_shards: int,
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """Append a ``__shard`` column that is (a) monotone non-decreasing in
+    ``order_col`` within each ``part_cols`` group — the contiguity the
+    sharded window rewrites require — and (b) load-balanced by an
+    equi-width histogram, WITHOUT ``repartitionByRange``.
+
+    ``repartitionByRange`` discovers boundaries by reservoir-sampling the
+    child plan (a full extra execution of it) and then range-exchanges
+    the full data ahead of the window's own hash exchange — two extra
+    corpus-scale passes. This helper instead runs two cheap jobs whose
+    shuffled payload is tiny: a map-side min/max of ``order_col`` and a
+    ``(part, bucket) -> count`` histogram (≤ ``|parts| × num_buckets``
+    rows). Cumulative counts turn buckets into equal-count shard spans;
+    the assignment broadcast-joins back, so the only full-data exchange
+    left is the window's own.
+
+    Residual skew: a single value hotter than ``total/num_shards`` fills
+    one bucket and therefore one shard — the floor any order-preserving
+    split has when it cannot cut inside one sort-key value without a
+    tiebreak-aware second level.
+    """
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None or lo == hi:
+        return df.withColumn("__shard", F.lit(0))
+    width = (hi - lo) / num_buckets
+    bucket = F.least(
+        F.lit(num_buckets - 1), F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width))
+    ).cast("int")
+    hist = df.groupBy(*part_cols, bucket.alias("__bucket")).agg(
+        F.count("*").alias("__c")
+    )
+    w_before = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*part_cols)
+    assign = hist.select(
+        *part_cols,
+        "__bucket",
+        F.coalesce(F.sum("__c").over(w_before), F.lit(0)).alias("__before"),
+        F.sum("__c").over(w_all).alias("__total"),
+    ).select(
+        *part_cols,
+        "__bucket",
+        F.least(
+            F.lit(num_shards - 1),
+            F.floor(F.col("__before") / F.ceil(F.col("__total") / F.lit(num_shards))),
+        )
+        .cast("int")
+        .alias("__shard"),
+    )
+    return (
+        df.withColumn("__bucket", bucket)
+        .join(F.broadcast(assign), [*part_cols, "__bucket"])
+        .drop("__bucket")
+    )
+
+
 def range_sharded_percent_rank(
     df: DataFrame,
     part_cols: list[str],
     order_cols: list[str],
     out_col: str,
     num_shards: int,
+    shard_source=None,
 ) -> DataFrame:
     """``percent_rank() OVER (PARTITION BY part_cols ORDER BY
     order_cols)`` without a single reducer per partition key.
@@ -162,10 +228,21 @@ def range_sharded_percent_rank(
     two-phase shape as :func:`range_sharded_running_sum`; group sizes
     for the (n-1) denominator come from the same tiny per-shard count
     table, so no extra pass over the data.
+
+    ``shard_source``: callable ``DataFrame -> DataFrame`` appending a
+    ``__shard`` column monotone in the sort order within each group
+    (e.g. :func:`with_balanced_range_shard`, or
+    :func:`monotone_range_shard` wrapped in ``withColumn`` for dense-id
+    orders). Default falls back to ``repartitionByRange``, which is
+    correct for arbitrary sort keys but pays a child-plan sampling pass
+    plus a full-data range exchange.
     """
-    ranged = df.repartitionByRange(num_shards, *part_cols, *order_cols).withColumn(
-        "__shard", F.spark_partition_id()
-    )
+    if shard_source is not None:
+        ranged = shard_source(df)
+    else:
+        ranged = df.repartitionByRange(num_shards, *part_cols, *order_cols).withColumn(
+            "__shard", F.spark_partition_id()
+        )
     w_local = Window.partitionBy("__shard", *part_cols).orderBy(*order_cols)
     local = ranged.withColumn("__lrank", F.row_number().over(w_local))
     counts = local.groupBy("__shard", *part_cols).agg(F.count("*").alias("__cnt"))

@@ -193,6 +193,76 @@ class TestSkewHandling:
             }
             assert got == plain, f"shards={shards}"
 
+        # histogram-balanced shard source (no sampling pass): same identity
+        from spark_kinesis_article_analysis_spark.operators.skew import (
+            with_balanced_range_shard,
+        )
+
+        for shards in (1, 7, 64):
+            got = {
+                r.doc_id: round(r.pr, 9)
+                for r in range_sharded_percent_rank(
+                    d,
+                    ["lang"],
+                    ["score", "doc_id"],
+                    "pr",
+                    shards,
+                    shard_source=lambda x: with_balanced_range_shard(
+                        x, ["lang"], "score", shards
+                    ),
+                ).collect()
+            }
+            assert got == plain, f"balanced shards={shards}"
+
+    def test_balanced_shard_is_monotone_and_balanced(self, spark):
+        """with_balanced_range_shard's contract: within each group, shard
+        id is monotone in the sort key (contiguity — required for rank
+        composition), and no shard holds more than ~2 histogram targets'
+        worth of rows when values are spread (balance)."""
+        from spark_kinesis_article_analysis_spark.operators.skew import (
+            with_balanced_range_shard,
+        )
+
+        d = load(spark, SF_SMOKE, "documents").select(
+            "doc_id", "lang", (F.length("text") * 1.0).alias("score")
+        )
+        shards = 8
+        rows = with_balanced_range_shard(d, ["lang"], "score", shards).collect()
+        by_lang: dict = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append((r.score, r.doc_id, r["__shard"]))
+        total_ids = set()
+        for lang, rs in by_lang.items():
+            rs.sort(key=lambda t: (t[0], t[1]))
+            ids = [s for _, _, s in rs]
+            assert ids == sorted(ids), f"{lang}: shard not monotone in score"
+            target = -(-len(rs) // shards)
+            from collections import Counter
+
+            hottest = max(Counter(ids).values())
+            # docs scores are spread, so balance should hold within 2x the
+            # equal-count target plus bucket granularity slack
+            assert hottest <= 2 * target + 1, f"{lang}: hottest shard {hottest} rows vs target {target}"
+            total_ids.update(ids)
+
+    def test_quality_gate_sharded_plan_has_no_range_exchange(self, spark):
+        """The registered sharded gate must carry the histogram shard
+        split: no repartitionByRange (no sampling pass, no full-data
+        range exchange) and the rank window hash-partitioned on
+        (__shard, lang)."""
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+        from tests.conftest import SF_CORRECTNESS
+
+        import re
+
+        plan = inspect.explain_str(
+            all_specs()["quality_gate_sharded"].build(spark, SF_CORRECTNESS)
+        )
+        assert "rangepartitioning" not in plan, plan
+        assert re.search(r"windowspecdefinition\(__shard[^,]*, lang", plan) or re.search(
+            r"hashpartitioning\(__shard[^,]*, lang", plan
+        ), plan
+
     def test_sharded_pack_window_partitions_on_shard_key(self, spark):
         """The registered sharded packing query must window on the
         (__shard, lang) composite — i.e. the straggler key is actually
