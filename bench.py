@@ -49,6 +49,12 @@ HEADLINE = [
     "text_segment_dedup",         # C4-style segment-level corpus dedup
     "embed_quantize_int8",        # map-only embedding quantization
     "window_session_dynamic_gap", # per-row gap expression sessions
+    # round-3 breadth: the heaviest previously-unbenched families
+    "tpch_q5_local_supplier_volume",  # 6-way join cycle (heaviest tpch_extra shape)
+    "tpch_q21_waiting_suppliers",     # double fact self-join + anti/semi
+    "scalar_string_functions",    # scalar-family representative
+    "quality_gate_sharded",       # histogram-sharded percentile gate
+    "corpus_ingest_batch_form",   # streaming-ingest batch parity form
 ]
 
 

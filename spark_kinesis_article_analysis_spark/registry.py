@@ -38,6 +38,9 @@ class QuerySpec:
     oracle: str | None = None
     tags: tuple[str, ...] = ()
     doc: str = ""
+    #: file that defines the builder — drives the re-verify-on-change
+    #: ordering in :func:`all_specs`
+    src_file: str = ""
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -75,7 +78,16 @@ def register(
 
         build.__name__ = fn.__name__
         build.__doc__ = fn.__doc__
-        _REGISTRY[name] = QuerySpec(name=name, build=build, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        import inspect
+
+        _REGISTRY[name] = QuerySpec(
+            name=name,
+            build=build,
+            oracle=oracle,
+            tags=tags,
+            doc=doc or (fn.__doc__ or ""),
+            src_file=inspect.getsourcefile(fn) or "",
+        )
         return fn
 
     return deco
@@ -124,13 +136,46 @@ def _load_all() -> None:
     )
 
 
-def _verified_names() -> frozenset[str]:
-    """Query names with a clean driver verdict in any prior round.
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+_GIT_TS_CACHE: dict[str, float | None] = {}
+
+
+def _git_commit_ts(path: str) -> float | None:
+    """Unix time of the last commit touching ``path`` (None if the file
+    is untracked/uncommitted or git is unavailable). Cached — ordering
+    calls this once per registry module, not per query."""
+    if path in _GIT_TS_CACHE:
+        return _GIT_TS_CACHE[path]
+    import subprocess
+
+    ts: float | None = None
+    try:
+        out = subprocess.run(
+            ["git", "-C", _repo_root(), "log", "-1", "--format=%ct", "--", path],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        s = out.stdout.strip()
+        ts = float(s) if s else None
+    except (OSError, ValueError, subprocess.SubprocessError):
+        ts = None
+    _GIT_TS_CACHE[path] = ts
+    return ts
+
+
+def _verified_ts() -> dict[str, float]:
+    """``{query name: commit time of the newest clean driver verdict}``.
 
     Reads ``CORRECTNESS_r*.json`` at the repo root (written by the
     driver, one per round). "Clean" = value-hash green, or a rows-only
     record for an oracle-less spec (``err == 'no_oracle'``). Broken
-    entries (hash mismatch, harness crash) stay unverified so they are
+    entries (hash mismatch, harness crash) don't count, so they are
     re-checked after a fix. Names absent from every file have never been
     checked — the driver caps each round at 50 queries.
     """
@@ -138,30 +183,51 @@ def _verified_names() -> frozenset[str]:
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    done: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    done: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
+        ts = _git_commit_ts(path)
+        if ts is None:
+            try:
+                ts = os.path.getmtime(path)
+            except OSError:
+                ts = 0.0
         for name, v in data.items():
             if isinstance(v, dict) and (v.get("hash_match") is True or v.get("err") == "no_oracle"):
-                done.add(name)
-    return frozenset(done)
+                done[name] = max(done.get(name, 0.0), ts)
+    return done
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """All registered specs, never-driver-verified first.
+    """All registered specs in verification-priority order:
 
-    The driver verdicts the first 50 entries per round; ordering
-    unverified-first rotates the budget across rounds until every query
-    has a recorded verdict, with no per-round hand-curation.
+    1. never driver-verified,
+    2. verified, but the defining module was committed AFTER the verdict
+       (the verdict may no longer describe the shipped code),
+    3. verified and unchanged since.
+
+    The driver verdicts the first 50 entries per round; this ordering
+    rotates the budget onto whatever currently lacks trustworthy
+    evidence, with no per-round hand-curation. Stable within each class
+    (registration order), so module import order still breaks ties.
     """
     _load_all()
-    verified = _verified_names()
-    order = [n for n in _REGISTRY if n not in verified] + [n for n in _REGISTRY if n in verified]
+    verified = _verified_ts()
+
+    def rank(name: str) -> int:
+        if name not in verified:
+            return 0
+        src = _REGISTRY[name].src_file
+        src_ts = _git_commit_ts(src) if src else None
+        if src_ts is not None and src_ts > verified[name]:
+            return 1
+        return 2
+
+    order = sorted(_REGISTRY, key=rank)
     return {name: _REGISTRY[name] for name in order}
 
 

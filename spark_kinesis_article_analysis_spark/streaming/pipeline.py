@@ -137,15 +137,26 @@ def corpus_ingest_stream(docs: DataFrame, watermark: str = "10 minutes") -> Data
     parallelism; dedup state is bounded by (novel docs within watermark)
     — use the RocksDB provider. Docs deduped against history OLDER than
     the watermark are the batch ``dedup_incremental_batch`` anti-join's
-    job, run periodically over the sink output."""
+    job, run periodically over the sink output.
+
+    The gate filter runs AFTER dedup, not before: identical texts have
+    identical stats, so the two commute on output, and filtering
+    directly on the stats projection re-inlines the repetition fold
+    (higher-order functions are CodegenFallback — no common-
+    subexpression elimination; measured 10x slower in the batch form).
+    The dedup state operator is the barrier that makes the stats
+    evaluate once. Cost: state also holds hashes of docs the gate will
+    drop — bounded by the same watermark horizon."""
     from spark_kinesis_article_analysis_spark.functions.quality import repetition_stats
 
-    gated = repetition_stats(docs).filter(F.col("passes_gate"))
-    return (
-        gated.withColumn("text_hash", F.md5("text"))
+    deduped = (
+        repetition_stats(docs)
+        .withColumn("text_hash", F.md5("text"))
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
-        .select("doc_id", "ingest_ts", "text_hash", "n_tokens", "dup_token_frac", "top_bigram_frac")
+    )
+    return deduped.filter(F.col("passes_gate")).select(
+        "doc_id", "ingest_ts", "text_hash", "n_tokens", "dup_token_frac", "top_bigram_frac"
     )
 
 
