@@ -226,6 +226,85 @@ class TestStreamRead:
         assert len(set(keys)) == 5
         assert ("shard-002", 0) in keys, "new shard not discovered on restart"
 
+    def test_replay_article_pipeline_restart_matches_batch(
+        self, registered, tmp_path
+    ):
+        """The closest in-env analogue of the reference deployment
+        (process_articles.py:53-93): the flagship 5m/1m sliding pipeline
+        fed by the article_replay STREAM reader with a parquet sink +
+        checkpoint, stopped mid-stream and restarted. Asserts (a)
+        exactly-once across the restart and (b) row parity with the
+        batch flagship over the full archive."""
+        from spark_kinesis_article_analysis_spark.operators.article import (
+            parse_articles,
+            windowed_avg_word_count,
+            with_word_count,
+        )
+
+        d = str(tmp_path / "arch3")
+        ckpt = str(tmp_path / "ckpt3")
+        sink = str(tmp_path / "sink3")
+        first = {
+            "shard-000": [
+                _env("a1", "alice", "2024-01-01 00:00:30", "a b c d"),
+                _env("a2", "alice", "2024-01-01 00:01:30", "a b"),
+            ],
+            "shard-001": [_env("b1", "bob", "2024-01-01 00:00:45", "x y")],
+        }
+        # far-future close-out rows so every earlier window is past the
+        # watermark and APPENDED before the query stops
+        second = {
+            "shard-000": [_env("z1", "zoe", "2024-01-01 02:00:00", "m")],
+            "shard-001": [_env("z2", "zoe", "2024-01-01 04:00:00", "n")],
+        }
+        write_archive(d, first)
+
+        def start():
+            stream = (
+                registered.readStream.format("article_replay")
+                .option("path", d)
+                .load()
+            )
+            pipe = sp.article_stream(stream.select("data"), watermark="10 seconds")
+            return (
+                pipe.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+        write_archive(d, second)
+        q = start()
+        q.processAllAvailable()
+        q.stop()
+
+        got = registered.read.parquet(sink).collect()
+        keys = [(r.author, str(r.window_start)) for r in got]
+        assert len(keys) == len(set(keys)), f"duplicate windows after restart: {keys}"
+
+        # batch parity over the same archive via the BATCH reader
+        raw = registered.read.format("article_replay").option("path", d).load()
+        batch = windowed_avg_word_count(
+            with_word_count(parse_articles(raw.select("data"))), watermark=None
+        )
+        want = {
+            (r.author, str(r.window_start)): r.average_word_count
+            for r in batch.collect()
+        }
+        got_map = {
+            (r.author, str(r.window_start)): r.average_word_count for r in got
+        }
+        # the stream emits every window whose end the final watermark
+        # passed; zoe's own windows stay open, everything else must match
+        closed = {k: v for k, v in want.items() if k[0] != "zoe"}
+        assert {k: got_map[k] for k in closed} == closed, (
+            f"stream/batch divergence: {got_map} vs {closed}"
+        )
+
     def test_streaming_article_pipeline_on_replay_source(
         self, registered, tmp_path
     ):
