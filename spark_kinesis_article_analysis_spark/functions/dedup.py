@@ -311,18 +311,21 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-
     def dot(x, y):
         return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
 
-    cos = dot(F.col("a.emb"), F.col("b.emb")) / (
-        F.sqrt(dot(F.col("a.emb"), F.col("a.emb"))) * F.sqrt(dot(F.col("b.emb"), F.col("b.emb")))
+    # Norms are per-VECTOR quantities: fold them once at vector grain
+    # (N rows) before the pair join, not inside the pair-grain cosine
+    # (N^2/labels rows — and the >= threshold filter pushdown would
+    # inline and re-evaluate every fold a second time). Same fold order,
+    # so the value is bit-identical to the inline form.
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+    e = e.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
