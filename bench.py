@@ -55,6 +55,10 @@ HEADLINE = [
     "scalar_string_functions",    # scalar-family representative
     "quality_gate_sharded",       # histogram-sharded percentile gate
     "corpus_ingest_batch_form",   # streaming-ingest batch parity form
+    # r3 pathology fixes — keep visible so they can't regress silently
+    "text_contamination_flags",   # 5-gram screen (was 11.6s pre-fix)
+    "dedup_embedding_cosine",     # blocked pair cosine (was 6.2s pre-fix)
+    "scalar_try_functions",       # ANSI try_* (was 5.2s pre-fix)
 ]
 
 
