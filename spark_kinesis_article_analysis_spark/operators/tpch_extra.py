@@ -390,3 +390,392 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+WITH v AS (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+           l_extendedprice * (1 - l_discount) AS vol
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year, round(sum(vol), 4) AS revenue
+FROM v GROUP BY 1, 2, 3
+""",
+    tags=("tpch", "q7", "join", "self-dim"),
+    doc=(
+        "TPC-H Q7 shape: bilateral shipping volume between two nations by "
+        "ship year. The nation dim joins TWICE under different roles "
+        "(supplier's vs customer's) with a disjunctive cross-pair "
+        "predicate; both roles broadcast, so the only corpus-scale "
+        "shuffle is lineitem x orders."
+    ),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+WITH v AS (
+    SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS vol,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) / sum(vol), 6)
+           AS mkt_share
+FROM v GROUP BY 1
+""",
+    tags=("tpch", "q8", "join", "conditional-agg"),
+    doc=(
+        "TPC-H Q8 shape: one nation's market share of a part type inside "
+        "one region's customer orders, by order year — an 8-way join "
+        "(nation twice) feeding a conditional-fraction aggregate. Every "
+        "dim broadcasts; lineitem x orders is the one shuffle, and the "
+        "share is two partial sums in the same aggregate pass."
+    ),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+WITH v AS (
+    SELECT n_name AS nation, CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+           l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+)
+SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+FROM v GROUP BY 1, 2
+""",
+    tags=("tpch", "q9", "join", "like"),
+    doc=(
+        "TPC-H Q9 shape (no partsupp in this corpus: supply cost stands "
+        "in as half the part's retail price): profit on one product "
+        "family by supplier nation and order year. A contains-LIKE part "
+        "filter (not prefix — no pushdown to a range), then "
+        "part/supplier/nation broadcast against the lineitem x orders "
+        "shuffle."
+    ),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+WITH pv AS (
+    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+    GROUP BY 1
+)
+SELECT l_partkey, round(value, 4) AS value
+FROM pv
+WHERE value > (SELECT 0.002 * sum(value) FROM pv)
+""",
+    tags=("tpch", "q11", "scalar-subquery", "having"),
+    doc=(
+        "TPC-H Q11 shape (no partsupp: a part's 'stock value' is its "
+        "traded value through one nation's suppliers): per-part value "
+        "with a global-fraction HAVING — the aggregate feeds BOTH the "
+        "scalar total (one extra reduction of the already-aggregated "
+        "part grain, broadcast back) and the filter probe. The corpus "
+        "shuffles once, on l_partkey."
+    ),
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = pv.agg((F.lit(0.002) * F.sum("value")).alias("cut"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("cut"))
+        .select("l_partkey", F.round("value", 4).alias("value"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+    tags=("tpch", "q15", "scalar-subquery", "argmax"),
+    doc=(
+        "TPC-H Q15 shape: the quarter's top-revenue supplier(s) — a "
+        "derived revenue aggregate consumed twice (max scalar + equality "
+        "probe), the view-based argmax of the original query. The "
+        "supplier-grain aggregate is tiny after the date-pruned scan; "
+        "the max broadcasts back over it."
+    ),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    tags=("tpch", "q16", "anti-join", "count-distinct"),
+    doc=(
+        "TPC-H Q16 shape (lineitem is the part-supplier link in this "
+        "corpus): distinct supplier count per part attribute bucket, "
+        "excluding a NOT IN supplier set (negative balance stands in "
+        "for the complaints filter). The exclusion list is dim-sized — "
+        "a broadcast anti-join, which (unlike generic NOT IN) cannot "
+        "degrade to a nested loop; count(DISTINCT) expands to the usual "
+        "two-phase exact plan."
+    ),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40)
+""",
+    tags=("tpch", "q19", "disjunctive-predicate", "join"),
+    doc=(
+        "TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join "
+        "sides. Catalyst extracts the common l_partkey equi-key so the "
+        "join stays a (broadcast) hash join with the disjunction as a "
+        "residual filter — the classic test that mixed predicates don't "
+        "degrade the join to a nested loop."
+    ),
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+WITH qp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+shipped AS (
+    SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+    FROM lineitem JOIN qp ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4'
+  AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 45)
+""",
+    tags=("tpch", "q20", "nested-semi-join", "like"),
+    doc=(
+        "TPC-H Q20 shape (no partsupp: 'heavily supplying' means shipped "
+        "quantity above threshold, which replaces the availqty "
+        "comparison): a nested IN chain — prefix-LIKE parts -> per-"
+        "(supplier, part) shipped quantity -> qualifying supplier set -> "
+        "one nation's suppliers. Both INs become semi-joins; the part "
+        "list and supplier set broadcast, so only the date-pruned "
+        "lineitem aggregate shuffles."
+    ),
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
