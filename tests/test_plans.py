@@ -142,6 +142,43 @@ class TestTpchPlanShape:
         for frag in ["l_shipdate", "l_discount", "l_quantity"]:
             assert frag in pf, pf
 
+    def test_q19_disjunction_stays_hash_join(self, spark):
+        """OR-of-ANDs spanning both join sides: Catalyst must keep the
+        l_partkey equi-key (hash join + residual filter), never degrade
+        to a nested loop over lineitem x part."""
+        df = SPECS["tpch_q19_discounted_revenue"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_q16_exclusion_is_broadcast_anti_join(self, spark):
+        """The NOT IN supplier exclusion must plan as a broadcast anti
+        join (the list is dim-sized), not a shuffled one."""
+        plan = inspect.explain_str(
+            SPECS["tpch_q16_supplier_part_counts"].build(spark, SF_CORRECTNESS)
+        )
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    def test_q7_q8_dims_broadcast_one_fact_shuffle(self, spark):
+        """The twice-joined nation dim and every other dim broadcast;
+        the only corpus-scale exchanges belong to lineitem x orders and
+        the final aggregate."""
+        for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
+            df = SPECS[name].build(spark, SF_CORRECTNESS)
+            plan = inspect.explain_str(df)
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: {plan}"
+            assert inspect.has_broadcast_join(df), name
+            assert inspect.count_exchanges(df) <= 4, f"{name}: {plan}"
+
+    def test_q20_semi_join_chain_broadcasts(self, spark):
+        """Both IN subqueries must land as broadcast semi-joins — the
+        qualifying-part list and the heavy-supplier set are tiny."""
+        plan = inspect.explain_str(
+            SPECS["tpch_q20_promotion_suppliers"].build(spark, SF_CORRECTNESS)
+        )
+        assert "LeftSemi" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
 
 class TestCorpusEndToEndPlanShape:
     def test_composed_pipeline_bounded_shuffles(self, spark):
