@@ -46,10 +46,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -282,9 +285,135 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
         self._observe(end)
 
 
+@dataclass
+class _TempFileCommit(WriterCommitMessage):
+    """One task's staged output: {shard_id: temp file path}."""
+
+    temp_files: dict
+
+
+class ArticleReplayWriterBase:
+    """Shared write protocol: tasks stage rows to task-unique temp files
+    per shard (never the live log — a retried task must not double-
+    append), the DRIVER appends staged files to the shard logs at commit
+    and deletes them, abort deletes them unread. Appending is the only
+    mutation the archive format allows, and it happens exactly once per
+    successful job/epoch, on one process.
+
+    Input rows: ``partition_key`` (str) + ``data`` (str/bytes), plus an
+    optional explicit ``shard_id``; rows without one are routed by
+    partition-key hash over ``numShards`` (option, default 2) — the
+    Kinesis partition-key -> shard contract.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("article_replay requires .option('path', <archive dir>)")
+        self._num_shards = int(options.get("numshards", 2))
+
+    def _route(self, row) -> str:
+        shard = getattr(row, "shard_id", None)
+        if shard:
+            return str(shard)
+        pk = getattr(row, "partition_key", None) or ""
+        # stable md5 routing (Python hash() is salted per process)
+        import hashlib
+
+        h = int(hashlib.md5(str(pk).encode("utf-8")).hexdigest()[:8], 16)
+        return f"shard-{h % self._num_shards:03d}"
+
+    def write(self, iterator: Iterator) -> _TempFileCommit:
+        import uuid
+
+        staging = os.path.join(self._path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        task_id = uuid.uuid4().hex
+        files: dict[str, str] = {}
+        handles: dict[str, object] = {}
+        try:
+            for row in iterator:
+                shard = self._route(row)
+                if shard not in handles:
+                    files[shard] = os.path.join(staging, f"{shard}.{task_id}.jsonl")
+                    handles[shard] = open(files[shard], "w", encoding="utf-8")
+                data = row.data
+                if isinstance(data, (bytes, bytearray)):
+                    data = bytes(data).decode("utf-8")
+                env = {"partitionKey": row.partition_key, "data": data}
+                handles[shard].write(json.dumps(env) + "\n")
+        finally:
+            for h in handles.values():
+                h.close()
+        return _TempFileCommit(temp_files=files)
+
+    def _append_staged(self, messages) -> None:
+        # deterministic merge order: sort tasks by their temp file name
+        per_shard: dict[str, list[str]] = {}
+        for m in messages:
+            if m is None:
+                continue
+            for shard, tmp in m.temp_files.items():
+                per_shard.setdefault(shard, []).append(tmp)
+        for shard, tmps in sorted(per_shard.items()):
+            with open(os.path.join(self._path, f"{shard}.jsonl"), "a", encoding="utf-8") as out:
+                for tmp in sorted(tmps):
+                    with open(tmp, encoding="utf-8") as f:
+                        out.write(f.read())
+                    os.remove(tmp)
+
+    def _drop_staged(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp in m.temp_files.values():
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+
+class ArticleReplayBatchWriter(ArticleReplayWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._append_staged(messages)
+
+    def abort(self, messages) -> None:
+        self._drop_staged(messages)
+
+
+class ArticleReplayStreamWriter(ArticleReplayWriterBase, DataSourceStreamWriter):
+    """Streaming sink with idempotent micro-batch commits: committed
+    batch ids are recorded in ``_committed_batches.log``; a batch
+    replayed after a crash between sink-commit and checkpoint-commit is
+    recognized and its staged files are dropped instead of appended —
+    the standard exactly-once recipe for append-only sinks."""
+
+    def _log_path(self) -> str:
+        return os.path.join(self._path, "_committed_batches.log")
+
+    def _committed(self) -> set[int]:
+        try:
+            with open(self._log_path(), encoding="utf-8") as f:
+                return {int(line) for line in f if line.strip()}
+        except OSError:
+            return set()
+
+    def commit(self, messages, batchId: int) -> None:
+        if batchId in self._committed():
+            self._drop_staged(messages)
+            return
+        self._append_staged(messages)
+        with open(self._log_path(), "a", encoding="utf-8") as f:
+            f.write(f"{batchId}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_staged(messages)
+
+
 class ArticleReplayDataSource(DataSource):
     """``spark.dataSource.register(ArticleReplayDataSource)`` then
-    ``.format("article_replay")`` for batch or streaming reads."""
+    ``.format("article_replay")`` for batch/streaming reads and
+    writes."""
 
     @classmethod
     def name(cls) -> str:
@@ -298,6 +427,14 @@ class ArticleReplayDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> ArticleReplayStreamReader:
         return ArticleReplayStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ArticleReplayBatchWriter:
+        if overwrite:
+            raise ValueError("article_replay is an append-only log; overwrite is not supported")
+        return ArticleReplayBatchWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> ArticleReplayStreamWriter:
+        return ArticleReplayStreamWriter(self.options)
 
 
 def write_archive(path: str, shards: dict[str, list[dict]]) -> None:

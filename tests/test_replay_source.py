@@ -346,3 +346,120 @@ class TestStreamRead:
             assert all(r.average_word_count == 4.0 for r in alice)
         finally:
             q.stop()
+
+
+class TestWrite:
+    def test_batch_write_read_roundtrip(self, registered, tmp_path):
+        """Batch writer: rows route to shards (explicit shard_id wins,
+        else md5(partition_key) % numShards), staged files land in the
+        logs only at commit, and the reader sees positional sequence
+        numbers."""
+        import os
+
+        d = str(tmp_path / "out_arch")
+        rows = [
+            ("shard-000", "a1", b'{"k": 1}'),
+            ("shard-000", "a2", b'{"k": 2}'),
+            ("shard-001", "b1", b'{"k": 3}'),
+        ]
+        df = registered.createDataFrame(
+            rows, "shard_id string, partition_key string, data binary"
+        )
+        df.coalesce(1).write.format("article_replay").option("path", d).mode(
+            "append"
+        ).save()
+        back = registered.read.format("article_replay").option("path", d).load()
+        got = sorted(
+            (r.shard_id, r.sequence_number, r.partition_key) for r in back.collect()
+        )
+        assert got == [
+            ("shard-000", 0, "a1"),
+            ("shard-000", 1, "a2"),
+            ("shard-001", 0, "b1"),
+        ]
+        # staging fully drained at commit
+        assert os.listdir(os.path.join(d, "_staging")) == []
+
+    def test_batch_write_hash_routing(self, registered, tmp_path):
+        d = str(tmp_path / "out_arch2")
+        df = registered.createDataFrame(
+            [(f"pk-{i}", b"x") for i in range(20)],
+            "partition_key string, data binary",
+        )
+        df.write.format("article_replay").option("path", d).option(
+            "numShards", "3"
+        ).mode("append").save()
+        back = registered.read.format("article_replay").option("path", d).load()
+        by_shard = {
+            r[0]: r[1]
+            for r in back.groupBy("shard_id").count().collect()
+        }
+        assert sum(by_shard.values()) == 20
+        assert set(by_shard) <= {"shard-000", "shard-001", "shard-002"}
+        assert len(by_shard) >= 2, f"md5 routing should spread keys: {by_shard}"
+
+    def test_overwrite_mode_rejected(self, registered, tmp_path):
+        d = str(tmp_path / "out_arch3")
+        df = registered.createDataFrame([("p", b"x")], "partition_key string, data binary")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="append-only"):
+            df.write.format("article_replay").option("path", d).mode("overwrite").save()
+
+    def test_stream_write_idempotent_batch_commit(self, registered, tmp_path):
+        """Streaming sink end-to-end (readStream from one archive,
+        writeStream into another), then a direct protocol-level check
+        that re-committing an already-committed batch id drops the
+        staged files instead of double-appending."""
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            ArticleReplayStreamWriter,
+            _TempFileCommit,
+        )
+
+        src = str(tmp_path / "src_arch")
+        dst = str(tmp_path / "dst_arch")
+        write_archive(
+            src,
+            {
+                "shard-000": [_env("a1", "alice", "2024-01-01 00:00:30")],
+                "shard-001": [_env("b1", "bob", "2024-01-01 00:00:45")],
+            },
+        )
+        stream = (
+            registered.readStream.format("article_replay").option("path", src).load()
+        )
+        q = (
+            stream.select("shard_id", "partition_key", "data")
+            .writeStream.format("article_replay")
+            .option("path", dst)
+            .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = registered.read.format("article_replay").option("path", dst).load()
+        assert {(r.shard_id, r.partition_key) for r in back.collect()} == {
+            ("shard-000", "a1"),
+            ("shard-001", "b1"),
+        }
+
+        # replayed commit: same batchId again must be a no-op
+        import json as _json
+        import os
+
+        w = ArticleReplayStreamWriter({"path": dst})
+        staged = os.path.join(dst, "_staging", "shard-000.replay.jsonl")
+        os.makedirs(os.path.dirname(staged), exist_ok=True)
+        committed = sorted(
+            int(x)
+            for x in open(os.path.join(dst, "_committed_batches.log")).read().split()
+        )
+        with open(staged, "w") as f:
+            f.write(_json.dumps({"partitionKey": "dup", "data": "d"}) + "\n")
+        before = open(os.path.join(dst, "shard-000.jsonl")).read()
+        w.commit([_TempFileCommit(temp_files={"shard-000": staged})], committed[-1])
+        assert open(os.path.join(dst, "shard-000.jsonl")).read() == before
+        assert not os.path.exists(staged), "replayed batch must still drain staging"
