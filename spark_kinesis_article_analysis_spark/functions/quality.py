@@ -1,6 +1,6 @@
 """Corpus quality / curation operators (round-3 additions).
 
-Four pre-training-data operators beyond the round-1 north-star set
+Pre-training-data operators beyond the round-1 north-star set
 (SURVEY.md §2 Part B mandates the LLM-pipeline surface; the reference
 itself has only a word count, ``reference/app/process_articles.py:74-75``):
 
@@ -13,6 +13,10 @@ itself has only a word count, ``reference/app/process_articles.py:74-75``):
   corpus by content hash: anti join + intra-batch first-occurrence.
 - ``corpus_mixture_resample`` — deterministic down-sampling toward a
   uniform language mixture (hash-uniform < per-language keep weight).
+- ``corpus_ingest_batch_form`` — the streaming ingest composition
+  (repetition gate + content dedup) as an oracle-backed batch query.
+- ``dedup_bloom_prefilter`` — bloom-sketch membership prefilter ahead
+  of the exact incremental-dedup join.
 
 Scale notes (100 TB): repetition stats never shuffle (all per-row array
 folds — pinned map-only in tests/test_plans.py); contamination joins the
@@ -20,7 +24,9 @@ corpus's shingle stream against an eval-set shingle list that is tiny by
 construction (benchmarks are KB-MB scale) and broadcasts; incremental
 dedup shuffles each side once on a 32-hex content hash; mixture
 resampling is one language-grain count (KB) broadcast back over a
-map-side hash threshold — no corpus shuffle at all.
+map-side hash threshold — no corpus shuffle at all; the bloom sketch is
+<= m rows however big the corpus, so the batch probes it map-side and
+only candidates reach the exact join.
 """
 
 from __future__ import annotations
@@ -364,4 +370,112 @@ def corpus_ingest_batch_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.withColumn("__rn", rn)
         .filter((F.col("__rn") == 1) & F.col("passes_gate"))
         .select("doc_id", "text_hash", "n_tokens", "dup_token_frac", "top_bigram_frac")
+    )
+
+
+#: Bloom geometry for dedup_bloom_prefilter: k hash seeds x m bits.
+#: Real deployments size m ~ 10 bits/corpus-doc; the fixed small m here
+#: keeps the false-positive path exercised at test scale.
+BLOOM_BITS = 8192
+BLOOM_SEEDS = (0, 1, 2)
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+WITH corpus AS (
+    SELECT text FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+),
+batch AS (
+    SELECT doc_id, text FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'
+),
+bits AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5(text || ':bloom' || s), 1, 8)) AS BIGINT)
+               % {BLOOM_BITS} AS bit
+    FROM corpus, LATERAL unnest([0, 1, 2]) AS u(s)
+),
+probe AS (
+    SELECT doc_id,
+           count(*) FILTER (WHERE bit IN (SELECT bit FROM bits)) AS n_hit
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(text || ':bloom' || s), 1, 8)) AS BIGINT)
+                   % {BLOOM_BITS} AS bit
+        FROM batch, LATERAL unnest([0, 1, 2]) AS u(s)
+    )
+    GROUP BY doc_id
+),
+exact AS (
+    SELECT DISTINCT b.doc_id
+    FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+)
+SELECT p.doc_id,
+       n_hit = 3                    AS bloom_candidate,
+       e.doc_id IS NOT NULL         AS is_duplicate
+FROM probe p LEFT JOIN exact e ON p.doc_id = e.doc_id
+""",
+    tags=("dedup", "bloom", "incremental", "north-star"),
+    doc=(
+        "Bloom-prefiltered incremental dedup — the 100 TB cost shape for "
+        "deduping a new batch against an existing corpus: the corpus "
+        "folds to an m-bit membership sketch (here the distinct set bits, "
+        "<= m rows, ALWAYS broadcastable no matter the corpus size), the "
+        "batch probes it map-side, and only bloom candidates (true dups + "
+        "the false-positive fraction) ever reach the exact content-hash "
+        "join. Output keeps both verdicts so the FP behavior is "
+        "observable and oracle-checked: bloom_candidate is a superset of "
+        "is_duplicate, never smaller. Bit positions are md5-derived so "
+        "both engines compute the identical sketch; real deployments "
+        "would size m ~ 10 bits per corpus doc and use xxhash64."
+    ),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    corpus = d.filter(bucket < "cd").select("text")
+    batch = d.filter(bucket >= "cd").select("doc_id", "text")
+
+    def bloom_bit(seed: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("text"), F.lit(f":bloom{seed}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_BITS
+        )
+
+    bits = (
+        corpus.select(
+            F.explode(F.array(*[bloom_bit(s) for s in BLOOM_SEEDS])).alias("bit")
+        )
+        .distinct()
+    )
+    probe = (
+        batch.select("doc_id", F.explode(F.array(*[bloom_bit(s) for s in BLOOM_SEEDS])).alias("bit"))
+        .join(F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left")
+        .groupBy("doc_id")
+        .agg(F.count("__hit").alias("n_hit"))
+    )
+    exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(
+            corpus.select(F.md5("text").alias("h")).distinct(),
+            "h",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        probe.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_hit") == len(BLOOM_SEEDS)).alias("bloom_candidate"),
+            F.col("__dup").isNotNull().alias("is_duplicate"),
+        )
     )

@@ -211,3 +211,22 @@ class TestBinnedRangeJoin:
         plan = inspect.explain_str(df)
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBloomPrefilter:
+    def test_bits_broadcast_and_no_corpus_scale_join(self, spark):
+        """The m-bit membership sketch must broadcast (<= BLOOM_BITS rows
+        by construction); the exact join runs only on candidates."""
+        plan = inspect.explain_str(
+            SPECS["dedup_bloom_prefilter"].build(spark, SF_CORRECTNESS)
+        )
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_candidates_superset_of_duplicates(self, spark):
+        """Bloom guarantee: no false negatives — every exact duplicate is
+        a bloom candidate (false positives allowed, that's the trade)."""
+        rows = SPECS["dedup_bloom_prefilter"].build(spark, SF_CORRECTNESS).collect()
+        assert rows, "prefilter returned no batch docs"
+        for r in rows:
+            if r.is_duplicate:
+                assert r.bloom_candidate, f"false negative at doc {r.doc_id}"
