@@ -208,15 +208,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = _shingles(d, 3)
-    # k min-hashes per doc: min over shingles of xxhash64(seed, shingle)
-    minhashes = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
-            for i in range(MINHASH_HASHES)
-        ]
-    )
+    minhash = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        for i in range(MINHASH_HASHES)
+    ]
     rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+
+    def band_key(band: int):
+        return F.xxhash64(
+            *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+
+    return _minhash_lsh_pipeline(d, minhash, band_key)
+
+
+def _minhash_lsh_pipeline(d: DataFrame, minhash_aggs: list, band_key_fn) -> DataFrame:
+    """Shared MinHash+LSH plan: shingle -> per-doc min-hash signature ->
+    banded bucket keys -> intra-bucket pair expansion -> exact-Jaccard
+    verify on candidate shingle sets. ``minhash_aggs`` are the k
+    signature aggregates (aliased mh0..mh{k-1}); ``band_key_fn(band)``
+    derives each band's bucket key from those columns."""
+    sh = _shingles(d, 3)
+    minhashes = sh.groupBy("doc_id").agg(*minhash_aggs)
     # band keys: hash of each band's r consecutive min-hashes
     banded = minhashes.select(
         "doc_id",
@@ -225,9 +238,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("band_key"),
+                        band_key_fn(band).alias("band_key"),
                     )
                     for band in range(MINHASH_BANDS)
                 ]
@@ -292,6 +303,97 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+mh AS (
+    SELECT doc_id,
+           min(CAST(('0x' || substr(md5(shingle || ':mh0'), 1, 15)) AS BIGINT)) AS mh0,
+           min(CAST(('0x' || substr(md5(shingle || ':mh1'), 1, 15)) AS BIGINT)) AS mh1,
+           min(CAST(('0x' || substr(md5(shingle || ':mh2'), 1, 15)) AS BIGINT)) AS mh2,
+           min(CAST(('0x' || substr(md5(shingle || ':mh3'), 1, 15)) AS BIGINT)) AS mh3,
+           min(CAST(('0x' || substr(md5(shingle || ':mh4'), 1, 15)) AS BIGINT)) AS mh4,
+           min(CAST(('0x' || substr(md5(shingle || ':mh5'), 1, 15)) AS BIGINT)) AS mh5,
+           min(CAST(('0x' || substr(md5(shingle || ':mh6'), 1, 15)) AS BIGINT)) AS mh6,
+           min(CAST(('0x' || substr(md5(shingle || ':mh7'), 1, 15)) AS BIGINT)) AS mh7,
+           min(CAST(('0x' || substr(md5(shingle || ':mh8'), 1, 15)) AS BIGINT)) AS mh8,
+           min(CAST(('0x' || substr(md5(shingle || ':mh9'), 1, 15)) AS BIGINT)) AS mh9,
+           min(CAST(('0x' || substr(md5(shingle || ':mh10'), 1, 15)) AS BIGINT)) AS mh10,
+           min(CAST(('0x' || substr(md5(shingle || ':mh11'), 1, 15)) AS BIGINT)) AS mh11,
+           min(CAST(('0x' || substr(md5(shingle || ':mh12'), 1, 15)) AS BIGINT)) AS mh12,
+           min(CAST(('0x' || substr(md5(shingle || ':mh13'), 1, 15)) AS BIGINT)) AS mh13,
+           min(CAST(('0x' || substr(md5(shingle || ':mh14'), 1, 15)) AS BIGINT)) AS mh14,
+           min(CAST(('0x' || substr(md5(shingle || ':mh15'), 1, 15)) AS BIGINT)) AS mh15
+    FROM sh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band, md5(CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) || ',' || CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR)) AS band_key FROM mh
+    UNION ALL SELECT doc_id, 1 AS band, md5(CAST(mh4 AS VARCHAR) || ',' || CAST(mh5 AS VARCHAR) || ',' || CAST(mh6 AS VARCHAR) || ',' || CAST(mh7 AS VARCHAR)) AS band_key FROM mh
+    UNION ALL SELECT doc_id, 2 AS band, md5(CAST(mh8 AS VARCHAR) || ',' || CAST(mh9 AS VARCHAR) || ',' || CAST(mh10 AS VARCHAR) || ',' || CAST(mh11 AS VARCHAR)) AS band_key FROM mh
+    UNION ALL SELECT doc_id, 3 AS band, md5(CAST(mh12 AS VARCHAR) || ',' || CAST(mh13 AS VARCHAR) || ',' || CAST(mh14 AS VARCHAR) || ',' || CAST(mh15 AS VARCHAR)) AS band_key FROM mh
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT doc_a, doc_b, count(*) AS i
+    FROM pairs
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE i / (na.n + nb.n - i) >= 0.1
+""",
+    tags=("dedup", "minhash", "lsh", "oracle-backed", "north-star"),
+    doc=(
+        "dedup_minhash_lsh with engine-portable hashes: the SAME banded "
+        "LSH plan (shingle -> 16 min-hashes -> 4 band buckets -> intra-"
+        "bucket pairs -> exact-Jaccard verify), but signature and band "
+        "hashes are md5-derived (60-bit hex prefix) instead of xxhash64, "
+        "so DuckDB computes the identical signatures and the WHOLE "
+        "approximate pipeline — including which candidate pairs the "
+        "bands surface — is value-hash-checked against the oracle, not "
+        "just rows-only. Keep the xxhash64 form for production speed; "
+        "this twin exists to prove the algorithm, not to race it."
+    ),
+)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+
+    def h(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f":mh{i}"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        )
+
+    minhash = [F.min(h(i)).alias(f"mh{i}") for i in range(MINHASH_HASHES)]
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+
+    def band_key(band: int):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{band * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+
+    return _minhash_lsh_pipeline(d, minhash, band_key)
 
 
 @register(
