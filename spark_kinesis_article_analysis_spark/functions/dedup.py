@@ -19,9 +19,11 @@ loops). Scale posture per operator:
 - **MinHash+LSH**: k=16 xxhash64 min-hashes -> b=4 bands of r=4 ->
   band-key equi-join for candidates -> exact-Jaccard verify. This is
   the 100 TB near-dup path: shuffle volume is (docs x bands), never
-  pairs. xxhash64 has no DuckDB builtin, so the driver records a
-  rows-only check; tests/test_rows_only.py asserts candidate recall
-  against the exact-Jaccard pairs instead.
+  pairs. xxhash64 has no DuckDB builtin, so that form records a
+  rows-only check (tests/test_rows_only.py asserts candidate recall
+  against the exact-Jaccard pairs); ``dedup_minhash_lsh_portable``
+  runs the same plan with md5-derived hashes, which DuckDB replicates
+  — the full approximate pipeline is value-hash-checked there.
 - **embedding cosine**: blocked self-join (same label) + exact cosine.
 """
 

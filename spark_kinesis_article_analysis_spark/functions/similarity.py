@@ -210,6 +210,70 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_lsh_buckets_portable",
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+tb AS (SELECT unnest(generate_series(0, 3)) AS table_id)
+SELECT vec_id, label, CAST(table_id AS INT) AS table_id,
+       CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> emb[i] * ((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':0:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << 0 ELSE 0 END
+             + CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> emb[i] * ((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':1:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << 1 ELSE 0 END
+             + CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> emb[i] * ((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':2:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << 2 ELSE 0 END
+             + CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> emb[i] * ((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':3:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << 3 ELSE 0 END
+           AS bucket
+FROM e CROSS JOIN tb
+""",
+    tags=("similarity", "lsh", "ann", "oracle-backed", "north-star"),
+    doc=(
+        "sim_lsh_buckets with engine-portable hyperplanes: identical "
+        "4-table x 4-sign-bit bucketing, but plane weights derive from "
+        "md5(table:bit:dim) instead of xxhash64, so DuckDB reproduces "
+        "every weight, projection, and bucket id and the driver value-"
+        "hash-checks the whole LSH assignment (sign comparisons sit "
+        "far from the float summation noise floor, so fold order "
+        "cannot flip a bucket bit in practice). The xxhash64 form "
+        "remains the cheap production path."
+    ),
+)
+def sim_lsh_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+
+    def plane(table: int, bit: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{table}:{bit}:"), j.cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000000
+            ).cast("double")
+            / 1000000.0,
+        )
+
+    tables = []
+    for t in range(LSH_TABLES):
+        bucket = None
+        for bit in range(LSH_BITS):
+            proj = dot(F.col("emb"), plane(t, bit))
+            b = F.when(proj > 0, F.lit(1).cast("long") * (1 << bit)).otherwise(0)
+            bucket = b if bucket is None else bucket + b
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return (
+        e.select("vec_id", "label", F.explode(F.array(*tables)).alias("t"))
+        .select(
+            "vec_id", "label", F.col("t.table_id").alias("table_id"), F.col("t.bucket").alias("bucket")
+        )
+    )
+
+
+@register(
     "embed_centroid_per_label",
     oracle="""
 WITH p AS (
