@@ -245,6 +245,42 @@ class TestSkewHandling:
             assert hottest <= 2 * target + 1, f"{lang}: hottest shard {hottest} rows vs target {target}"
             total_ids.update(ids)
 
+    def test_balanced_shard_correct_under_heavy_ties(self, spark):
+        """Worst case for rank composition: 90% of rows share one score
+        value (all land in one histogram bucket and therefore one
+        shard). Balance degrades — that's inherent to any order-
+        preserving split that can't cut inside one sort-key value — but
+        the composed percent_rank must stay row-identical to the plain
+        window."""
+        from pyspark.sql import Window as W
+
+        from spark_kinesis_article_analysis_spark.operators.skew import (
+            range_sharded_percent_rank,
+            with_balanced_range_shard,
+        )
+
+        rows = [(i, "x", 5.0 if i % 10 else float(i % 97)) for i in range(1000)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+        plain = {
+            r.doc_id: round(r.pr, 9)
+            for r in d.withColumn(
+                "pr",
+                F.percent_rank().over(W.partitionBy("lang").orderBy("score", "doc_id")),
+            ).collect()
+        }
+        got = {
+            r.doc_id: round(r.pr, 9)
+            for r in range_sharded_percent_rank(
+                d,
+                ["lang"],
+                ["score", "doc_id"],
+                "pr",
+                8,
+                shard_source=lambda x: with_balanced_range_shard(x, ["lang"], "score", 8),
+            ).collect()
+        }
+        assert got == plain
+
     def test_quality_gate_sharded_plan_has_no_range_exchange(self, spark):
         """The registered sharded gate must carry the histogram shard
         split: no repartitionByRange (no sampling pass, no full-data
