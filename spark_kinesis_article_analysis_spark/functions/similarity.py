@@ -98,6 +98,72 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_cosine_topk_arrow",
+    oracle=None,  # numpy pairwise-summation dots differ from fold order in final ulps -> rows-only; agreement with the exact form asserted in pytest
+    tags=("similarity", "topk", "arrow", "vectorized", "north-star"),
+    doc=(
+        "The vectorized execution shape for brute-force top-k at scale: "
+        "the bounded query set collects to the driver (N_QUERIES rows by "
+        "construction) and closes over an Arrow-batched mapInPandas that "
+        "scores each candidate batch as ONE numpy matmul — dense linear "
+        "algebra is where row-at-a-time Catalyst expression evaluation "
+        "loses to BLAS, the documented exception to the built-ins-first "
+        "rule. Per-batch top-k (tie-broken by neighbor_id) then a global "
+        "top-k window over batches*Q*K candidate rows — top-k composes "
+        "over batches, so the result matches the exact operator; only "
+        "the float summation order differs (ulp-level), hence rows-only."
+    ),
+)
+def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = _emb(spark, sf_dir)
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "emb")
+        .collect()  # bounded by N_QUERIES — a query SET, not the corpus
+    )
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.emb) for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    k = TOP_K
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = _np.array(pdf["emb"].tolist(), dtype=_np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            Cn = C / _np.linalg.norm(C, axis=1, keepdims=True)
+            S = _np.round(Cn @ Qn.T, 6)  # round BEFORE ranking, like the exact form
+            for qi, qid in enumerate(q_ids):
+                col = S[:, qi]
+                top = _np.lexsort((ids, -col))[:k]
+                yield _pd.DataFrame(
+                    {
+                        "query_id": _np.full(len(top), qid),
+                        "neighbor_id": ids[top],
+                        "cosine": col[top],
+                    }
+                )
+
+    cand = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", "emb")
+        .mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+@register(
     "sim_ivf_topk",
     oracle=f"""
 WITH cent AS (

@@ -257,3 +257,34 @@ class TestObservedMetrics:
         assert m["rows_in"] == docs.count()
         assert m["rows_kept"] == n_kept
         assert m["tokens_kept"] > 0
+
+
+class TestArrowTopK:
+    def test_matches_exact_topk_within_float_tolerance(self, spark):
+        """The vectorized (numpy matmul) top-k must agree with the exact
+        Catalyst form: same per-query result sizes, and the ranked
+        cosine lists equal within ulp-rounding tolerance (both rank on
+        6dp-rounded scores, so they normally match exactly; the
+        tolerance only forgives a tie that rounds across the 6th
+        decimal between summation orders)."""
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+        from tests.conftest import SF_CORRECTNESS
+
+        specs = all_specs()
+        exact = specs["sim_cosine_topk"].build(spark, SF_CORRECTNESS).collect()
+        arrow = specs["sim_cosine_topk_arrow"].build(spark, SF_CORRECTNESS).collect()
+
+        def by_query(rows):
+            out: dict = {}
+            for r in rows:
+                out.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+            for v in out.values():
+                v.sort(key=lambda t: (-t[1], t[0]))
+            return out
+
+        e, a = by_query(exact), by_query(arrow)
+        assert e.keys() == a.keys()
+        for q in e:
+            assert len(e[q]) == len(a[q]) == 5, (q, e[q], a[q])
+            for (en, ec), (an, ac) in zip(e[q], a[q]):
+                assert abs(ec - ac) <= 2e-6, (q, en, ec, an, ac)
