@@ -307,35 +307,36 @@ def _minhash_lsh_pipeline(d: DataFrame, minhash_aggs: list, band_key_fn) -> Data
     )
 
 
+#: Oracle fragments generated from the SAME geometry constants the Spark
+#: builder uses — retuning MINHASH_HASHES/MINHASH_BANDS changes both
+#: sides together instead of silently diverging from a frozen literal.
+_MINHASH_SQL = ",\n           ".join(
+    f"min(CAST(('0x' || substr(md5(shingle || ':mh{i}'), 1, 15)) AS BIGINT)) AS mh{i}"
+    for i in range(MINHASH_HASHES)
+)
+_ROWS_PER_BAND = MINHASH_HASHES // MINHASH_BANDS
+_BANDED_SQL = "\n    UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM mh".format(
+        b=b,
+        key=" || ',' || ".join(
+            f"CAST(mh{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(MINHASH_BANDS)
+)
+
+
 @register(
     "dedup_minhash_lsh_portable",
     oracle=f"""
 WITH sh AS ({_SHINGLE_SQL}),
 mh AS (
     SELECT doc_id,
-           min(CAST(('0x' || substr(md5(shingle || ':mh0'), 1, 15)) AS BIGINT)) AS mh0,
-           min(CAST(('0x' || substr(md5(shingle || ':mh1'), 1, 15)) AS BIGINT)) AS mh1,
-           min(CAST(('0x' || substr(md5(shingle || ':mh2'), 1, 15)) AS BIGINT)) AS mh2,
-           min(CAST(('0x' || substr(md5(shingle || ':mh3'), 1, 15)) AS BIGINT)) AS mh3,
-           min(CAST(('0x' || substr(md5(shingle || ':mh4'), 1, 15)) AS BIGINT)) AS mh4,
-           min(CAST(('0x' || substr(md5(shingle || ':mh5'), 1, 15)) AS BIGINT)) AS mh5,
-           min(CAST(('0x' || substr(md5(shingle || ':mh6'), 1, 15)) AS BIGINT)) AS mh6,
-           min(CAST(('0x' || substr(md5(shingle || ':mh7'), 1, 15)) AS BIGINT)) AS mh7,
-           min(CAST(('0x' || substr(md5(shingle || ':mh8'), 1, 15)) AS BIGINT)) AS mh8,
-           min(CAST(('0x' || substr(md5(shingle || ':mh9'), 1, 15)) AS BIGINT)) AS mh9,
-           min(CAST(('0x' || substr(md5(shingle || ':mh10'), 1, 15)) AS BIGINT)) AS mh10,
-           min(CAST(('0x' || substr(md5(shingle || ':mh11'), 1, 15)) AS BIGINT)) AS mh11,
-           min(CAST(('0x' || substr(md5(shingle || ':mh12'), 1, 15)) AS BIGINT)) AS mh12,
-           min(CAST(('0x' || substr(md5(shingle || ':mh13'), 1, 15)) AS BIGINT)) AS mh13,
-           min(CAST(('0x' || substr(md5(shingle || ':mh14'), 1, 15)) AS BIGINT)) AS mh14,
-           min(CAST(('0x' || substr(md5(shingle || ':mh15'), 1, 15)) AS BIGINT)) AS mh15
+           {_MINHASH_SQL}
     FROM sh GROUP BY doc_id
 ),
 banded AS (
-    SELECT doc_id, 0 AS band, md5(CAST(mh0 AS VARCHAR) || ',' || CAST(mh1 AS VARCHAR) || ',' || CAST(mh2 AS VARCHAR) || ',' || CAST(mh3 AS VARCHAR)) AS band_key FROM mh
-    UNION ALL SELECT doc_id, 1 AS band, md5(CAST(mh4 AS VARCHAR) || ',' || CAST(mh5 AS VARCHAR) || ',' || CAST(mh6 AS VARCHAR) || ',' || CAST(mh7 AS VARCHAR)) AS band_key FROM mh
-    UNION ALL SELECT doc_id, 2 AS band, md5(CAST(mh8 AS VARCHAR) || ',' || CAST(mh9 AS VARCHAR) || ',' || CAST(mh10 AS VARCHAR) || ',' || CAST(mh11 AS VARCHAR)) AS band_key FROM mh
-    UNION ALL SELECT doc_id, 3 AS band, md5(CAST(mh12 AS VARCHAR) || ',' || CAST(mh13 AS VARCHAR) || ',' || CAST(mh14 AS VARCHAR) || ',' || CAST(mh15 AS VARCHAR)) AS band_key FROM mh
+    {_BANDED_SQL}
 ),
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

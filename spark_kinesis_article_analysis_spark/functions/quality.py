@@ -43,11 +43,19 @@ def _toks():
 
 
 def _bigrams(toks):
-    """Word-2-gram array: one entry per adjacent token pair (JVM-side)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    """Word-2-gram array: one entry per adjacent token pair (JVM-side).
+
+    Guarded for short docs: ``F.sequence(1, n-1)`` DESCENDS through 0
+    when n < 2 and ``element_at(arr, 0)`` throws — a single-token
+    document must yield an empty bigram array (like the oracle's
+    ``generate_series``), not kill the job."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def repetition_stats(d: DataFrame) -> DataFrame:
@@ -69,8 +77,14 @@ def repetition_stats(d: DataFrame) -> DataFrame:
 
     top_cnt = F.aggregate(F.array_sort("__bg"), acc0, step, lambda acc: acc["best"])
     dup_tok = F.lit(1) - F.size(F.array_distinct("__t")) / F.size("__t")
-    dup_bg = F.lit(1) - F.size(F.array_distinct("__bg")) / F.size("__bg")
-    top_bg = top_cnt / F.size("__bg")
+    # ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO — a single-token
+    # doc has no bigrams, which means no bigram repetition: 0.0, not a
+    # crashed job.
+    n_bg = F.size("__bg")
+    dup_bg = F.when(n_bg > 0, F.lit(1) - F.size(F.array_distinct("__bg")) / n_bg).otherwise(
+        F.lit(0.0)
+    )
+    top_bg = F.when(n_bg > 0, top_cnt / n_bg).otherwise(F.lit(0.0))
     return (
         t.withColumn("n_tokens", F.size("__t"))
         .withColumn("dup_token_frac", F.round(dup_tok, 6))
@@ -152,17 +166,22 @@ def _grams5(d: DataFrame) -> DataFrame:
     # Generate child, which CollapseProject leaves alone.
     t = d.select("doc_id", _toks().alias("__toks"))
     tk = F.col("__toks")
-    g = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - 4),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tk, i),
-            F.element_at(tk, i + 1),
-            F.element_at(tk, i + 2),
-            F.element_at(tk, i + 3),
-            F.element_at(tk, i + 4),
+    g = F.when(
+        # guard: sequence(1, n-4) descends through 0 for docs under 5
+        # tokens and element_at(arr, 0) throws; such docs have no 5-gram
+        F.size(tk) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+                F.element_at(tk, i + 3),
+                F.element_at(tk, i + 4),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return t.select("doc_id", F.explode(F.array_distinct(g)).alias("gram"))
 
 

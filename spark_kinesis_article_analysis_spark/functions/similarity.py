@@ -275,18 +275,27 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Oracle fragment generated from the SAME geometry constants as the
+#: Spark builder (LSH_TABLES x LSH_BITS planes over EMB_DIM dims) — a
+#: retune changes both sides together.
+EMB_DIM = 64
+_PLANE_BIT_SQL = "\n             + ".join(
+    "CASE WHEN list_sum(list_transform(generate_series(1, {d}), i -> emb[i] * "
+    "((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':{bit}:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) "
+    "% 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << {bit} ELSE 0 END".format(d=64, bit=bit)
+    for bit in range(LSH_BITS)
+)
+
+
 @register(
     "sim_lsh_buckets_portable",
-    oracle="""
+    oracle=f"""
 WITH e AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
 ),
-tb AS (SELECT unnest(generate_series(0, 3)) AS table_id)
+tb AS (SELECT unnest(generate_series(0, {LSH_TABLES - 1})) AS table_id)
 SELECT vec_id, label, CAST(table_id AS INT) AS table_id,
-       CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> emb[i] * ((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':0:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << 0 ELSE 0 END
-             + CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> emb[i] * ((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':1:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << 1 ELSE 0 END
-             + CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> emb[i] * ((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':2:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << 2 ELSE 0 END
-             + CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> emb[i] * ((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':3:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << 3 ELSE 0 END
+       {_PLANE_BIT_SQL}
            AS bucket
 FROM e CROSS JOIN tb
 """,
@@ -307,7 +316,7 @@ def sim_lsh_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def plane(table: int, bit: int) -> Column:
         return F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
+            F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
             lambda j: (
                 F.conv(
                     F.substring(

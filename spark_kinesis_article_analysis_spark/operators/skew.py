@@ -79,6 +79,29 @@ def monotone_range_shard(order_col: str, lo: int, hi: int, num_shards: int) -> C
     return F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("int")
 
 
+def _join_shard_parts(left: DataFrame, right: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Join ``right`` (carrying ``__shard`` + ``part_cols`` + payload)
+    onto ``left`` null-safely on the group keys — a plain name-list join
+    uses null-dropping equality, which silently loses every row whose
+    group key is NULL (NULL is a legal group in window semantics)."""
+    from functools import reduce
+    from operator import and_
+
+    renamed = right.select(
+        F.col("__shard").alias("__s2"),
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(part_cols)],
+        *[c for c in right.columns if c != "__shard" and c not in part_cols],
+    )
+    cond = reduce(
+        and_,
+        [left[c].eqNullSafe(F.col(f"__g{i}")) for i, c in enumerate(part_cols)]
+        + [left["__shard"] == F.col("__s2")],
+    )
+    return left.join(renamed, cond).drop(
+        "__s2", *[f"__g{i}" for i in range(len(part_cols))]
+    )
+
+
 def range_sharded_running_sum(
     df: DataFrame,
     part_cols: list[str],
@@ -140,7 +163,7 @@ def range_sharded_running_sum(
         .drop("__tot")
     )
     return (
-        local.join(offsets, ["__shard", *part_cols])
+        _join_shard_parts(local, offsets, part_cols)
         .withColumn(out_col, F.col("__lcum") + F.col("__off"))
         .drop("__shard", "__lcum", "__off")
     )
@@ -172,14 +195,30 @@ def with_balanced_range_shard(
     one bucket and therefore one shard — the floor any order-preserving
     split has when it cannot cut inside one sort-key value without a
     tiebreak-aware second level.
+
+    NULL handling: a NULL sort key buckets to ``-1`` — FIRST in the
+    bucket order, matching the default NULLS FIRST of an ascending
+    window sort — and the assignment join-back is null-safe on
+    ``part_cols``, so NULL group keys neither break monotonicity nor
+    drop rows.
     """
+    from functools import reduce
+    from operator import and_
+
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None or lo == hi:
         return df.withColumn("__shard", F.lit(0))
     width = (hi - lo) / num_buckets
-    bucket = F.least(
-        F.lit(num_buckets - 1), F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width))
-    ).cast("int")
+    bucket = (
+        F.when(F.col(order_col).isNull(), F.lit(-1))
+        .otherwise(
+            F.least(
+                F.lit(num_buckets - 1),
+                F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)),
+            )
+        )
+        .cast("int")
+    )
     hist = df.groupBy(*part_cols, bucket.alias("__bucket")).agg(
         F.count("*").alias("__c")
     )
@@ -195,8 +234,8 @@ def with_balanced_range_shard(
         F.coalesce(F.sum("__c").over(w_before), F.lit(0)).alias("__before"),
         F.sum("__c").over(w_all).alias("__total"),
     ).select(
-        *part_cols,
-        "__bucket",
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(part_cols)],
+        F.col("__bucket").alias("__b"),
         F.least(
             F.lit(num_shards - 1),
             F.floor(F.col("__before") / F.ceil(F.col("__total") / F.lit(num_shards))),
@@ -204,10 +243,14 @@ def with_balanced_range_shard(
         .cast("int")
         .alias("__shard"),
     )
-    return (
-        df.withColumn("__bucket", bucket)
-        .join(F.broadcast(assign), [*part_cols, "__bucket"])
-        .drop("__bucket")
+    tagged = df.withColumn("__bucket", bucket)
+    cond = reduce(
+        and_,
+        [tagged[c].eqNullSafe(F.col(f"__g{i}")) for i, c in enumerate(part_cols)]
+        + [tagged["__bucket"] == F.col("__b")],
+    )
+    return tagged.join(F.broadcast(assign), cond).drop(
+        "__bucket", "__b", *[f"__g{i}" for i in range(len(part_cols))]
     )
 
 
@@ -263,7 +306,7 @@ def range_sharded_percent_rank(
         F.lit(0.0)
     )
     return (
-        local.join(offsets, ["__shard", *part_cols])
+        _join_shard_parts(local, offsets, part_cols)
         .withColumn(out_col, pr)
         .drop("__shard", "__lrank", "__off", "__n")
     )

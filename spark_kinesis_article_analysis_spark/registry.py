@@ -214,6 +214,15 @@ def all_specs() -> dict[str, QuerySpec]:
     rotates the budget onto whatever currently lacks trustworthy
     evidence, with no per-round hand-curation. Stable within each class
     (registration order), so module import order still breaks ties.
+
+    Timestamp granularity caveat: class 2 vs 1 compares git COMMIT
+    times, which relies on the driver's workflow committing the
+    CORRECTNESS file in its own verdict commit AFTER the round's work
+    commits (observed: "round N: verdict/..." follows "round N:
+    end-of-round snapshot"). A builder edited after its verdict but
+    committed in the SAME commit as that verdict would be mis-ranked as
+    unchanged — impossible under that workflow, noted here in case the
+    workflow changes.
     """
     _load_all()
     verified = _verified_ts()

@@ -382,29 +382,90 @@ class ArticleReplayBatchWriter(ArticleReplayWriterBase, DataSourceWriter):
 
 
 class ArticleReplayStreamWriter(ArticleReplayWriterBase, DataSourceStreamWriter):
-    """Streaming sink with idempotent micro-batch commits: committed
-    batch ids are recorded in ``_committed_batches.log``; a batch
-    replayed after a crash between sink-commit and checkpoint-commit is
-    recognized and its staged files are dropped instead of appended —
-    the standard exactly-once recipe for append-only sinks."""
+    """Streaming sink with idempotent, crash-atomic micro-batch commits.
+
+    ``_committed_batches.log`` is a tiny write-ahead journal:
+    ``PREPARE <batchId> <{shard: bytes-before}>`` is fsynced BEFORE the
+    staged files append to the shard logs, ``COMMIT <batchId>`` after.
+    A crash between the two leaves a dangling PREPARE; recovery (writer
+    construction and every commit) truncates each shard log back to its
+    recorded pre-append length and marks the epoch ABORTed, so the
+    engine's replay of that batch re-appends cleanly — no duplicated
+    and no torn rows. A batch id already COMMITted (crash between
+    sink-commit and checkpoint-commit) drains its staging as a no-op.
+    """
+
+    def __init__(self, options: dict) -> None:
+        super().__init__(options)
+        self._recover()
 
     def _log_path(self) -> str:
         return os.path.join(self._path, "_committed_batches.log")
 
-    def _committed(self) -> set[int]:
+    def _read_log(self):
+        """(committed batch ids, dangling (batchId, {shard: length}) or None)."""
+        committed: set[int] = set()
+        pending = None
         try:
             with open(self._log_path(), encoding="utf-8") as f:
-                return {int(line) for line in f if line.strip()}
+                for line in f:
+                    parts = line.strip().split(" ", 2)
+                    if not parts or not parts[0]:
+                        continue
+                    if parts[0] == "PREPARE" and len(parts) == 3:
+                        pending = (int(parts[1]), json.loads(parts[2]))
+                    elif parts[0] == "COMMIT" and len(parts) >= 2:
+                        committed.add(int(parts[1]))
+                        pending = None
+                    elif parts[0] == "ABORT" and len(parts) >= 2:
+                        pending = None
+                    elif parts[0].isdigit():  # legacy plain-int entries
+                        committed.add(int(parts[0]))
         except OSError:
-            return set()
+            pass
+        return committed, pending
+
+    def _append_log(self, line: str) -> None:
+        os.makedirs(self._path, exist_ok=True)
+        with open(self._log_path(), "a", encoding="utf-8") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _recover(self) -> None:
+        _, pending = self._read_log()
+        if pending is None:
+            return
+        batch_id, lengths = pending
+        for shard, length in lengths.items():
+            p = os.path.join(self._path, f"{shard}.jsonl")
+            try:
+                if os.path.getsize(p) > int(length):
+                    with open(p, "r+b") as f:
+                        f.truncate(int(length))
+            except OSError:
+                pass
+        self._append_log(f"ABORT {batch_id}")
 
     def commit(self, messages, batchId: int) -> None:
-        if batchId in self._committed():
+        self._recover()
+        committed, _ = self._read_log()
+        if batchId in committed:
             self._drop_staged(messages)
             return
+        shards = sorted(
+            {s for m in messages if m is not None for s in m.temp_files}
+        )
+        lengths = {}
+        for shard in shards:
+            p = os.path.join(self._path, f"{shard}.jsonl")
+            try:
+                lengths[shard] = os.path.getsize(p)
+            except OSError:
+                lengths[shard] = 0
+        self._append_log(f"PREPARE {batchId} {json.dumps(lengths)}")
         self._append_staged(messages)
-        with open(self._log_path(), "a", encoding="utf-8") as f:
-            f.write(f"{batchId}\n")
+        self._append_log(f"COMMIT {batchId}")
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_staged(messages)

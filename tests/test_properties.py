@@ -220,3 +220,33 @@ class TestPackingProperties:
             docs_in_pack = [(d, n) for (d, pp), n in zip(out, token_counts) if pp == p]
             n_last = max(docs_in_pack)[1]
             assert tot - n_last < PACK_BUDGET, (p, tot, n_last)
+
+
+class TestShortDocRobustness:
+    def test_repetition_and_grams_survive_short_docs(self, spark):
+        """sequence(1, n-k) DESCENDS through 0 for short docs and
+        element_at(arr, 0) throws — single-token / tiny docs must flow
+        through the gram and repetition operators as empty-gram rows,
+        not kill the job (the streaming ingest path hits this with any
+        degenerate document)."""
+        from spark_kinesis_article_analysis_spark.functions.quality import (
+            _grams5,
+            repetition_stats,
+        )
+
+        d = spark.createDataFrame(
+            [
+                (1, "one"),
+                (2, "a b"),
+                (3, "a b c d"),
+                (4, "a b c d e f g"),
+                (5, " "),
+            ],
+            "doc_id long, text string",
+        )
+        stats = repetition_stats(d).collect()
+        assert {r.doc_id for r in stats} == {1, 2, 3, 4, 5}
+        grams = _grams5(d).collect()
+        # only the 7-token doc has 5-grams
+        assert {r.doc_id for r in grams} == {4}
+        assert len(grams) == 3

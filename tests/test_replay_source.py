@@ -453,13 +453,64 @@ class TestWrite:
         w = ArticleReplayStreamWriter({"path": dst})
         staged = os.path.join(dst, "_staging", "shard-000.replay.jsonl")
         os.makedirs(os.path.dirname(staged), exist_ok=True)
-        committed = sorted(
-            int(x)
-            for x in open(os.path.join(dst, "_committed_batches.log")).read().split()
-        )
+        committed = sorted(w._read_log()[0])
+        assert committed, "streaming write should have journaled COMMIT entries"
         with open(staged, "w") as f:
             f.write(_json.dumps({"partitionKey": "dup", "data": "d"}) + "\n")
         before = open(os.path.join(dst, "shard-000.jsonl")).read()
         w.commit([_TempFileCommit(temp_files={"shard-000": staged})], committed[-1])
         assert open(os.path.join(dst, "shard-000.jsonl")).read() == before
         assert not os.path.exists(staged), "replayed batch must still drain staging"
+
+    def test_stream_write_crash_between_append_and_commit_rolls_back(
+        self, registered, tmp_path
+    ):
+        """Crash-atomicity: a PREPARE without COMMIT (the crash window
+        between appending staged files and journaling the batch) must
+        roll the shard logs back to their recorded lengths on recovery,
+        so the engine's replay of that batch appends exactly once."""
+        import json as _json
+        import os
+
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            ArticleReplayStreamWriter,
+            _TempFileCommit,
+        )
+
+        dst = str(tmp_path / "crash_arch")
+        w = ArticleReplayStreamWriter({"path": dst})
+
+        def stage(name, envs):
+            p = os.path.join(dst, "_staging", name)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "w") as f:
+                for e in envs:
+                    f.write(_json.dumps(e) + "\n")
+            return p
+
+        # batch 0 commits normally
+        p0 = stage("shard-000.t0.jsonl", [{"partitionKey": "a", "data": "1"}])
+        w.commit([_TempFileCommit(temp_files={"shard-000": p0})], 0)
+        good = open(os.path.join(dst, "shard-000.jsonl")).read()
+
+        # simulate batch 1 crashing AFTER the append, BEFORE the COMMIT
+        # journal line: perform the steps by hand
+        p1 = stage("shard-000.t1.jsonl", [{"partitionKey": "b", "data": "2"}])
+        w._append_log(
+            "PREPARE 1 "
+            + _json.dumps({"shard-000": os.path.getsize(os.path.join(dst, "shard-000.jsonl"))})
+        )
+        w._append_staged([_TempFileCommit(temp_files={"shard-000": p1})])
+        # no COMMIT line -> crash here; the partial append is visible
+        assert open(os.path.join(dst, "shard-000.jsonl")).read() != good
+
+        # restart: a fresh writer recovers, truncating the torn append
+        w2 = ArticleReplayStreamWriter({"path": dst})
+        assert open(os.path.join(dst, "shard-000.jsonl")).read() == good
+        # the engine then replays batch 1 -> appended exactly once
+        p1b = stage("shard-000.t1b.jsonl", [{"partitionKey": "b", "data": "2"}])
+        w2.commit([_TempFileCommit(temp_files={"shard-000": p1b})], 1)
+        lines = open(os.path.join(dst, "shard-000.jsonl")).read().strip().splitlines()
+        assert len(lines) == 2 and _json.loads(lines[1])["partitionKey"] == "b"
+        committed, pending = w2._read_log()
+        assert committed == {0, 1} and pending is None

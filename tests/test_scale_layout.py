@@ -260,6 +260,11 @@ class TestSkewHandling:
         )
 
         rows = [(i, "x", 5.0 if i % 10 else float(i % 97)) for i in range(1000)]
+        # adversarial extras: NULL sort keys (must rank first, like the
+        # plain window's NULLS FIRST) and a NULL group key (must not be
+        # dropped by the assignment join-back)
+        rows += [(1000 + i, "x", None) for i in range(5)]
+        rows += [(2000 + i, None, float(i)) for i in range(7)]
         d = spark.createDataFrame(rows, "doc_id long, lang string, score double")
         plain = {
             r.doc_id: round(r.pr, 9)
