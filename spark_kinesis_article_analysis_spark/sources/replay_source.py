@@ -373,37 +373,21 @@ class ArticleReplayWriterBase:
                     pass
 
 
-class ArticleReplayBatchWriter(ArticleReplayWriterBase, DataSourceWriter):
-    def commit(self, messages) -> None:
-        self._append_staged(messages)
-
-    def abort(self, messages) -> None:
-        self._drop_staged(messages)
-
-
-class ArticleReplayStreamWriter(ArticleReplayWriterBase, DataSourceStreamWriter):
-    """Streaming sink with idempotent, crash-atomic micro-batch commits.
-
-    ``_committed_batches.log`` is a tiny write-ahead journal:
-    ``PREPARE <batchId> <{shard: bytes-before}>`` is fsynced BEFORE the
-    staged files append to the shard logs, ``COMMIT <batchId>`` after.
-    A crash between the two leaves a dangling PREPARE; recovery (writer
-    construction and every commit) truncates each shard log back to its
-    recorded pre-append length and marks the epoch ABORTed, so the
-    engine's replay of that batch re-appends cleanly — no duplicated
-    and no torn rows. A batch id already COMMITted (crash between
-    sink-commit and checkpoint-commit) drains its staging as a no-op.
-    """
-
-    def __init__(self, options: dict) -> None:
-        super().__init__(options)
-        self._recover()
+class _IntentJournal:
+    """Write-ahead intent log shared by both writers:
+    ``PREPARE <token> <{shard: bytes-before}>`` is fsynced BEFORE the
+    staged files append to the shard logs, ``COMMIT <token>`` after. A
+    crash between the two leaves a dangling PREPARE; recovery truncates
+    each shard log back to its recorded pre-append length and marks the
+    epoch ABORTed — no duplicated and no torn rows. Stream epochs use
+    the numeric batch id as token (idempotent replay); batch jobs use a
+    job-unique token (each job is its own epoch)."""
 
     def _log_path(self) -> str:
         return os.path.join(self._path, "_committed_batches.log")
 
     def _read_log(self):
-        """(committed batch ids, dangling (batchId, {shard: length}) or None)."""
+        """(committed numeric batch ids, dangling (token, {shard: length}) or None)."""
         committed: set[int] = set()
         pending = None
         try:
@@ -413,9 +397,10 @@ class ArticleReplayStreamWriter(ArticleReplayWriterBase, DataSourceStreamWriter)
                     if not parts or not parts[0]:
                         continue
                     if parts[0] == "PREPARE" and len(parts) == 3:
-                        pending = (int(parts[1]), json.loads(parts[2]))
+                        pending = (parts[1], json.loads(parts[2]))
                     elif parts[0] == "COMMIT" and len(parts) >= 2:
-                        committed.add(int(parts[1]))
+                        if parts[1].lstrip("-").isdigit():
+                            committed.add(int(parts[1]))
                         pending = None
                     elif parts[0] == "ABORT" and len(parts) >= 2:
                         pending = None
@@ -436,7 +421,7 @@ class ArticleReplayStreamWriter(ArticleReplayWriterBase, DataSourceStreamWriter)
         _, pending = self._read_log()
         if pending is None:
             return
-        batch_id, lengths = pending
+        token, lengths = pending
         for shard, length in lengths.items():
             p = os.path.join(self._path, f"{shard}.jsonl")
             try:
@@ -445,17 +430,10 @@ class ArticleReplayStreamWriter(ArticleReplayWriterBase, DataSourceStreamWriter)
                         f.truncate(int(length))
             except OSError:
                 pass
-        self._append_log(f"ABORT {batch_id}")
+        self._append_log(f"ABORT {token}")
 
-    def commit(self, messages, batchId: int) -> None:
-        self._recover()
-        committed, _ = self._read_log()
-        if batchId in committed:
-            self._drop_staged(messages)
-            return
-        shards = sorted(
-            {s for m in messages if m is not None for s in m.temp_files}
-        )
+    def _journaled_append(self, messages, token) -> None:
+        shards = sorted({s for m in messages if m is not None for s in m.temp_files})
         lengths = {}
         for shard in shards:
             p = os.path.join(self._path, f"{shard}.jsonl")
@@ -463,9 +441,41 @@ class ArticleReplayStreamWriter(ArticleReplayWriterBase, DataSourceStreamWriter)
                 lengths[shard] = os.path.getsize(p)
             except OSError:
                 lengths[shard] = 0
-        self._append_log(f"PREPARE {batchId} {json.dumps(lengths)}")
+        self._append_log(f"PREPARE {token} {json.dumps(lengths)}")
         self._append_staged(messages)
-        self._append_log(f"COMMIT {batchId}")
+        self._append_log(f"COMMIT {token}")
+
+
+class ArticleReplayBatchWriter(ArticleReplayWriterBase, _IntentJournal, DataSourceWriter):
+    def commit(self, messages) -> None:
+        import uuid
+
+        self._recover()
+        self._journaled_append(messages, f"job-{uuid.uuid4().hex}")
+
+    def abort(self, messages) -> None:
+        self._drop_staged(messages)
+
+
+class ArticleReplayStreamWriter(ArticleReplayWriterBase, _IntentJournal, DataSourceStreamWriter):
+    """Streaming sink with idempotent, crash-atomic micro-batch commits:
+    the :class:`_IntentJournal` protocol keyed by batch id. A batch id
+    already COMMITted (crash between sink-commit and checkpoint-commit)
+    drains its staging as a no-op; a dangling PREPARE (crash between
+    append and journal) rolls back on recovery, so the engine's replay
+    appends exactly once."""
+
+    def __init__(self, options: dict) -> None:
+        super().__init__(options)
+        self._recover()
+
+    def commit(self, messages, batchId: int) -> None:
+        self._recover()
+        committed, _ = self._read_log()
+        if batchId in committed:
+            self._drop_staged(messages)
+            return
+        self._journaled_append(messages, batchId)
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_staged(messages)
