@@ -120,11 +120,16 @@ topf AS (
 SELECT g.doc_id,
        len(t)                                              AS n_tokens,
        round(1 - len(list_distinct(t))  / len(t),  6)      AS dup_token_frac,
-       round(1 - len(list_distinct(bg)) / len(bg), 6)      AS dup_bigram_frac,
-       round(top_cnt / len(bg), 6)                         AS top_bigram_frac,
-       (top_cnt / len(bg) <= 0.2
+       CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE round(1 - len(list_distinct(bg)) / len(bg), 6)
+       END                                                 AS dup_bigram_frac,
+       CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE round(COALESCE(top_cnt, 0) / len(bg), 6)
+       END                                                 AS top_bigram_frac,
+       ((CASE WHEN len(bg) = 0 THEN 0.0
+              ELSE COALESCE(top_cnt, 0) / len(bg) END) <= 0.2
         AND 1 - len(list_distinct(t)) / len(t) <= 0.7)     AS passes_gate
-FROM g JOIN topf ON g.doc_id = topf.doc_id
+FROM g LEFT JOIN topf ON g.doc_id = topf.doc_id
 """,
     tags=("text", "quality", "gopher", "north-star"),
     doc=(
@@ -351,9 +356,12 @@ stats AS (
     SELECT g.doc_id, md5(text) AS text_hash,
            len(t)                                         AS n_tokens,
            round(1 - len(list_distinct(t)) / len(t), 6)   AS dup_token_frac,
-           round(top_cnt / len(bg), 6)                    AS top_bigram_frac
-    FROM g JOIN topf ON g.doc_id = topf.doc_id
-    WHERE top_cnt / len(bg) <= 0.2
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE round(COALESCE(top_cnt, 0) / len(bg), 6)
+           END                                            AS top_bigram_frac
+    FROM g LEFT JOIN topf ON g.doc_id = topf.doc_id
+    WHERE (CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE COALESCE(top_cnt, 0) / len(bg) END) <= 0.2
       AND 1 - len(list_distinct(t)) / len(t) <= 0.7
 )
 SELECT doc_id, text_hash, n_tokens, dup_token_frac, top_bigram_frac
