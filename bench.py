@@ -59,6 +59,13 @@ HEADLINE = [
     "text_contamination_flags",   # 5-gram screen (was 11.6s pre-fix)
     "dedup_embedding_cosine",     # blocked pair cosine (was 6.2s pre-fix)
     "scalar_try_functions",       # ANSI try_* (was 5.2s pre-fix)
+    # round-4 breadth: heaviest still-unbenched representatives
+    "dedup_ngram_jaccard",        # the quadratic exact baseline (SHOULD be visibly expensive)
+    "sim_ivf_topk",               # cell-probe ANN scale path
+    "agg_grouping_sets",          # multi-grain rollup in one pass
+    "window_distribution",        # percent_rank/cume_dist/ntile analytic family
+    "scalar_xml_functions",       # priciest scalar family (XML round-trip parse)
+    "article_replay_batch",       # S1 stand-in round trip (Python DataSource IO)
 ]
 
 

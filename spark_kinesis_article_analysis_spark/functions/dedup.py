@@ -24,7 +24,9 @@ loops). Scale posture per operator:
   against the exact-Jaccard pairs); ``dedup_minhash_lsh_portable``
   runs the same plan with md5-derived hashes, which DuckDB replicates
   — the full approximate pipeline is value-hash-checked there.
-- **embedding cosine**: blocked self-join (same label) + exact cosine.
+- **embedding cosine**: md5-portable LSH blocks hard-capped at
+  COSINE_BLOCK_CAP vectors (deterministic sub-split) -> intra-block
+  pair expansion -> exact cosine. Total candidate work linear in N.
 """
 
 from __future__ import annotations
@@ -399,45 +401,152 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_pipeline(d, minhash, band_key)
 
 
+#: Blocking geometry for dedup_embedding_cosine: candidate blocks come
+#: from md5-portable sign-plane LSH (similarity.portable_bucket) and are
+#: then HARD-CAPPED at COSINE_BLOCK_CAP vectors by a deterministic
+#: md5-ordered sub-split. Per-task work is <= CAP^2 pairs and total
+#: candidate work is <= TABLES * N * (CAP-1)/2 — LINEAR in corpus size —
+#: no matter how skewed the label/cluster distribution is. (The previous
+#: form blocked on raw `label`, which is unbounded: one hot label on a
+#: skewed corpus made the pair join O(n^2) on a single key.)
+COSINE_LSH_TABLES = 2
+COSINE_LSH_BITS = 8
+COSINE_BLOCK_CAP = 64
+
+
+def _cosine_oracle_sql() -> str:
+    from spark_kinesis_article_analysis_spark.functions.similarity import plane_bit_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+tb AS (SELECT unnest(generate_series(0, {COSINE_LSH_TABLES - 1})) AS table_id),
+bk AS (
+    SELECT vec_id, table_id,
+           {plane_bit_sql(COSINE_LSH_BITS)} AS bucket
+    FROM e CROSS JOIN tb
+),
+ck AS (
+    SELECT vec_id, table_id, bucket,
+           (row_number() OVER (PARTITION BY table_id, bucket
+                               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1)
+               // {COSINE_BLOCK_CAP} AS sub
+    FROM bk
+),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM ck a JOIN ck b
+      ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.sub = b.sub
+     AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+FROM pairs
+JOIN e ea ON ea.vec_id = vec_a
+JOIN e eb ON eb.vec_id = vec_b
+WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.2
+"""
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2
-""",
+    oracle=_cosine_oracle_sql(),
     tags=("dedup", "embedding", "cosine", "north-star"),
     doc=(
-        "Embedding-cosine near-dup pairs, blocked by label (the blocking key stands "
-        "in for an LSH/IVF bucket at scale) — exact cosine on double-cast vectors "
-        "via zip_with dot product."
+        "Embedding-cosine near-dup pairs over a BOUNDED blocking key: "
+        "2 md5-portable sign-plane LSH tables x 8 bits (shared geometry "
+        "with sim_lsh_buckets_portable, so the oracle replicates every "
+        "bucket id), each block hard-capped at 64 vectors by an md5-"
+        "ordered deterministic sub-split. Candidates are expanded "
+        "intra-block with a higher-order combination (no self-join), "
+        "then scored with the exact zip_with cosine (norms folded once "
+        "at vector grain) and thresholded at 0.2. Recall comes from the "
+        "2 independent tables (chunk boundaries differ per table); the "
+        "cap trades tail recall inside oversized clusters for a hard "
+        "per-task bound — total candidate work is linear in N, pinned "
+        "in tests/test_scale_layout.py."
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+    return _embedding_cosine_pairs(load(spark, sf_dir, "embeddings"))
+
+
+def _cosine_block_assignments(e: DataFrame) -> DataFrame:
+    """(vec_id, table_id, bucket, sub) block ids for ``e`` (vec_id, emb).
+
+    Every (table_id, bucket, sub) block holds <= COSINE_BLOCK_CAP rows BY
+    CONSTRUCTION: md5-ordered row_number within (table, bucket), integer-
+    divided into chunks. The window streams over its sorted partition
+    (external sort at scale — no per-key materialization), so a
+    pathologically hot bucket costs a sort, not an O(c^2) straggler task.
+    Pinned on a degenerate all-identical-vectors corpus in
+    tests/test_scale_layout.py (TestCosineBlockCap)."""
+    from pyspark.sql import Window as W
+
+    from spark_kinesis_article_analysis_spark.functions.similarity import portable_bucket
+
+    tables = [
+        F.struct(
+            F.lit(t).alias("table_id"),
+            portable_bucket(t, COSINE_LSH_BITS).alias("bucket"),
+        )
+        for t in range(COSINE_LSH_TABLES)
+    ]
+    bk = e.select("vec_id", F.explode(F.array(*tables)).alias("t")).select(
+        "vec_id", F.col("t.table_id").alias("table_id"), F.col("t.bucket").alias("bucket")
+    )
+    w = W.partitionBy("table_id", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return bk.withColumn(
+        "sub",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(COSINE_BLOCK_CAP)),
+    )
+
+
+def _embedding_cosine_pairs(emb_df: DataFrame) -> DataFrame:
+    from spark_kinesis_article_analysis_spark.functions.similarity import dot
 
     # Norms are per-VECTOR quantities: fold them once at vector grain
     # (N rows) before the pair join, not inside the pair-grain cosine
-    # (N^2/labels rows — and the >= threshold filter pushdown would
+    # (candidate-grain rows — and the >= threshold filter pushdown would
     # inline and re-evaluate every fold a second time). Same fold order,
-    # so the value is bit-identical to the inline form.
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    # so the value is bit-identical to the inline form
+    # (tests/test_rows_only.py pins that equality).
+    e = emb_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+
+    ck = _cosine_block_assignments(e)
+    # Intra-chunk pair expansion via higher-order combinations (the
+    # _minhash_lsh_pipeline pattern — a self-join would re-derive the
+    # bucket assignment once per side). collect_list is bounded by the
+    # cap, so no group exceeds COSINE_BLOCK_CAP rows by construction.
+    chunks = (
+        ck.groupBy("table_id", "bucket", "sub")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    e = e.withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+    pair_list = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
         )
+    )
+    pairs = (
+        chunks.select(F.explode(pair_list).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
+        .distinct()
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.2)
     )
 

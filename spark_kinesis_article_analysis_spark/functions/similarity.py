@@ -275,16 +275,62 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Oracle fragment generated from the SAME geometry constants as the
-#: Spark builder (LSH_TABLES x LSH_BITS planes over EMB_DIM dims) — a
-#: retune changes both sides together.
+#: Oracle fragments generated from the SAME geometry constants as the
+#: Spark builders (sign-bit planes over EMB_DIM dims) — a retune changes
+#: both sides together. Parameterized by bit count so other operators
+#: (dedup_embedding_cosine's bounded blocking key) share the identical
+#: md5-derived geometry instead of re-deriving a diverging copy.
 EMB_DIM = 64
-_PLANE_BIT_SQL = "\n             + ".join(
-    "CASE WHEN list_sum(list_transform(generate_series(1, {d}), i -> emb[i] * "
-    "((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':{bit}:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) "
-    "% 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << {bit} ELSE 0 END".format(d=64, bit=bit)
-    for bit in range(LSH_BITS)
-)
+
+
+def plane_bit_sql(bits: int) -> str:
+    """DuckDB expression for the ``bits``-bit sign-plane bucket id.
+
+    Expects ``emb`` (DOUBLE[]) and ``table_id`` columns in scope; plane
+    weight for (table, bit, dim) is md5("{table}:{bit}:{dim}") -> 8 hex
+    chars -> % 1e6 / 1e6, exactly what :func:`portable_bucket` computes
+    Spark-side."""
+    return "\n             + ".join(
+        "CASE WHEN list_sum(list_transform(generate_series(1, {d}), i -> emb[i] * "
+        "((CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':{bit}:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) "
+        "% 1000000) / 1000000.0))) > 0 THEN CAST(1 AS BIGINT) << {bit} ELSE 0 END".format(d=EMB_DIM, bit=bit)
+        for bit in range(bits)
+    )
+
+
+_PLANE_BIT_SQL = plane_bit_sql(LSH_BITS)
+
+
+def _portable_plane(table: int, bit: int) -> Column:
+    """md5-derived hyperplane weights for (table, bit) over EMB_DIM dims.
+
+    The weights are pure functions of (table, bit, dim) — compute them
+    ONCE at plan-build time with hashlib and embed a literal array,
+    instead of shipping an md5-per-(row x bit x dim) expression tree
+    (EMB_DIM x bits x tables md5 calls PER ROW — measured ~3x of
+    sim_lsh_buckets_portable's runtime before this). The DuckDB twin
+    (:func:`plane_bit_sql`) recomputes the same md5 in SQL, so the
+    portability claim is unchanged: both engines derive identical
+    weights from the identical formula."""
+    import hashlib
+
+    weights = [
+        (int(hashlib.md5(f"{table}:{bit}:{j}".encode()).hexdigest()[:8], 16) % 1000000)
+        / 1000000.0
+        for j in range(EMB_DIM)
+    ]
+    return F.array(*[F.lit(w) for w in weights])
+
+
+def portable_bucket(table: int, bits: int) -> Column:
+    """Sign-bit bucket id of ``col("emb")`` under the md5 planes — the
+    engine-portable LSH assignment (DuckDB twin: :func:`plane_bit_sql`)."""
+    bucket = None
+    for bit in range(bits):
+        proj = dot(F.col("emb"), _portable_plane(table, bit))
+        b = F.when(proj > 0, F.lit(1).cast("long") * (1 << bit)).otherwise(0)
+        bucket = b if bucket is None else bucket + b
+    return bucket
 
 
 @register(
@@ -313,33 +359,12 @@ FROM e CROSS JOIN tb
 )
 def sim_lsh_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-
-    def plane(table: int, bit: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
-            lambda j: (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{table}:{bit}:"), j.cast("string"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 1000000
-            ).cast("double")
-            / 1000000.0,
+    tables = [
+        F.struct(
+            F.lit(t).alias("table_id"), portable_bucket(t, LSH_BITS).alias("bucket")
         )
-
-    tables = []
-    for t in range(LSH_TABLES):
-        bucket = None
-        for bit in range(LSH_BITS):
-            proj = dot(F.col("emb"), plane(t, bit))
-            b = F.when(proj > 0, F.lit(1).cast("long") * (1 << bit)).otherwise(0)
-            bucket = b if bucket is None else bucket + b
-        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+        for t in range(LSH_TABLES)
+    ]
     return (
         e.select("vec_id", "label", F.explode(F.array(*tables)).alias("t"))
         .select(

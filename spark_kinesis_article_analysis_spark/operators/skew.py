@@ -102,6 +102,31 @@ def _join_shard_parts(left: DataFrame, right: DataFrame, part_cols: list[str]) -
     )
 
 
+def _ranged_with_shard(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    num_shards: int,
+    shard_by: Column | None,
+) -> DataFrame:
+    """Default sharding for the two-phase window rewrites: explicit
+    ``shard_by`` wins; else a numeric leading sort key takes the
+    histogram-balanced shard (bucketing on the FIRST order column keeps
+    ``__shard`` monotone in the full sort order — ties on it stay in one
+    shard); else fall back to ``repartitionByRange`` (sampling pass +
+    range exchange, the only fully type-generic strategy)."""
+    from pyspark.sql import types as T
+
+    if shard_by is not None:
+        return df.withColumn("__shard", shard_by)
+    lead = order_cols[0]
+    if isinstance(df.schema[lead].dataType, T.NumericType):
+        return with_balanced_range_shard(df, part_cols, lead, num_shards)
+    return df.repartitionByRange(num_shards, *part_cols, *order_cols).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+
+
 def range_sharded_running_sum(
     df: DataFrame,
     part_cols: list[str],
@@ -131,20 +156,15 @@ def range_sharded_running_sum(
     non-decreasing in ``order_col``, e.g. :func:`monotone_range_shard`
     over a dense id) to shard with NO extra exchange — the local window's
     own hash exchange on ``(__shard, part_cols)`` is then the only
-    corpus-scale shuffle. Without it, ``repartitionByRange`` discovers
-    boundaries by sampling, which re-executes the child plan for the
-    sample and adds a range exchange ahead of the window's hash exchange
-    — correct for arbitrary sort keys, but two extra corpus-scale passes.
-    ``spark_partition_id()`` is stable in that path: both consumers of
-    the ranged frame read the same reused exchange, and range boundaries
-    are deterministic for a given input.
+    corpus-scale shuffle. Without it, a numeric ``order_col`` defaults
+    to :func:`with_balanced_range_shard` (two tiny metadata jobs — a
+    map-side min/max and a KB-scale histogram — instead of
+    ``repartitionByRange``'s child-plan sampling pass + full-data range
+    exchange). Only a non-numeric sort key still takes the
+    ``repartitionByRange`` path, whose boundaries are deterministic for
+    a given input and whose exchange is reused by both consumers.
     """
-    if shard_by is not None:
-        ranged = df.withColumn("__shard", shard_by)
-    else:
-        ranged = df.repartitionByRange(num_shards, *part_cols, order_col).withColumn(
-            "__shard", F.spark_partition_id()
-        )
+    ranged = _ranged_with_shard(df, part_cols, [order_col], num_shards, shard_by)
     w_local = (
         Window.partitionBy("__shard", *part_cols)
         .orderBy(order_col)
@@ -276,16 +296,14 @@ def range_sharded_percent_rank(
     ``__shard`` column monotone in the sort order within each group
     (e.g. :func:`with_balanced_range_shard`, or
     :func:`monotone_range_shard` wrapped in ``withColumn`` for dense-id
-    orders). Default falls back to ``repartitionByRange``, which is
-    correct for arbitrary sort keys but pays a child-plan sampling pass
-    plus a full-data range exchange.
+    orders). Default: histogram-balanced shard on a numeric leading
+    sort key, ``repartitionByRange`` (sampling pass + range exchange)
+    only for non-numeric keys — see :func:`_ranged_with_shard`.
     """
     if shard_source is not None:
         ranged = shard_source(df)
     else:
-        ranged = df.repartitionByRange(num_shards, *part_cols, *order_cols).withColumn(
-            "__shard", F.spark_partition_id()
-        )
+        ranged = _ranged_with_shard(df, part_cols, order_cols, num_shards, None)
     w_local = Window.partitionBy("__shard", *part_cols).orderBy(*order_cols)
     local = ranged.withColumn("__lrank", F.row_number().over(w_local))
     counts = local.groupBy("__shard", *part_cols).agg(F.count("*").alias("__cnt"))

@@ -134,6 +134,9 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         quality,
     )
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        replay_batch,
+    )
 
 
 def _repo_root() -> str:

@@ -361,6 +361,15 @@ class ArticleReplayWriterBase:
                     with open(tmp, encoding="utf-8") as f:
                         out.write(f.read())
                     os.remove(tmp)
+                # fsync BEFORE the journal's COMMIT record: the journal
+                # lines are fsynced, so without this a power loss could
+                # make COMMIT durable while the appended rows are still
+                # in the page cache — recovery would see no dangling
+                # PREPARE and keep a committed batch with missing rows.
+                # (Process-crash atomicity never needed this; power-loss
+                # atomicity does.)
+                out.flush()
+                os.fsync(out.fileno())
 
     def _drop_staged(self, messages) -> None:
         for m in messages:

@@ -250,3 +250,25 @@ class TestShortDocRobustness:
         # only the 7-token doc has 5-grams
         assert {r.doc_id for r in grams} == {4}
         assert len(grams) == 3
+
+
+def test_coverage_md_header_matches_registry():
+    """COVERAGE.md's headline counts are asserted against the live
+    registry so they can never drift again (VERDICT r3 found them two
+    rounds stale)."""
+    import re as _re
+    from pathlib import Path
+
+    from spark_kinesis_article_analysis_spark.registry import all_specs
+
+    specs = all_specs()
+    n_total = len(specs)
+    n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    head = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()[:300]
+    m = _re.search(r"(\d+) registered queries \((\d+) DuckDB-oracle-backed, (\d+) rows-only", head)
+    assert m, "COVERAGE.md headline count sentence missing"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        n_total,
+        n_oracle,
+        n_total - n_oracle,
+    ), f"COVERAGE.md says {m.groups()}, registry has ({n_total}, {n_oracle}, {n_total - n_oracle})"

@@ -286,5 +286,16 @@ class TestArrowTopK:
         assert e.keys() == a.keys()
         for q in e:
             assert len(e[q]) == len(a[q]) == 5, (q, e[q], a[q])
+            # Membership must agree, not just scores: a different
+            # neighbor with a similar cosine is a real divergence.
+            assert {n for n, _ in e[q]} == {n for n, _ in a[q]}, (q, e[q], a[q])
             for (en, ec), (an, ac) in zip(e[q], a[q]):
                 assert abs(ec - ac) <= 2e-6, (q, en, ec, an, ac)
+                # Per-rank ids must agree. The only forgivable swap is a
+                # rounding divergence (np.round half-even vs Spark round
+                # half-up across the 6th dp) — which necessarily shows up
+                # as a small NONZERO score gap at that rank; equal scores
+                # with different ids would mean the vec_id tie-break
+                # diverged, a real bug.
+                if en != an:
+                    assert 0 < abs(ec - ac) <= 2e-6, (q, en, ec, an, ac)

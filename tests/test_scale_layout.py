@@ -516,3 +516,99 @@ class TestSortedWriteClustering:
         # scattered: every row group spans ~the whole key domain;
         # clustered: row groups tile it, so the summed span ~= the domain
         assert span_clustered < span_scattered / 2, (span_clustered, span_scattered, full)
+
+
+class TestCosineBlockCap:
+    """dedup_embedding_cosine's blocking key is HARD-bounded: no block
+    (table_id, bucket, sub) ever exceeds COSINE_BLOCK_CAP rows, even on
+    a corpus where every vector lands in the same LSH bucket — the skew
+    shape that made the previous label-blocked form an O(n^2) straggler."""
+
+    def _identical_corpus(self, spark, n):
+        return spark.createDataFrame(
+            [(i, [0.5] * 64) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_no_block_exceeds_cap_on_degenerate_corpus(self, spark):
+        from spark_kinesis_article_analysis_spark.functions.dedup import (
+            COSINE_BLOCK_CAP,
+            _cosine_block_assignments,
+        )
+
+        e = self._identical_corpus(spark, 300).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        sizes = (
+            _cosine_block_assignments(e)
+            .groupBy("table_id", "bucket", "sub")
+            .count()
+            .agg(F.max("count").alias("mx"), F.count("*").alias("n_blocks"))
+            .collect()[0]
+        )
+        assert sizes.mx <= COSINE_BLOCK_CAP, sizes
+        assert sizes.n_blocks >= 2 * (300 // COSINE_BLOCK_CAP), sizes
+
+    def test_candidate_pairs_linear_not_quadratic(self, spark):
+        """300 identical vectors: uncapped blocking would score
+        n*(n-1)/2 = 44850 pairs; the cap bounds candidates to
+        sum_chunks c*(c-1)/2 per table (chunks coincide across tables
+        here — same bucket, same md5 order — so distinct() collapses
+        them). All cosines are 1.0, so every candidate survives the
+        threshold and the output size IS the candidate count."""
+        from spark_kinesis_article_analysis_spark.functions.dedup import (
+            COSINE_BLOCK_CAP,
+            _embedding_cosine_pairs,
+        )
+
+        n = 300
+        pairs = _embedding_cosine_pairs(self._identical_corpus(spark, n))
+        sizes = [COSINE_BLOCK_CAP] * (n // COSINE_BLOCK_CAP)
+        if n % COSINE_BLOCK_CAP:
+            sizes.append(n % COSINE_BLOCK_CAP)
+        expected = sum(c * (c - 1) // 2 for c in sizes)
+        assert expected * 4 < n * (n - 1) // 2  # genuinely sub-quadratic
+        assert pairs.count() == expected
+
+    def test_hoisted_norm_cosine_equals_inline_form(self, spark):
+        """The builder folds norms once at vector grain; the value must be
+        bit-identical to the inline cosine (same fold order) — pinned here
+        per ADVICE r3 so the hoist can never drift semantically."""
+        from spark_kinesis_article_analysis_spark.functions.similarity import cosine
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+
+        from tests.conftest import SF_CORRECTNESS
+
+        got = all_specs()["dedup_embedding_cosine"].build(spark, SF_CORRECTNESS)
+        e = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("_ea"))
+        b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("_eb"))
+        recomputed = (
+            got.join(a, "vec_a")
+            .join(b, "vec_b")
+            .withColumn("inline", F.round(cosine(F.col("_ea"), F.col("_eb")), 6))
+        )
+        bad = recomputed.filter(F.col("cosine") != F.col("inline")).count()
+        assert bad == 0
+        assert got.count() > 0
+
+
+class TestDefaultShardPath:
+    def test_running_sum_default_avoids_range_exchange(self, spark):
+        """With no shard_by and a numeric sort key, the default path now
+        takes the histogram-balanced shard: two tiny metadata jobs, NO
+        repartitionByRange (child-plan sampling + full-data range
+        exchange) anywhere in the plan — and stays row-identical (the
+        equality test above covers all shard counts)."""
+        from spark_kinesis_article_analysis_spark.operators.skew import (
+            range_sharded_running_sum,
+        )
+
+        d = load(spark, SF_SMOKE, "documents").select(
+            "doc_id", "lang", F.size(F.split("text", r"\s+")).alias("n_tokens")
+        )
+        out = range_sharded_running_sum(d, ["lang"], "doc_id", "n_tokens", "cum", 8)
+        plan = inspect.explain_str(out).lower()
+        assert "rangepartitioning" not in plan, plan
