@@ -153,6 +153,75 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_ingest_batch_form",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, text, string_split_regex(text, '\\s+') AS t FROM documents
+),
+g AS (
+    SELECT doc_id, text, t,
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1]) AS bg
+    FROM t
+),
+topf AS (
+    SELECT doc_id, max(cnt) AS top_cnt
+    FROM (
+        SELECT doc_id, b, count(*) AS cnt
+        FROM g, LATERAL unnest(bg) AS u(b)
+        GROUP BY doc_id, b
+    )
+    GROUP BY doc_id
+),
+stats AS (
+    SELECT g.doc_id, md5(text) AS text_hash,
+           len(t)                                         AS n_tokens,
+           round(1 - len(list_distinct(t)) / len(t), 6)   AS dup_token_frac,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE round(COALESCE(top_cnt, 0) / len(bg), 6)
+           END                                            AS top_bigram_frac
+    FROM g LEFT JOIN topf ON g.doc_id = topf.doc_id
+    WHERE (CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE COALESCE(top_cnt, 0) / len(bg) END) <= 0.2
+      AND 1 - len(list_distinct(t)) / len(t) <= 0.7
+)
+SELECT doc_id, text_hash, n_tokens, dup_token_frac, top_bigram_frac
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+    FROM stats
+) WHERE rn = 1
+""",
+    tags=("text", "quality", "streaming-parity", "north-star"),
+    doc=(
+        "The batch form of streaming.pipeline.corpus_ingest_stream, so the "
+        "continuous-ingest composition (Gopher repetition gate -> content- "
+        "hash dedup) has a driver-verdicted oracle: same gate expressions "
+        "(repetition_stats, map-side), then one survivor per md5(text) — "
+        "min doc_id, the deterministic batch analog of the stream's "
+        "first-seen-within-watermark state. One shuffle (the survivor "
+        "window on the 32-hex hash); hashes are uniform so no skew. "
+        "The gate filter runs ABOVE the dedup window, not below it: "
+        "identical texts have identical stats, so gate and dedup commute "
+        "on output — but a filter directly on a projection re-inlines the "
+        "repetition fold (higher-order functions are CodegenFallback, no "
+        "common-subexpression elimination), a measured 10x slowdown. The "
+        "window is the plan barrier that makes the stats evaluate once."
+    ),
+)
+def corpus_ingest_batch_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    hashed = repetition_stats(d).withColumn("text_hash", F.md5("text"))
+    rn = F.row_number().over(W.partitionBy("text_hash").orderBy("doc_id"))
+    return (
+        hashed.withColumn("__rn", rn)
+        .filter((F.col("__rn") == 1) & F.col("passes_gate"))
+        .select("doc_id", "text_hash", "n_tokens", "dup_token_frac", "top_bigram_frac")
+    )
+
+
 _GRAM5_SQL = """
     SELECT doc_id, gram
     FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents{where}),
@@ -328,75 +397,6 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(w), "lang")
         .filter(u < F.col("keep_w"))
         .select("doc_id", "lang", F.round("keep_w", 6).alias("keep_w"))
-    )
-
-
-@register(
-    "corpus_ingest_batch_form",
-    oracle="""
-WITH t AS (
-    SELECT doc_id, text, string_split_regex(text, '\\s+') AS t FROM documents
-),
-g AS (
-    SELECT doc_id, text, t,
-           list_transform(generate_series(1, len(t) - 1),
-                          i -> t[i] || ' ' || t[i + 1]) AS bg
-    FROM t
-),
-topf AS (
-    SELECT doc_id, max(cnt) AS top_cnt
-    FROM (
-        SELECT doc_id, b, count(*) AS cnt
-        FROM g, LATERAL unnest(bg) AS u(b)
-        GROUP BY doc_id, b
-    )
-    GROUP BY doc_id
-),
-stats AS (
-    SELECT g.doc_id, md5(text) AS text_hash,
-           len(t)                                         AS n_tokens,
-           round(1 - len(list_distinct(t)) / len(t), 6)   AS dup_token_frac,
-           CASE WHEN len(bg) = 0 THEN 0.0
-                ELSE round(COALESCE(top_cnt, 0) / len(bg), 6)
-           END                                            AS top_bigram_frac
-    FROM g LEFT JOIN topf ON g.doc_id = topf.doc_id
-    WHERE (CASE WHEN len(bg) = 0 THEN 0.0
-                ELSE COALESCE(top_cnt, 0) / len(bg) END) <= 0.2
-      AND 1 - len(list_distinct(t)) / len(t) <= 0.7
-)
-SELECT doc_id, text_hash, n_tokens, dup_token_frac, top_bigram_frac
-FROM (
-    SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
-    FROM stats
-) WHERE rn = 1
-""",
-    tags=("text", "quality", "streaming-parity", "north-star"),
-    doc=(
-        "The batch form of streaming.pipeline.corpus_ingest_stream, so the "
-        "continuous-ingest composition (Gopher repetition gate -> content- "
-        "hash dedup) has a driver-verdicted oracle: same gate expressions "
-        "(repetition_stats, map-side), then one survivor per md5(text) — "
-        "min doc_id, the deterministic batch analog of the stream's "
-        "first-seen-within-watermark state. One shuffle (the survivor "
-        "window on the 32-hex hash); hashes are uniform so no skew. "
-        "The gate filter runs ABOVE the dedup window, not below it: "
-        "identical texts have identical stats, so gate and dedup commute "
-        "on output — but a filter directly on a projection re-inlines the "
-        "repetition fold (higher-order functions are CodegenFallback, no "
-        "common-subexpression elimination), a measured 10x slowdown. The "
-        "window is the plan barrier that makes the stats evaluate once."
-    ),
-)
-def corpus_ingest_batch_form(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    d = load(spark, sf_dir, "documents")
-    hashed = repetition_stats(d).withColumn("text_hash", F.md5("text"))
-    rn = F.row_number().over(W.partitionBy("text_hash").orderBy("doc_id"))
-    return (
-        hashed.withColumn("__rn", rn)
-        .filter((F.col("__rn") == 1) & F.col("passes_gate"))
-        .select("doc_id", "text_hash", "n_tokens", "dup_token_frac", "top_bigram_frac")
     )
 
 
