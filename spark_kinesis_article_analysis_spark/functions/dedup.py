@@ -417,8 +417,11 @@ COSINE_BLOCK_CAP = 64
 def _cosine_oracle_sql() -> str:
     from spark_kinesis_article_analysis_spark.functions.similarity import plane_bit_sql
 
+    from spark_kinesis_article_analysis_spark.functions.similarity import NONZERO_SQL
+
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE {NONZERO_SQL}),
 tb AS (SELECT unnest(generate_series(0, {COSINE_LSH_TABLES - 1})) AS table_id),
 bk AS (
     SELECT vec_id, table_id,
@@ -518,9 +521,15 @@ def _embedding_cosine_pairs(emb_df: DataFrame) -> DataFrame:
     # inline and re-evaluate every fold a second time). Same fold order,
     # so the value is bit-identical to the inline form
     # (tests/test_rows_only.py pins that equality).
-    e = emb_df.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    # Zero-norm vectors are excluded BEFORE the norm fold (exists()
+    # short-circuits; a filter on nrm itself would re-inline the fold):
+    # cosine is undefined for them and one all-zero embedding would
+    # otherwise kill the job under ANSI mode. Oracle twin: NONZERO_SQL.
+    e = (
+        emb_df.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .filter(F.exists("emb", lambda x: x != 0.0))
+        .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    )
 
     ck = _cosine_block_assignments(e)
     # Intra-chunk pair expansion via higher-order combinations (the

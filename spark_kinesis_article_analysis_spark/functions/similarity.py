@@ -58,11 +58,30 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of the zero-vector guard below (raw `embedding` column).
+NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
+
+
+def _emb_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_emb`` minus zero-norm vectors. Cosine is UNDEFINED for the zero
+    vector, and under ANSI mode (Spark 4 default) a single all-zero
+    embedding row — padding, a dead encoder, a null-imputed batch —
+    would otherwise kill every cosine-scoring job with DIVIDE_BY_ZERO.
+    Excluded identically in the oracles via :data:`NONZERO_SQL`, and
+    deliberately NOT applied to non-cosine operators (norm stats,
+    centroids, quantization) where a zero vector is a legitimate row.
+    ``exists`` short-circuits on the first nonzero component — cheaper
+    than a norm fold, and no filter-on-fold-column re-inline."""
+    return _emb(spark, sf_dir).filter(F.exists("emb", lambda x: x != 0.0))
+
+
 @register(
     "sim_cosine_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
-c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= {N_QUERIES}),
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES} AND {NONZERO_SQL}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings
+      WHERE vec_id >= {N_QUERIES} AND {NONZERO_SQL}),
 scored AS (
     SELECT query_id, vec_id AS neighbor_id,
            round(list_cosine_similarity(qe, ce), 6) AS cosine,
@@ -81,7 +100,7 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
     ),
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
+    e = _emb_nonzero(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
@@ -119,7 +138,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    e = _emb(spark, sf_dir)
+    # zero-norm guard: numpy would not throw like ANSI Spark does — it
+    # yields NaN scores that silently diverge from the exact operator.
+    e = _emb_nonzero(spark, sf_dir)
     qrows = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "emb")
@@ -170,7 +191,7 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH cent AS (
     SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_e
-    FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0 AND {NONZERO_SQL}
 ),
 assigned AS (
     SELECT vec_id, emb, centroid_id FROM (
@@ -179,6 +200,7 @@ assigned AS (
                                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], cent_e), 6) DESC,
                                            centroid_id ASC) AS rn
         FROM embeddings e, cent
+        WHERE {NONZERO_SQL.replace("embedding", "e.embedding")}
     ) WHERE rn = 1
 ),
 probes AS (
@@ -205,7 +227,7 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
     ),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir)
+    e = _emb_nonzero(spark, sf_dir)
     cent = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent_e")
     )

@@ -68,16 +68,26 @@ def _compare(spark, name: str, sf_dir: str) -> None:
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=name)
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "text_repetition_stats",
-        "corpus_ingest_batch_form",
-        "text_contamination_flags",
-        "dedup_incremental_batch",
-        "dedup_bloom_prefilter",
-    ],
-)
+def _documents_only_specs() -> list[str]:
+    """Every oracle-backed spec whose oracle touches ONLY `documents` —
+    auto-discovered so new registrations are covered without editing
+    this list. (Specs joining other tables can't run against the
+    documents-only fixture dir.)"""
+    import re
+
+    from spark_kinesis_article_analysis_spark.catalog import TABLES
+
+    others = [t for t in TABLES if t != "documents"]
+    return [
+        name
+        for name, spec in all_specs().items()
+        if spec.oracle is not None
+        and "documents" in spec.oracle
+        and not any(re.search(rf"\b{t}\b", spec.oracle) for t in others)
+    ]
+
+
+@pytest.mark.parametrize("name", _documents_only_specs())
 def test_degenerate_doc_parity(spark, name, corpus_dir):
     _compare(spark, name, corpus_dir)
 
