@@ -100,17 +100,31 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
     ),
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb_nonzero(spark, sf_dir)
+    # Norms are per-vector quantities: fold them ONCE at vector grain
+    # (Q + N fold ops) instead of inside the pair-grain cosine (the
+    # inline form re-folds both norms for every (q, c) pair — 3x the
+    # higher-order-expression work, the same pathology class the r3
+    # sweep caught in dedup_embedding_cosine). sqrt(fold) is the same
+    # arithmetic either way, so the pair cosine is bit-identical.
+    e = _emb_nonzero(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(dot(F.col("emb"), F.col("emb")))
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     c = e.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ce"),
+        F.col("nrm").alias("cnrm"),
     )
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
@@ -223,28 +237,68 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
         "IVF-style approximate NN: every vector is assigned to its nearest "
         "centroid (deterministic stride-chosen centroids stand in for k-means at "
         "test scale); queries probe only their own cell. Same-cell search is the "
-        "O(N/K) scale path; assignment is one broadcast join over the centroid set."
+        "O(N/K) scale path. Assignment is a PURE MAP stage: the centroid set "
+        "folds to one array row (K x dim doubles — broadcastable by the IVF "
+        "contract, ~33 MB even at 65k cells), and each vector computes its "
+        "argmax-cosine centroid inside a single higher-order expression — no "
+        "pair-grain rows, no shuffle, no window. (The previous form exploded "
+        "N x K pair rows carrying the full embedding through a row_number "
+        "window shuffle — pair-grain exchange doing what a map-side fold does "
+        "for free.) Norms fold once at vector grain; the rounded cosine and "
+        "the (score DESC, centroid_id ASC) tie-break are bit-identical to the "
+        "oracle's row_number form."
     ),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb_nonzero(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cent_e")
+    e = _emb_nonzero(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(dot(F.col("emb"), F.col("emb")))
     )
-    scored_assign = e.join(F.broadcast(cent)).select(
-        "vec_id",
-        "emb",
+    cents = (
+        e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"),
+                F.col("emb").alias("ce"),
+                F.col("nrm").alias("cnrm"),
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+    )
+    # argmax over the centroid array, one SQL parse: score each centroid
+    # (same rounded-cosine arithmetic as the oracle), take the
+    # lexicographic max of (score, -cid) — max score, ties to the
+    # SMALLEST centroid_id: exactly the oracle's ORDER BY score DESC,
+    # centroid_id ASC with rn = 1. collect_list order is nondeterministic
+    # but argmax over the array is order-invariant given that tie-break.
+    # An empty centroid set (degenerate corpus) gives transform([]) -> []
+    # and array_max([]) -> NULL centroid_id, which the equi-join below
+    # drops — the same empty result as the old rn=1 form.
+    best = F.expr(
+        """(array_max(transform(cents, c -> struct(
+               round(aggregate(zip_with(emb, c.ce, (p, q) -> p * q),
+                               cast(0.0 as double), (a, v) -> a + v)
+                     / (nrm * c.cnrm), 6) AS s,
+               -c.cid AS negcid)))).negcid"""
+    )
+    def assign(part: DataFrame) -> DataFrame:
+        return (
+            part.join(F.broadcast(cents))
+            .withColumn("centroid_id", -best)
+            .select("vec_id", "emb", "nrm", "centroid_id")
+        )
+
+    assigned = assign(e)
+    # The probe side derives its (N_QUERIES-row) assignment from the
+    # vec_id < N_QUERIES scan directly — that predicate pushes into the
+    # parquet scan, so the FULL-corpus assignment pass executes once
+    # (the candidate side only). Deriving probes from `assigned` instead
+    # would re-execute the whole corpus-wide subtree a second time
+    # (DataFrame reuse re-runs the plan, it doesn't cache it).
+    probes = assign(e.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qnrm"),
         "centroid_id",
-        F.round(cosine(F.col("emb"), F.col("cent_e")), 6).alias("cscore"),
-    )
-    wa = W.partitionBy("vec_id").orderBy(F.col("cscore").desc(), F.col("centroid_id").asc())
-    assigned = (
-        scored_assign.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "centroid_id")
-    )
-    probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), "centroid_id"
     )
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
@@ -252,7 +306,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("emb")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("qe"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 6
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())

@@ -230,3 +230,30 @@ class TestBloomPrefilter:
         for r in rows:
             if r.is_duplicate:
                 assert r.bloom_candidate, f"false negative at doc {r.doc_id}"
+
+
+class TestIvfAssignmentMapOnly:
+    def test_assignment_has_no_pair_grain_shuffle_or_window(self, spark):
+        """IVF assignment must stay a pure map stage: centroids fold to one
+        broadcast array row and each vector computes its argmax centroid
+        inside a higher-order expression. The only row_number window
+        allowed is the FINAL top-k over the (tiny) probe-cell candidates,
+        and the only hash exchange is that window's. A second window or
+        hash exchange means the pair-grain (vector x centroid) assignment
+        form is back — the 100 TB killer this plan replaced."""
+        import re
+
+        df = SPECS["sim_ivf_topk"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+        assert plan.count("hashpartitioning") == 1, plan
+        # centroid-set aggregations are the only (SinglePartition, <= K
+        # partial rows) exchanges besides the final window's.
+        assert inspect.count_exchanges(df) <= 3, plan
+
+    def test_probe_side_filter_pushes_to_scan(self, spark):
+        """The probe subtree re-derives its assignment from the
+        vec_id < N_QUERIES scan so the corpus-wide assignment pass runs
+        once; the proof is the pushed LessThan on the probe-side scan."""
+        df = SPECS["sim_ivf_topk"].build(spark, SF_CORRECTNESS)
+        assert "LessThan(vec_id" in inspect.pushed_filters(df)
