@@ -1,0 +1,331 @@
+"""Temporal join operators Spark has no native form of: as-of join,
+interval-overlap (range) join, and time-bucket rollup with gap filling.
+
+The reference's only temporal operator is the sliding window
+(``process_articles.py:80``); these are the time-series operators a
+user of that pipeline reaches for next, each re-expressed as a
+composition of existing DataFrame ops (no UDFs, no iteration):
+
+* **as-of join** — the union+window rewrite: tag both sides, union on
+  the key, and carry the last build-side row forward with
+  ``last(..., ignorenulls=True)`` over (key, ts, tag). ONE hash
+  exchange on the key + a per-key sort, vs the O(probe x build)-per-key
+  nested loop a raw ``ts <= ts`` theta-join plans as.
+* **range join** — the bin-join rewrite: quantize time into bins the
+  width of the interval, explode each interval onto the (exactly 2)
+  bins it can touch, hash-join probe rows on their single bin, then
+  apply the exact bounds as a residual predicate. Each (probe,
+  interval) pair meets in exactly one bin (the probe's), so no
+  dedup pass is needed.
+* **gapfill** — aggregate first (bucket grain), then densify with
+  ``sequence()`` per key and left-join the real buckets back; LOCF is
+  ``last(value, ignorenulls=True)`` over the densified series. All
+  post-aggregation work is at bucket-grain cardinality, so the
+  corpus-scale cost stays the one aggregation exchange.
+
+Oracle notes: DuckDB has a native ``ASOF LEFT JOIN`` — the oracle uses
+it, so the Spark rewrite is checked against an INDEPENDENT
+implementation of the semantics, not a transliteration of itself. The
+range-join oracle is the plain inequality join; the gapfill oracle is
+``generate_series`` + ``last_value IGNORE NULLS``. Event timestamps
+are normalized with ``make_timestamp(epoch_us(ts))`` so both parquet
+ts encodings (NANOS-as-long and MICROS) hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    probe_ts: str,
+    build_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """Backward-inclusive as-of join of two ARBITRARY relations: each
+    probe row gains ``asof_ts`` (the greatest ``build_ts`` <= its
+    ``probe_ts`` within its ``on`` group) and ``asof_<c>`` for every
+    payload column of that build row; NULLs when no build row precedes
+    (LEFT semantics). This is the general form ``join_asof_last_purchase``
+    (same-relation running max of a single scalar, ``operators/joins.py``)
+    can't express: probe and build may have different schemas, and the
+    whole build ROW is carried, not one value.
+
+    Rewrite: tag both sides, union on the key, carry the last non-null
+    build struct forward with ``last(..., ignorenulls=True)`` over
+    (key, ts, tag). Build rows sort before probe rows at equal ts
+    (tag 0 < 1), making the bound inclusive; duplicate build rows at one
+    (key, ts) are resolved inside the same sort (payload ascending, so
+    the max-payload row is carried) — a dedup groupBy would add a
+    (key, ts) exchange that can't be reused by the window's (key)
+    exchange. Cost: ONE hash exchange on the key + a per-key sort,
+    vs the per-key nested loop a ``ts <= ts`` theta-join plans as.
+    Per-key state is that key's row count — cap per-key history before
+    the join for adversarial keys at 100 TB.
+    """
+    carry = F.struct(
+        F.col(build_ts).alias("__ts"), *[F.col(c).alias(c) for c in payload]
+    )
+    b = build.select(
+        *on,
+        F.col(build_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        carry.alias("__carry"),
+    )
+    probe_cols = probe.columns
+    p = probe.select(
+        *on,
+        F.col(probe_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(b.schema["__carry"].dataType).alias("__carry"),
+        F.struct(*[F.col(c) for c in probe_cols]).alias("__probe"),
+    )
+    b = b.withColumn("__probe", F.lit(None).cast(p.schema["__probe"].dataType))
+    w = (
+        W.partitionBy(*on)
+        .orderBy("__t", "__tag", "__carry")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        p.unionByName(b)
+        .withColumn("__last", F.last("__carry", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+        .select(
+            *[F.col(f"__probe.{c}").alias(c) for c in probe_cols],
+            F.col("__last.__ts").alias("asof_ts"),
+            *[F.col(f"__last.{c}").alias(f"asof_{c}") for c in payload],
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, ts, max(value) AS click_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, ts
+)
+SELECT p.event_id,
+       p.user_id,
+       make_timestamp(epoch_us(p.ts))          AS purchase_ts,
+       p.value                                 AS purchase_value,
+       make_timestamp(epoch_us(c.ts))          AS click_ts,
+       c.click_value,
+       round(date_diff('microsecond', c.ts, p.ts) / 1000000.0, 6) AS wait_secs
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("join", "asof", "temporal", "events"),
+    doc=(
+        "General as-of join (see asof_join above): every purchase paired "
+        "with the same user's most recent click at-or-before it, carrying "
+        "the click's payload (NULLs when none precede) — the two-relation, "
+        "row-carrying form join_asof_last_purchase's running-max trick "
+        "can't express. ONE hash exchange, no Join operator (pinned in "
+        "test_plans). The DuckDB oracle uses its native ASOF LEFT JOIN — "
+        "an independent implementation of the same semantics, with max() "
+        "at duplicate (user, ts) matching the helper's payload-ascending "
+        "tie-break."
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    build = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(
+        probe,
+        build,
+        on=["user_id"],
+        probe_ts="purchase_ts",
+        build_ts="ts",
+        payload=["click_value"],
+    ).select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_click_value").alias("click_value"),
+        F.round(
+            F.col("purchase_ts").cast("double") - F.col("asof_ts").cast("double"), 6
+        ).alias("wait_secs"),
+    )
+
+
+@register(
+    "join_range_interval",
+    oracle="""
+WITH c AS (
+    SELECT event_id, user_id, ts
+    FROM events WHERE event_type = 'click'
+),
+r AS (
+    SELECT ts FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id,
+       c.user_id,
+       make_timestamp(epoch_us(c.ts)) AS click_ts,
+       count(r.ts)                    AS n_error_windows
+FROM c LEFT JOIN r
+  ON c.ts >= r.ts AND c.ts < r.ts + INTERVAL 10 MINUTE
+GROUP BY c.event_id, c.user_id, c.ts
+""",
+    tags=("join", "range", "interval", "temporal", "events"),
+    doc=(
+        "Interval-overlap (range) join: per click, how many 10-minute "
+        "error windows [error_ts, error_ts + 10 min) cover it. A raw "
+        "theta-join plans as a per-partition nested loop (O(n*m)); the "
+        "Spark side bin-joins instead: time quantized into bins exactly "
+        "the interval width, each window exploded onto the 2 bins it can "
+        "touch, clicks hash-joined on their single bin, exact bounds "
+        "applied as a residual predicate. Each (click, window) pair "
+        "meets in exactly one bin so the count needs no dedup; LEFT "
+        "semantics keep zero-overlap clicks via count(CASE residual). "
+        "Pair cardinality is (event rate x window length) per bin — "
+        "inherent to the query's answer, not the algorithm. Complements "
+        "join_range_binned (orders x a 12-row STATIC period dimension): "
+        "here BOTH sides are corpus-derived and grow with the data, so "
+        "the bin key is what keeps the join hash-planned when the "
+        "interval side outgrows a broadcast."
+    ),
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    width_us = 600_000_000  # 10 minutes, in microseconds
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") / F.lit(width_us)).cast("long").alias("__bin"),
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.unix_micros("ts").alias("__start_us"))
+        .select(
+            "__start_us",
+            F.explode(
+                F.sequence(
+                    (F.col("__start_us") / F.lit(width_us)).cast("long"),
+                    (F.col("__start_us") / F.lit(width_us)).cast("long") + 1,
+                )
+            ).alias("__bin"),
+        )
+    )
+    probe_us = F.unix_micros("ts")
+    inside = (probe_us >= F.col("__start_us")) & (
+        probe_us < F.col("__start_us") + F.lit(width_us)
+    )
+    return (
+        clicks.join(windows, "__bin", "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count(F.when(inside, F.lit(1))).alias("n_error_windows"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "n_error_windows",
+        )
+    )
+
+
+@register(
+    "time_bucket_gapfill",
+    oracle="""
+WITH agg AS (
+    SELECT event_type,
+           make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+           count(*)             AS n,
+           round(sum(value), 6) AS tv
+    FROM events
+    GROUP BY event_type, bucket
+),
+bounds AS (
+    SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+    FROM agg GROUP BY event_type
+),
+series AS (
+    SELECT event_type,
+           unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+    FROM bounds
+)
+SELECT s.event_type,
+       s.bucket                 AS bucket_start,
+       coalesce(a.n, 0)         AS n_events,
+       coalesce(a.tv, 0.0)      AS total_value,
+       (a.n IS NULL)            AS is_gap,
+       last_value(a.tv IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )                        AS locf_value
+FROM series s LEFT JOIN agg a USING (event_type, bucket)
+""",
+    tags=("time-window", "gapfill", "rollup", "temporal", "events"),
+    doc=(
+        "Hypertable-style rollup: 15-minute buckets per event_type, "
+        "densified so every bucket between each type's first and last "
+        "appears — empty buckets emit (0, 0.0, is_gap=true) — plus LOCF "
+        "(last observation carried forward) over the dense series. "
+        "Aggregation runs FIRST, so densification (sequence + explode + "
+        "left join + window) operates at bucket-grain cardinality "
+        "(days/15min x |types|), never corpus grain: the only "
+        "corpus-scale exchange is the bucket groupBy's."
+    ),
+)
+def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    step_us = 900_000_000  # 15 minutes
+    agg = (
+        ev.groupBy(
+            "event_type",
+            F.timestamp_micros(
+                (F.unix_micros("ts") / F.lit(step_us)).cast("long") * F.lit(step_us)
+            ).alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+    )
+    series = (
+        agg.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        series.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.col("bucket").alias("bucket_start"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+            F.col("n").isNull().alias("is_gap"),
+            F.last("tv", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )

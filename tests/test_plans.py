@@ -257,3 +257,43 @@ class TestIvfAssignmentMapOnly:
         once; the proof is the pushed LessThan on the probe-side scan."""
         df = SPECS["sim_ivf_topk"].build(spark, SF_CORRECTNESS)
         assert "LessThan(vec_id" in inspect.pushed_filters(df)
+
+
+class TestTemporalPlanShape:
+    def test_asof_join_is_one_exchange_no_join_operator(self, spark):
+        """The as-of union+window rewrite must plan as ONE hash exchange
+        (the per-user window's) and NO join operator at all — a Join node
+        or a second exchange means either the theta-join form or a
+        build-side pre-aggregation crept back in."""
+        df = SPECS["join_asof"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert plan.count("hashpartitioning") == 1, plan
+        assert "Join" not in plan, plan
+
+    def test_range_interval_join_is_hash_not_nested_loop(self, spark):
+        """The interval-overlap join must hash-join on the bin key; a
+        nested-loop (or cartesian) node means the bin equi key was lost
+        and every (click, window) pair is being evaluated."""
+        df = SPECS["join_range_interval"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "HashJoin" in plan, plan
+
+    def test_gapfill_densification_is_post_aggregation(self, spark):
+        """Densification (sequence/explode + left join + LOCF window) must
+        sit ABOVE the bucket aggregation: exactly one corpus-grain
+        exchange (the bucket groupBy's hashpartitioning over the raw
+        events relation); everything after operates at bucket-grain
+        cardinality."""
+        import re
+
+        df = SPECS["time_bucket_gapfill"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        # Corpus-grain exchanges partition on (event_type, bucket) straight
+        # off the scan; there must be exactly one full-width aggregation
+        # feeding both the series bounds and the join-back (plan reuse or a
+        # second cheap scan are both acceptable — but no exchange may carry
+        # more than bucket-grain rows beyond the first aggregation).
+        assert "HashAggregate" in plan, plan
+        assert len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)) == 0, plan

@@ -1,0 +1,68 @@
+"""Unit semantics of the generic as-of join: two relations with
+different schemas, equal-ts inclusivity, duplicate-build tie-break,
+and no-match NULLs — the cases the registered showcase query
+(join_asof, oracle = DuckDB ASOF LEFT JOIN) can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from spark_kinesis_article_analysis_spark.operators.temporal import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_two_relation_semantics(self, spark):
+        trades = spark.createDataFrame(
+            [
+                ("A", _ts("2024-01-01 10:00:05"), 100),
+                ("A", _ts("2024-01-01 10:00:00"), 101),  # equal-ts inclusivity
+                ("A", _ts("2024-01-01 09:59:59"), 102),  # before any quote -> NULLs
+                ("B", _ts("2024-01-01 10:00:10"), 103),
+                ("C", _ts("2024-01-01 10:00:10"), 104),  # key with no build rows
+            ],
+            "sym string, t timestamp, trade_id int",
+        )
+        quotes = spark.createDataFrame(
+            [
+                ("A", _ts("2024-01-01 10:00:00"), 5.0, "mm1"),
+                ("A", _ts("2024-01-01 10:00:03"), 6.0, "mm2"),
+                ("B", _ts("2024-01-01 10:00:01"), 7.0, "mm1"),
+                ("B", _ts("2024-01-01 10:00:01"), 9.0, "mm3"),  # dup ts: max payload wins
+            ],
+            "sym string, t timestamp, px double, venue string",
+        )
+        out = {
+            r.trade_id: r
+            for r in asof_join(
+                trades, quotes, on=["sym"], probe_ts="t", build_ts="t",
+                payload=["px", "venue"],
+            ).collect()
+        }
+        assert len(out) == 5  # LEFT semantics: every probe row survives
+        # strictly-before build row carried, not the later one
+        assert (out[100].asof_px, out[100].asof_venue) == (6.0, "mm2")
+        # equal ts is INCLUSIVE (backward-inclusive bound)
+        assert (out[101].asof_px, out[101].asof_ts) == (5.0, _ts("2024-01-01 10:00:00"))
+        # probe before every build row -> NULL payload
+        assert out[102].asof_px is None and out[102].asof_ts is None
+        # duplicate build (key, ts): payload-ascending sort carries the max
+        assert (out[103].asof_px, out[103].asof_venue) == (9.0, "mm3")
+        # key absent from build entirely -> NULLs
+        assert out[104].asof_px is None
+
+    def test_probe_schema_passes_through(self, spark):
+        probe = spark.createDataFrame(
+            [("k", _ts("2024-01-01 00:00:01"), "payload", 1.5)],
+            "k string, t timestamp, extra string, num double",
+        )
+        build = spark.createDataFrame(
+            [("k", _ts("2024-01-01 00:00:00"), 42)], "k string, t timestamp, v int"
+        )
+        row = asof_join(
+            probe, build, on=["k"], probe_ts="t", build_ts="t", payload=["v"]
+        ).collect()[0]
+        assert (row.k, row.extra, row.num, row.asof_v) == ("k", "payload", 1.5, 42)
