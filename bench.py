@@ -71,6 +71,7 @@ HEADLINE = [
     "join_range_interval",        # bin-join interval overlap, both sides corpus-scale
     "time_bucket_gapfill",        # rollup + densify + LOCF
     "agg_stats_corr_regr",        # corr/covar/regr_* co-moment family
+    "agg_exact_percentile",       # single array-percentage buffer (was 2 separate sorts)
 ]
 
 

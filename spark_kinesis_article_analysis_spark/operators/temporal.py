@@ -49,55 +49,74 @@ def asof_join(
     probe_ts: str,
     build_ts: str,
     payload: list[str],
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_secs: float | None = None,
 ) -> DataFrame:
-    """Backward-inclusive as-of join of two ARBITRARY relations: each
-    probe row gains ``asof_ts`` (the greatest ``build_ts`` <= its
-    ``probe_ts`` within its ``on`` group) and ``asof_<c>`` for every
-    payload column of that build row; NULLs when no build row precedes
-    (LEFT semantics). This is the general form ``join_asof_last_purchase``
-    (same-relation running max of a single scalar, ``operators/joins.py``)
-    can't express: probe and build may have different schemas, and the
-    whole build ROW is carried, not one value.
+    """As-of join of two ARBITRARY relations: each probe row gains
+    ``asof_ts`` (the nearest ``build_ts`` at-or-before it for
+    ``direction='backward'``, at-or-after for ``'forward'``, within its
+    ``on`` group) and ``asof_<c>`` for every payload column of that
+    build row; NULLs when no build row qualifies (LEFT semantics).
+    ``allow_exact_matches=False`` makes the bound strict (< / >);
+    ``tolerance_secs`` voids matches farther than that many seconds
+    (``pd.merge_asof``'s knob set). This is the general form
+    ``join_asof_last_purchase`` (same-relation running max of a single
+    scalar, ``operators/joins.py``) can't express: probe and build may
+    have different schemas, and the whole build ROW is carried.
 
     Rewrite: tag both sides, union on the key, carry the last non-null
     build struct forward with ``last(..., ignorenulls=True)`` over
-    (key, ts, tag). Build rows sort before probe rows at equal ts
-    (tag 0 < 1), making the bound inclusive; duplicate build rows at one
-    (key, ts) are resolved inside the same sort (payload ascending, so
-    the max-payload row is carried) — a dedup groupBy would add a
-    (key, ts) exchange that can't be reused by the window's (key)
-    exchange. Cost: ONE hash exchange on the key + a per-key sort,
-    vs the per-key nested loop a ``ts <= ts`` theta-join plans as.
-    Per-key state is that key's row count — cap per-key history before
-    the join for adversarial keys at 100 TB.
+    (key, ts, tag) — ts descending for the forward direction, so "last
+    seen" is the nearest at-or-after. Exact-match inclusion is the tag
+    order: build sorts before probe at equal ts when inclusive, after
+    when strict. Duplicate build rows at one (key, ts) are resolved
+    inside the same sort (payload ascending, so the max-payload row is
+    carried) — a dedup groupBy would add a (key, ts) exchange that
+    can't be reused by the window's (key) exchange. The tolerance is a
+    pure post-projection (null-out), never a join predicate. Cost: ONE
+    hash exchange on the key + a per-key sort, vs the per-key nested
+    loop a ``ts <= ts`` theta-join plans as. Per-key state is that
+    key's row count — cap per-key history before the join for
+    adversarial keys at 100 TB.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     carry = F.struct(
         F.col(build_ts).alias("__ts"), *[F.col(c).alias(c) for c in payload]
     )
+    build_tag, probe_tag = (0, 1) if allow_exact_matches else (1, 0)
     b = build.select(
         *on,
         F.col(build_ts).alias("__t"),
-        F.lit(0).alias("__tag"),
+        F.lit(build_tag).alias("__tag"),
         carry.alias("__carry"),
     )
     probe_cols = probe.columns
     p = probe.select(
         *on,
         F.col(probe_ts).alias("__t"),
-        F.lit(1).alias("__tag"),
+        F.lit(probe_tag).alias("__tag"),
         F.lit(None).cast(b.schema["__carry"].dataType).alias("__carry"),
         F.struct(*[F.col(c) for c in probe_cols]).alias("__probe"),
     )
     b = b.withColumn("__probe", F.lit(None).cast(p.schema["__probe"].dataType))
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         W.partitionBy(*on)
-        .orderBy("__t", "__tag", "__carry")
+        .orderBy(t_order, "__tag", "__carry")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    matched = F.last("__carry", ignorenulls=True).over(w)
+    if tolerance_secs is not None:
+        gap = F.abs(
+            F.col("__t").cast("double") - matched["__ts"].cast("double")
+        )
+        matched = F.when(gap <= F.lit(float(tolerance_secs)), matched)
     return (
         p.unionByName(b)
-        .withColumn("__last", F.last("__carry", ignorenulls=True).over(w))
-        .filter(F.col("__tag") == 1)
+        .withColumn("__last", matched)
+        .filter(F.col("__tag") == probe_tag)
         .select(
             *[F.col(f"__probe.{c}").alias(c) for c in probe_cols],
             F.col("__last.__ts").alias("asof_ts"),

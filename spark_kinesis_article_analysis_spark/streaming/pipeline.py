@@ -194,6 +194,88 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner")
 
 
+def streaming_asof_enrich(events: DataFrame) -> DataFrame:
+    """Streaming form of the as-of join (``operators/temporal.asof_join``):
+    per-user state carries the latest click's (ts, value); each purchase
+    is emitted enriched with the most recent click at-or-before it.
+
+    Inside a micro-batch the group is resolved with ``pd.merge_asof``
+    (clicks sorted by (ts, value) so the max-value row wins duplicate
+    timestamps — the batch operator's tie-break); the carried state is
+    prepended as a synthetic earlier click, then state advances to the
+    batch's newest click. Exactness across batches requires micro-batch
+    boundaries to respect per-key event-time order (true for ordered
+    replays/logs, e.g. the article_replay source's per-shard order); the
+    batch operator is the out-of-order-tolerant form. State per key is
+    ONE (ts, value) pair — bounded regardless of history length, unlike
+    the stream-stream interval join whose state is rate x interval.
+    Batch/stream parity: tests/test_streaming.py::TestStreamingAsofEnrich.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # normalize to ns-resolution so carried-state rows concat/merge
+        # cleanly whatever resolution Arrow handed us
+        rows["ts"] = rows["ts"].astype("datetime64[ns]")
+        clicks = rows[rows["event_type"] == "click"][["ts", "value"]]
+        if state.exists:
+            ts_us, v = state.get
+            carried = pd.DataFrame(
+                {"ts": [pd.Timestamp(ts_us * 1_000)], "value": [v]}
+            )
+            carried["ts"] = carried["ts"].astype("datetime64[ns]")
+            clicks = pd.concat([carried, clicks], ignore_index=True)
+        # (ts, value) ascending: merge_asof takes the LAST row per ts,
+        # i.e. the max value — the batch operator's dup tie-break.
+        clicks = clicks.sort_values(["ts", "value"], kind="stable")
+        purchases = rows[rows["event_type"] == "purchase"][
+            ["event_id", "ts", "value"]
+        ].sort_values("ts", kind="stable")
+        if len(clicks):
+            latest = clicks.iloc[-1]
+            state.update((int(latest["ts"].value // 1_000), float(latest["value"])))
+        if len(purchases):
+            purchases = purchases.rename(columns={"value": "purchase_value"})
+            if len(clicks):
+                out = pd.merge_asof(
+                    purchases,
+                    clicks.rename(columns={"ts": "click_ts", "value": "click_value"}),
+                    left_on="ts",
+                    right_on="click_ts",
+                    direction="backward",
+                    allow_exact_matches=True,
+                )
+            else:
+                out = purchases.assign(
+                    click_ts=pd.NaT, click_value=float("nan")
+                )
+            out["user_id"] = key[0]
+            yield out.rename(columns={"ts": "purchase_ts"})[
+                [
+                    "event_id",
+                    "user_id",
+                    "purchase_ts",
+                    "purchase_value",
+                    "click_ts",
+                    "click_value",
+                ]
+            ]
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id long, user_id long, purchase_ts timestamp, "
+            "purchase_value double, click_ts timestamp, click_value double"
+        ),
+        stateStructType="ts_us long, v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_author_stats(parsed_with_wc: DataFrame) -> DataFrame:
     """Arbitrary stateful operator (``applyInPandasWithState``): per-author
     running article count and running mean word count, maintained as

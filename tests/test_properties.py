@@ -272,3 +272,25 @@ def test_coverage_md_header_matches_registry():
         n_oracle,
         n_total - n_oracle,
     ), f"COVERAGE.md says {m.groups()}, registry has ({n_total}, {n_oracle}, {n_total - n_oracle})"
+
+
+def test_registry_verdict_window_protects_changed_oracles():
+    """The driver verdicts only the first 50 of all_specs() per round.
+    Two invariants keep that budget pointed at real evidence gaps:
+    (1) never-verified specs all rank first; (2) the specs whose ORACLES
+    were rewritten this round (quality.py's bigram-less parity fix) stay
+    inside the window — that is why quality.py imports before
+    pipeline.py in registry._load_all. An import reorder that silently
+    pushes a changed-oracle spec past position 50 would ship an oracle
+    the driver never re-checks."""
+    from spark_kinesis_article_analysis_spark.registry import all_specs, _verified_ts
+
+    specs = list(all_specs())
+    verified = _verified_ts()
+    never = [n for n in specs if n not in verified]
+    assert all(specs.index(n) < len(never) for n in never), (
+        "never-verified specs must occupy the head of the queue"
+    )
+    window = set(specs[:50])
+    for name in ("text_repetition_stats", "corpus_ingest_batch_form"):
+        assert name in window, f"{name} (rewritten oracle) fell out of the verdict window"

@@ -624,3 +624,77 @@ class TestSessionWindowParity:
             .collect()
         }
         assert streamed == batch, (streamed, batch)
+
+
+class TestStreamingAsofEnrich:
+    """Streaming form of operators/temporal.asof_join: per-user state
+    carries the latest click across micro-batches; output must equal the
+    batch as-of join when batch boundaries respect event-time order."""
+
+    EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def _write_events(self, spark, dir_path, idx, rows):
+        spark.createDataFrame(rows, self.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append" if idx else "overwrite"
+        ).parquet(dir_path)
+
+    def test_matches_batch_asof_join_across_batches(self, spark, tmp_path):
+        import datetime as dt
+
+        def ts(s):
+            return dt.datetime.fromisoformat(s)
+
+        d = str(tmp_path / "events")
+        # batch 0: clicks + one purchase; the LAST click must be carried
+        # into batch 1's state. Duplicate-ts clicks (u2) exercise the
+        # max-value tie-break; u3's purchase precedes any click (NULLs);
+        # u1's second purchase ts-ties a click (inclusive bound).
+        self._write_events(spark, d, 0, [
+            (0, ts("2024-01-01 00:00:00"), 1, "click", 5.0),
+            (1, ts("2024-01-01 00:00:10"), 1, "purchase", 100.0),
+            (2, ts("2024-01-01 00:00:20"), 1, "click", 6.0),
+            (3, ts("2024-01-01 00:00:30"), 2, "click", 1.0),
+            (4, ts("2024-01-01 00:00:30"), 2, "click", 3.0),  # dup ts
+            (5, ts("2024-01-01 00:00:40"), 3, "purchase", 50.0),  # no click yet
+        ])
+        # batch 1: purchases that must see batch 0's carried clicks
+        self._write_events(spark, d, 1, [
+            (6, ts("2024-01-01 00:01:00"), 1, "click", 7.0),
+            (7, ts("2024-01-01 00:01:00"), 1, "purchase", 101.0),  # ts tie: inclusive
+            (8, ts("2024-01-01 00:01:10"), 2, "purchase", 102.0),  # carried dup-ts click
+            (9, ts("2024-01-01 00:01:20"), 3, "purchase", 103.0),  # still no click
+        ])
+
+        stream = (
+            spark.readStream.schema(self.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        _run_to_completion(sp.streaming_asof_enrich(stream), "asof_enrich")
+        got = {
+            r.event_id: (r.click_ts, r.click_value)
+            for r in spark.sql("SELECT * FROM asof_enrich").collect()
+        }
+
+        from spark_kinesis_article_analysis_spark.operators.temporal import asof_join
+
+        ev = spark.read.parquet(d)
+        probe = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        build = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        )
+        want = {
+            r.event_id: (r.asof_ts, r.asof_click_value)
+            for r in asof_join(
+                probe, build, on=["user_id"], probe_ts="purchase_ts",
+                build_ts="ts", payload=["click_value"],
+            ).collect()
+        }
+        assert got == want, (got, want)
+        # spot-check the cross-batch carry and the tie-breaks explicitly
+        assert got[7][1] == 7.0   # same-ts click included
+        assert got[8][1] == 3.0   # carried dup-ts click: max value won
+        assert got[9] == (None, None)  # never any click for u3

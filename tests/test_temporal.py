@@ -66,3 +66,59 @@ class TestAsofJoin:
             probe, build, on=["k"], probe_ts="t", build_ts="t", payload=["v"]
         ).collect()[0]
         assert (row.k, row.extra, row.num, row.asof_v) == ("k", "payload", 1.5, 42)
+
+    def test_forward_direction(self, spark):
+        probe = spark.createDataFrame(
+            [("k", _ts("2024-01-01 10:00:00"), 1),
+             ("k", _ts("2024-01-01 10:00:07"), 2)],
+            "k string, t timestamp, pid int",
+        )
+        build = spark.createDataFrame(
+            [("k", _ts("2024-01-01 10:00:03"), 30.0),
+             ("k", _ts("2024-01-01 10:00:05"), 50.0)],
+            "k string, t timestamp, v double",
+        )
+        out = {
+            r.pid: r.asof_v
+            for r in asof_join(
+                probe, build, on=["k"], probe_ts="t", build_ts="t",
+                payload=["v"], direction="forward",
+            ).collect()
+        }
+        # nearest at-or-AFTER: 10:00:00 -> 10:00:03; 10:00:07 -> none
+        assert out == {1: 30.0, 2: None}
+
+    def test_strict_bound_excludes_equal_ts(self, spark):
+        probe = spark.createDataFrame(
+            [("k", _ts("2024-01-01 10:00:03"), 1)], "k string, t timestamp, pid int"
+        )
+        build = spark.createDataFrame(
+            [("k", _ts("2024-01-01 10:00:03"), 30.0),
+             ("k", _ts("2024-01-01 10:00:01"), 10.0)],
+            "k string, t timestamp, v double",
+        )
+        kw = dict(on=["k"], probe_ts="t", build_ts="t", payload=["v"])
+        incl = asof_join(probe, build, **kw).collect()[0]
+        strict = asof_join(probe, build, allow_exact_matches=False, **kw).collect()[0]
+        assert incl.asof_v == 30.0    # equal ts included by default
+        assert strict.asof_v == 10.0  # strict bound skips the equal-ts row
+
+    def test_tolerance_voids_distant_matches(self, spark):
+        probe = spark.createDataFrame(
+            [("k", _ts("2024-01-01 10:05:00"), 1),
+             ("k", _ts("2024-01-01 10:00:02"), 2)],
+            "k string, t timestamp, pid int",
+        )
+        build = spark.createDataFrame(
+            [("k", _ts("2024-01-01 10:00:00"), 10.0)],
+            "k string, t timestamp, v double",
+        )
+        out = {
+            r.pid: (r.asof_v, r.asof_ts)
+            for r in asof_join(
+                probe, build, on=["k"], probe_ts="t", build_ts="t",
+                payload=["v"], tolerance_secs=10.0,
+            ).collect()
+        }
+        assert out[2] == (10.0, _ts("2024-01-01 10:00:00"))  # 2s gap: kept
+        assert out[1] == (None, None)                        # 300s gap: voided
