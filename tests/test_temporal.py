@@ -122,3 +122,87 @@ class TestAsofJoin:
         }
         assert out[2] == (10.0, _ts("2024-01-01 10:00:00"))  # 2s gap: kept
         assert out[1] == (None, None)                        # 300s gap: voided
+
+
+class TestAsofJoinDifferential:
+    """Differential testing vs pandas merge_asof — an independent
+    reference implementation of every knob combination (direction x
+    exact-bound x tolerance), over generated key/ts/payload sets with
+    deliberate ts collisions.
+
+    Tie-break alignment: this engine carries the MAX-payload build row
+    at a duplicate (key, ts). merge_asof instead takes the last (backward)
+    or first (forward) right row among equal ts in input order, so the
+    reference sorts the right side (t asc, v asc) for backward and
+    (t asc, v desc) for forward to encode the same rule."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _keys = st.sampled_from(["a", "b"])
+    _probes = st.lists(st.tuples(_keys, st.integers(0, 15)), min_size=1, max_size=8)
+    _builds = st.lists(
+        st.tuples(_keys, st.integers(0, 15), st.sampled_from([1.0, 2.0, 3.0])),
+        min_size=1,
+        max_size=8,
+    )
+    _opts = st.tuples(
+        st.sampled_from(["backward", "forward"]),
+        st.booleans(),
+        st.sampled_from([None, 3.0]),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(probes=_probes, builds=_builds, opt=_opts)
+    def test_matches_pandas_merge_asof(self, spark, probes, builds, opt):
+        import pandas as pd
+
+        from spark_kinesis_article_analysis_spark.operators.temporal import asof_join
+
+        direction, exact, tol = opt
+        base = pd.Timestamp("2024-01-01")
+        pdf_p = pd.DataFrame(
+            {
+                "k": [k for k, _ in probes],
+                "t": [base + pd.Timedelta(seconds=s) for _, s in probes],
+                "pid": range(len(probes)),
+            }
+        )
+        pdf_b = pd.DataFrame(
+            {
+                "k": [k for k, _, _ in builds],
+                "bt": [base + pd.Timedelta(seconds=s) for _, s, _ in builds],
+                "v": [v for _, _, v in builds],
+            }
+        )
+        right = pdf_b.sort_values(
+            ["bt", "v"], ascending=[True, direction == "backward"], kind="stable"
+        )
+        want_df = pd.merge_asof(
+            pdf_p.sort_values("t", kind="stable"),
+            right,
+            left_on="t",
+            right_on="bt",
+            by="k",
+            direction=direction,
+            allow_exact_matches=exact,
+            tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+        )
+        want = {
+            int(r.pid): (None if pd.isna(r.bt) else r.bt.to_pydatetime(),
+                         None if pd.isna(r.v) else r.v)
+            for r in want_df.itertuples()
+        }
+        got_df = asof_join(
+            spark.createDataFrame(pdf_p),
+            spark.createDataFrame(pdf_b.rename(columns={"bt": "t"})),
+            on=["k"],
+            probe_ts="t",
+            build_ts="t",
+            payload=["v"],
+            direction=direction,
+            allow_exact_matches=exact,
+            tolerance_secs=tol,
+        )
+        got = {int(r.pid): (r.asof_ts, r.asof_v) for r in got_df.collect()}
+        assert got == want, (direction, exact, tol, probes, builds)
