@@ -612,3 +612,47 @@ class TestDefaultShardPath:
         out = range_sharded_running_sum(d, ["lang"], "doc_id", "n_tokens", "cum", 8)
         plan = inspect.explain_str(out).lower()
         assert "rangepartitioning" not in plan, plan
+
+
+class TestDynamicPartitionPruning:
+    def test_filtered_dim_prunes_fact_partitions_at_runtime(self, spark, tmp_path):
+        """Dynamic partition pruning: a selective filter on the DIM side
+        becomes a runtime subquery filter on the FACT's partition column —
+        the fact scan reads only the partitions the filtered dim actually
+        references. At 100 TB this is the difference between scanning a
+        date-partitioned fact table fully and scanning the 2 months a dim
+        predicate selects; static PartitionFilters (TestPartitionedWrite)
+        can't express it because the pruning values are only known after
+        the dim is evaluated."""
+        from spark_kinesis_article_analysis_spark.sources.files import write_parquet
+
+        li = load(spark, SF_SMOKE, "lineitem").withColumn(
+            "ship_month", F.date_trunc("month", "l_shipdate").cast("date")
+        )
+        out = str(tmp_path / "li_by_month")
+        write_parquet(li, out, partition_by=["ship_month"])
+        fact = spark.read.parquet(out)
+        dim = (
+            load(spark, SF_SMOKE, "orders")
+            .filter(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1997-03-01")
+            )
+            .select(F.date_trunc("month", "o_orderdate").cast("date").alias("ship_month"))
+            .distinct()
+        )
+        j = fact.join(dim, "ship_month").groupBy("ship_month").agg(
+            F.count("*").alias("n")
+        )
+        plan = inspect.explain_str(j)
+        assert "dynamicpruning" in plan.lower(), plan
+        # semantics unchanged vs the statically-filtered equivalent
+        got = {(r.ship_month, r.n) for r in j.collect()}
+        want = {
+            (r.ship_month, r.n)
+            for r in fact.join(F.broadcast(dim), "ship_month")
+            .groupBy("ship_month")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
