@@ -72,6 +72,8 @@ HEADLINE = [
     "time_bucket_gapfill",        # rollup + densify + LOCF
     "agg_stats_corr_regr",        # corr/covar/regr_* co-moment family
     "agg_exact_percentile",       # single array-percentage buffer (was 2 separate sorts)
+    "dedup_fuzzy_levenshtein",    # LSH candidates + edit-distance verify
+    "scd2_history",               # CDC/SCD2 validity intervals, one exchange
 ]
 
 

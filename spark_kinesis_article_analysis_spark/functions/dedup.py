@@ -226,13 +226,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_pipeline(d, minhash, band_key)
 
 
-def _minhash_lsh_pipeline(d: DataFrame, minhash_aggs: list, band_key_fn) -> DataFrame:
-    """Shared MinHash+LSH plan: shingle -> per-doc min-hash signature ->
-    banded bucket keys -> intra-bucket pair expansion -> exact-Jaccard
-    verify on candidate shingle sets. ``minhash_aggs`` are the k
-    signature aggregates (aliased mh0..mh{k-1}); ``band_key_fn(band)``
-    derives each band's bucket key from those columns."""
-    sh = _shingles(d, 3)
+def _minhash_lsh_candidates(sh: DataFrame, minhash_aggs: list, band_key_fn):
+    """Candidate-pair half of the MinHash+LSH plan: shingles -> per-doc
+    min-hash signature -> banded bucket keys -> intra-bucket pair
+    expansion. Returned pairs are persisted (tiny by LSH construction)
+    so multiple verify strategies (exact Jaccard below, edit distance in
+    ``dedup_fuzzy_levenshtein``) can share one candidate generation."""
     minhashes = sh.groupBy("doc_id").agg(*minhash_aggs)
     # band keys: hash of each band's r consecutive min-hashes
     banded = minhashes.select(
@@ -270,12 +269,22 @@ def _minhash_lsh_pipeline(d: DataFrame, minhash_aggs: list, band_key_fn) -> Data
             ),
         )
     )
-    candidates = (
+    return (
         buckets.select(F.explode(pair_list).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
         .persist()  # reused 3x (both id sides + final join); tiny by LSH construction
     )
+
+
+def _minhash_lsh_pipeline(d: DataFrame, minhash_aggs: list, band_key_fn) -> DataFrame:
+    """Shared MinHash+LSH plan: shingle -> per-doc min-hash signature ->
+    banded bucket keys -> intra-bucket pair expansion -> exact-Jaccard
+    verify on candidate shingle sets. ``minhash_aggs`` are the k
+    signature aggregates (aliased mh0..mh{k-1}); ``band_key_fn(band)``
+    derives each band's bucket key from those columns."""
+    sh = _shingles(d, 3)
+    candidates = _minhash_lsh_candidates(sh, minhash_aggs, band_key_fn)
     # Exact-Jaccard verification restricted to candidate docs: re-shingle
     # only rows that survive LSH (semi-join on the candidate id set),
     # collect each candidate's distinct-shingle set ONCE, and score
@@ -608,5 +617,97 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("o_orderkey").alias("latest_orderkey"),
             F.col("o_orderdate").alias("latest_orderdate"),
+        )
+    )
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+mh AS (
+    SELECT doc_id,
+           {_MINHASH_SQL}
+    FROM sh GROUP BY doc_id
+),
+banded AS (
+    {_BANDED_SQL}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+norm AS (SELECT doc_id, {_NORM} AS nt FROM documents)
+SELECT doc_a, doc_b,
+       levenshtein(na.nt, nb.nt) AS edit_distance,
+       round(1.0 - levenshtein(na.nt, nb.nt)
+                   / greatest(length(na.nt), length(nb.nt), 1), 6) AS edit_similarity
+FROM pairs
+JOIN norm na ON na.doc_id = doc_a
+JOIN norm nb ON nb.doc_id = doc_b
+WHERE levenshtein(na.nt, nb.nt) <= 0.25 * greatest(length(na.nt), length(nb.nt))
+""",
+    tags=("dedup", "fuzzy", "levenshtein", "lsh", "north-star"),
+    doc=(
+        "Character-level fuzzy dedup: MinHash-LSH candidate pairs "
+        "(md5-portable geometry shared with dedup_minhash_lsh_portable "
+        "via _minhash_lsh_candidates) verified by EDIT DISTANCE on the "
+        "normalized text instead of shingle Jaccard — the modality that "
+        "catches small in-place edits (typo fixes, template fills) "
+        "token-set measures under-weigh. Levenshtein is O(len_a*len_b) "
+        "per pair, which is exactly why it only ever runs on the "
+        "LSH-surfaced candidates (a vanishing fraction of the corpus), "
+        "never all pairs; threshold is relative (<= 25% of the longer "
+        "doc) so short and long docs gate comparably. greatest(..., 1) "
+        "guards the similarity ratio against empty normalized docs. "
+        "Oracle replicates candidates AND verify exactly (DuckDB "
+        "levenshtein == Spark levenshtein, standard edit distance)."
+    ),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles(d, 3)
+
+    def h(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f":mh{i}"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        )
+
+    minhash = [F.min(h(i)).alias(f"mh{i}") for i in range(MINHASH_HASHES)]
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+
+    def band_key(band: int):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{band * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+
+    candidates = _minhash_lsh_candidates(sh, minhash, band_key)
+    norm = d.select("doc_id", normalized_text_col().alias("nt"))
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("nta"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("ntb"))
+    lev = F.levenshtein("nta", "ntb")
+    longer = F.greatest(F.length("nta"), F.length("ntb"))
+    return (
+        candidates.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(lev <= 0.25 * longer)
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_distance"),
+            F.round(1.0 - lev / F.greatest(longer, F.lit(1)), 6).alias(
+                "edit_similarity"
+            ),
         )
     )

@@ -348,3 +348,63 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("tv", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+WITH ordered AS (
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+           lag(o_orderstatus) OVER w AS prev_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate
+    FROM ordered
+    WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+)
+SELECT o_custkey,
+       o_orderkey   AS change_orderkey,
+       o_orderstatus AS status,
+       o_orderdate  AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+FROM changes
+""",
+    tags=("temporal", "scd2", "cdc", "history"),
+    doc=(
+        "SCD Type-2 history construction (the MERGE INTO / CDC pattern "
+        "without a table format): a per-key change feed collapses to "
+        "true status transitions (row kept only when status differs "
+        "from lag(status)), then each surviving change gets "
+        "[valid_from, valid_to) validity from lead() and an is_current "
+        "flag on the open interval. Both windows share one (custkey) "
+        "partitioning + (date, orderkey) sort, so the whole history "
+        "build is ONE hash exchange + one per-key sort regardless of "
+        "feed size; the deterministic orderkey tie-break makes the "
+        "interval bounds reproducible under concurrent same-day changes."
+    ),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("o_orderstatus") != F.col("prev_status"))
+        )
+        .drop("prev_status")
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("change_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+    )
