@@ -693,7 +693,20 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     candidates = _minhash_lsh_candidates(sh, minhash, band_key)
-    norm = d.select("doc_id", normalized_text_col().alias("nt"))
+    # same verify-stage shape as the Jaccard pipeline: pull normalized
+    # text ONCE for candidate docs only (semi-join), then join that tiny
+    # persisted frame on both pair sides — one corpus scan for the
+    # verify, not two.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    norm = (
+        d.select("doc_id", normalized_text_col().alias("nt"))
+        .join(cand_ids, "doc_id", "left_semi")
+        .persist()
+    )
     na = norm.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("nta"))
     nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("ntb"))
     lev = F.levenshtein("nta", "ntb")

@@ -297,3 +297,23 @@ class TestTemporalPlanShape:
         # more than bucket-grain rows beyond the first aggregation).
         assert "HashAggregate" in plan, plan
         assert len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)) == 0, plan
+
+
+class TestScd2AndFuzzyPlanShape:
+    def test_scd2_history_is_one_exchange(self, spark):
+        """Both SCD2 windows (lag change-detect, lead validity) share one
+        (custkey) partitioning + (date, orderkey) sort — the whole
+        history build must plan over a single hash exchange."""
+        df = SPECS["scd2_history"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert plan.count("hashpartitioning") == 1, plan
+
+    def test_fuzzy_dedup_has_no_pair_grain_self_join(self, spark):
+        """Candidates must come from the shared banded-bucket expansion
+        (higher-order combinations), never a banded self-join (which
+        re-derives the shingle->minhash upstream per side) or a nested
+        loop over doc pairs."""
+        df = SPECS["dedup_fuzzy_levenshtein"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
