@@ -130,13 +130,23 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json_functions",
     oracle="""
 SELECT event_id,
-       json_extract_string(props, '$.k')                    AS k_str,
-       CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_int,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+       CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k') END          AS k_str,
+       CASE WHEN json_valid(props)
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_int,
+       CASE WHEN json_valid(props)
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 END AS k_doubled
 FROM events
 """,
     tags=("scalar", "json", "P2"),
-    doc="get_json_object + from_json typed extraction over events.props.",
+    doc=(
+        "get_json_object + from_json typed extraction over events.props. "
+        "Oracle guards with json_valid/TRY_CAST because Spark's "
+        "get_json_object and PERMISSIVE from_json return NULL on "
+        "malformed/empty/NULL payloads while DuckDB's json_extract_string "
+        "throws — parity holds on hostile props, not just well-formed ones "
+        "(tests/test_degenerate_events.py)."
+    ),
 )
 def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -536,8 +546,13 @@ def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json_extended",
     oracle="""
 SELECT event_id,
-       json_extract_string(props, '$.k')                    AS k_tuple,
-       '{"k":' || json_extract_string(props, '$.k') || '}'  AS canonical_json,
+       CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k') END AS k_tuple,
+       CASE WHEN props IS NULL OR trim(props) = '' THEN NULL
+            WHEN NOT json_valid(props) THEN '{}'
+            WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                 THEN '{"k":' || CAST(props::JSON ->> 'k' AS BIGINT) || '}'
+            ELSE '{}' END AS canonical_json,
        'STRUCT<k: BIGINT>'                                  AS schema_str,
        'a,b'                                                AS map_keys_str
 FROM events
@@ -547,7 +562,12 @@ FROM events
         "json_tuple multi-field extraction, from_json->to_json canonical "
         "round-trip, schema_of_json inference (pinned textually), and "
         "str_to_map parsing. Completes the JSON family beyond "
-        "get_json_object/from_json."
+        "get_json_object/from_json. Oracle mirrors Spark's degenerate "
+        "behavior exactly — and it is the OPPOSITE of the intuitive rule: "
+        "PERMISSIVE from_json turns a MALFORMED payload into an all-null "
+        "row (to_json -> '{}'), while an empty/NULL payload yields a NULL "
+        "row (to_json -> NULL); valid JSON with a missing or non-integer k "
+        "also prints '{}' because to_json drops null fields."
     ),
 )
 def scalar_json_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,29 +734,40 @@ def scalar_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_variant_json",
     oracle="""
 SELECT event_id,
-       CAST(props::JSON ->> 'k' AS INTEGER) AS k_int,
+       CASE WHEN json_valid(props)
+            THEN TRY_CAST(props::JSON ->> 'k' AS INTEGER) END AS k_int,
        CAST(NULL AS VARCHAR)                AS k_missing,
-       TRUE                                 AS bad_parse_is_null
+       TRUE                                 AS bad_parse_is_null,
+       event_id                             AS strict_roundtrip
 FROM events
 """,
     tags=("scalar", "variant", "json"),
     doc=(
-        "VARIANT type (Spark 4): parse_json into the binary semi-structured "
-        "type, typed path extraction with variant_get, absent paths yield "
-        "null, and try_parse_json turns malformed input into null instead of "
-        "failing the job — the open-schema ingestion path for event data."
+        "VARIANT type (Spark 4): the props-wide path goes through "
+        "try_parse_json + try_variant_get, so malformed/empty/NULL payloads "
+        "yield NULL instead of failing the job — the open-schema ingestion "
+        "posture an event column requires (strict parse_json on a raw "
+        "corpus column is a landmine: ONE bad payload kills the query). "
+        "Strict parse_json stays showcased on engine-constructed JSON "
+        "(to_json of a struct round-tripped through variant_get), where "
+        "well-formedness is guaranteed by construction."
     ),
 )
 def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
         F.variant_get(v, "$.does_not_exist", "string").alias("k_missing"),
         F.try_parse_json(F.concat(F.lit("{"), F.col("props"))).isNull().alias(
             "bad_parse_is_null"
         ),
+        F.variant_get(
+            F.parse_json(F.to_json(F.struct(F.col("event_id").alias("e")))),
+            "$.e",
+            "bigint",
+        ).alias("strict_roundtrip"),
     )
 
 

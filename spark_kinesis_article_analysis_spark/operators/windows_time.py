@@ -142,7 +142,9 @@ def time_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
        event_type,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       round(avg(CASE WHEN json_valid(props)
+                      THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END), 6) AS avg_k,
        count(*) AS n
 FROM events
 GROUP BY window_start, event_type
@@ -150,7 +152,10 @@ GROUP BY window_start, event_type
     tags=("time-window", "json", "P2"),
     doc=(
         "The reference's parse-then-window shape on the events table: JSON payload "
-        "field (from_json on props) aggregated per hourly tumbling window x type."
+        "field (from_json on props) aggregated per hourly tumbling window x type. "
+        "Oracle guards the extraction with json_valid/TRY_CAST so a malformed "
+        "payload drops out of the avg exactly like Spark's PERMISSIVE from_json "
+        "NULL — the window row itself survives (count(*) still includes it)."
     ),
 )
 def time_window_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:

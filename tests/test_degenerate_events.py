@@ -7,14 +7,15 @@ TIMESTAMP(MICROS)); catalog.load branches on the observed schema. Every
 events-only oracle spec runs here against the SAME event set written in
 both encodings, so the next flip cannot break a query between rounds.
 
-A second fixture adds malformed / empty / NULL `props` payloads. Four
-JSON-parsing specs are excluded from that one — probing found REAL
-divergences there (Spark parse_json throws on malformed input; DuckDB
-json_extract_string throws where Spark's get_json_object returns NULL).
-They are queued for the round-5 registry rotation: hardening them means
-editing scalar.py (23 settled driver verdicts) and windows_time.py (4),
-which this round would push the rewritten-oracle queries out of the
-driver's 50-query verdict budget. See SCALE.md round-4 notes.
+A second fixture adds malformed / empty / NULL `props` payloads. The
+four JSON-parsing specs that originally diverged there (Spark parse_json
+threw on malformed input; DuckDB json_extract_string threw where Spark's
+get_json_object returns NULL) were hardened in round 4b — props-wide
+variant access goes through try_parse_json/try_variant_get, and every
+JSON oracle guards with json_valid/TRY_CAST — so ALL events-only specs
+now run against the hostile fixture. (The scalar.py re-queue this causes
+lands at the BACK of the changed-since-verified class, outside the
+current verdict window; see SCALE.md.)
 """
 
 from __future__ import annotations
@@ -58,14 +59,9 @@ _EVENTS_HOSTILE = [
     (4, 3_600_000_000, 4, "purchase", 100.0, None),
 ]
 
-#: JSON-parsing specs with known malformed-props divergences (r5 TODO —
-#: their modules rotate through the verdict budget next round).
-_PROPS_FRAGILE = {
-    "scalar_json_functions",
-    "scalar_json_extended",
-    "scalar_variant_json",
-    "time_window_json_events",
-}
+#: Hardened in round 4b — kept as an (empty) escape hatch for any future
+#: spec with a genuinely JSON-strict contract.
+_PROPS_FRAGILE: set[str] = set()
 
 
 def _write(d, rows, unit: str) -> str:
