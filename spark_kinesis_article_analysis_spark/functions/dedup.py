@@ -337,6 +337,40 @@ _BANDED_SQL = "\n    UNION ALL ".join(
 )
 
 
+def _portable_minhash_geometry():
+    """The md5-portable (minhash aggregates, band-key fn) pair — the ONE
+    Spark-side definition of the geometry `_MINHASH_SQL`/`_BANDED_SQL`
+    replicate for DuckDB. Shared by ``dedup_minhash_lsh_portable`` and
+    ``dedup_fuzzy_levenshtein`` so retuning the hash salt, hex-prefix
+    width, or band-key separator cannot desynchronize one spec from the
+    generated oracle constants while the other keeps up."""
+
+    def h(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f":mh{i}"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        )
+
+    minhash = [F.min(h(i)).alias(f"mh{i}") for i in range(MINHASH_HASHES)]
+    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
+
+    def band_key(band: int):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{band * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+
+    return minhash, band_key
+
+
 @register(
     "dedup_minhash_lsh_portable",
     oracle=f"""
@@ -383,30 +417,7 @@ WHERE i / (na.n + nb.n - i) >= 0.1
 )
 def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-
-    def h(i: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f":mh{i}"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-        )
-
-    minhash = [F.min(h(i)).alias(f"mh{i}") for i in range(MINHASH_HASHES)]
-    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-
-    def band_key(band: int):
-        return F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{band * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        )
-
+    minhash, band_key = _portable_minhash_geometry()
     return _minhash_lsh_pipeline(d, minhash, band_key)
 
 
@@ -668,30 +679,7 @@ WHERE levenshtein(na.nt, nb.nt) <= 0.25 * greatest(length(na.nt), length(nb.nt))
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d, 3)
-
-    def h(i: int):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.col("shingle"), F.lit(f":mh{i}"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-        )
-
-    minhash = [F.min(h(i)).alias(f"mh{i}") for i in range(MINHASH_HASHES)]
-    rows_per_band = MINHASH_HASHES // MINHASH_BANDS
-
-    def band_key(band: int):
-        return F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{band * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        )
-
+    minhash, band_key = _portable_minhash_geometry()
     candidates = _minhash_lsh_candidates(sh, minhash, band_key)
     # same verify-stage shape as the Jaccard pipeline: pull normalized
     # text ONCE for candidate docs only (semi-join), then join that tiny

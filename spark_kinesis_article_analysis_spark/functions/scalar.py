@@ -133,8 +133,10 @@ SELECT event_id,
        CASE WHEN json_valid(props)
             THEN json_extract_string(props, '$.k') END          AS k_str,
        CASE WHEN json_valid(props)
+             AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_int,
        CASE WHEN json_valid(props)
+             AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 END AS k_doubled
 FROM events
 """,
@@ -144,8 +146,16 @@ FROM events
         "Oracle guards with json_valid/TRY_CAST because Spark's "
         "get_json_object and PERMISSIVE from_json return NULL on "
         "malformed/empty/NULL payloads while DuckDB's json_extract_string "
-        "throws — parity holds on hostile props, not just well-formed ones "
-        "(tests/test_degenerate_events.py)."
+        "throws; the typed path additionally requires a JSON *integer* "
+        "(json_type BIGINT/UBIGINT — DuckDB labels every non-negative int "
+        "UBIGINT) because from_json('k BIGINT') does NOT coerce quoted "
+        "numbers, floats, or booleans, and TRY_CAST absorbs the >int64 "
+        "overflow Spark also nulls. Known limitation, shared by every "
+        "json_valid-guarded oracle here: Spark's Jackson parser is "
+        "PREFIX-LENIENT ('{\"k\": 1}garbage' extracts 1), which DuckDB "
+        "cannot express — valid-prefix+trailing-garbage payloads are the "
+        "one hostile class the oracles do not mirror "
+        "(tests/test_degenerate_events.py covers the rest)."
     ),
 )
 def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,7 +561,8 @@ SELECT event_id,
        CASE WHEN props IS NULL OR trim(props) = '' THEN NULL
             WHEN NOT json_valid(props) THEN '{}'
             WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-                 THEN '{"k":' || CAST(props::JSON ->> 'k' AS BIGINT) || '}'
+                 AND TRY_CAST(props::JSON ->> 'k' AS BIGINT) IS NOT NULL
+                 THEN '{"k":' || TRY_CAST(props::JSON ->> 'k' AS BIGINT) || '}'
             ELSE '{}' END AS canonical_json,
        'STRUCT<k: BIGINT>'                                  AS schema_str,
        'a,b'                                                AS map_keys_str
@@ -734,10 +745,16 @@ def scalar_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_variant_json",
     oracle="""
 SELECT event_id,
-       CASE WHEN json_valid(props)
-            THEN TRY_CAST(props::JSON ->> 'k' AS INTEGER) END AS k_int,
+       CASE WHEN NOT json_valid(props) THEN NULL
+            WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'VARCHAR')
+                 THEN TRY_CAST(props::JSON ->> 'k' AS INTEGER)
+            WHEN json_type(props, '$.k') = 'DOUBLE'
+                 THEN TRY_CAST(trunc(TRY_CAST(props::JSON ->> 'k' AS DOUBLE)) AS INTEGER)
+            WHEN json_type(props, '$.k') = 'BOOLEAN'
+                 THEN CASE WHEN (props::JSON ->> 'k') = 'true' THEN 1 ELSE 0 END
+       END                                  AS k_int,
        CAST(NULL AS VARCHAR)                AS k_missing,
-       TRUE                                 AS bad_parse_is_null,
+       coalesce(NOT json_valid('{' || props), TRUE) AS bad_parse_is_null,
        event_id                             AS strict_roundtrip
 FROM events
 """,
@@ -750,7 +767,14 @@ FROM events
         "corpus column is a landmine: ONE bad payload kills the query). "
         "Strict parse_json stays showcased on engine-constructed JSON "
         "(to_json of a struct round-tripped through variant_get), where "
-        "well-formedness is guaranteed by construction."
+        "well-formedness is guaranteed by construction. Unlike from_json, "
+        "try_variant_get applies CAST semantics per value type — quoted "
+        "'7' -> 7, 12.5 truncates to 12, true -> 1, >int32 -> NULL — and "
+        "the oracle encodes exactly that via a json_type dispatch. "
+        "bad_parse_is_null is computed (not a constant): '{' || props is "
+        "occasionally VALID ('}' -> '{}'), which the probe that hardened "
+        "this family caught. Prefix-lenience caveat as in "
+        "scalar_json_functions."
     ),
 )
 def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -86,6 +86,13 @@ def asof_join(
         F.col(build_ts).alias("__ts"), *[F.col(c).alias(c) for c in payload]
     )
     build_tag, probe_tag = (0, 1) if allow_exact_matches else (1, 0)
+    # SQL join semantics: a NULL key matches NOTHING. The window's
+    # partitionBy would group NULL keys together (GROUP BY semantics),
+    # silently matching NULL-key probes to NULL-key builds — so NULL-key
+    # build rows are dropped up front (they can never match), while
+    # NULL-key probe rows flow through and land alone in the NULL
+    # partition, correctly yielding NULL payloads (LEFT semantics).
+    build = build.na.drop(subset=list(on))
     b = build.select(
         *on,
         F.col(build_ts).alias("__t"),

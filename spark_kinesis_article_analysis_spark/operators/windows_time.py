@@ -143,6 +143,7 @@ def time_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
        event_type,
        round(avg(CASE WHEN json_valid(props)
+                       AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                  END), 6) AS avg_k,
        count(*) AS n

@@ -50,13 +50,25 @@ _EVENTS_VALID = [
 ]
 
 #: Same shape with hostile props: malformed JSON, empty string, missing
-#: key, NULL. Runs only against specs that survive them today.
+#: key, NULL — plus the valid-but-hostile classes the round-4b probe
+#: pinned engine-exact semantics for (quoted number, float, boolean,
+#: >int64 overflow, JSON null root, and '}' whose '{'||props is VALID).
+#: Deliberately absent: valid-prefix + trailing garbage ('{"k":1}x') —
+#: Spark's Jackson parser is prefix-lenient there and DuckDB cannot
+#: express it (documented limitation on scalar_json_functions).
 _EVENTS_HOSTILE = [
     (0, 0, 1, "view", 1.0, '{"k": 1}'),
     (1, 1, 2, "click", 2.0, "{bad json"),
     (2, 60_000_000, 3, "error", -1.5, ""),
     (3, 60_000_001, 2, "click", 0.0, '{"other": 9}'),
     (4, 3_600_000_000, 4, "purchase", 100.0, None),
+    (5, 3_600_000_001, 5, "view", 2.5, '{"k": "7"}'),
+    (6, 3_600_000_002, 5, "click", 3.5, '{"k": 12.5}'),
+    (7, 3_600_000_003, 6, "view", 4.5, '{"k": true}'),
+    (8, 3_600_000_004, 6, "error", 5.5, '{"k": 18446744073709551615}'),
+    (9, 3_600_000_005, 7, "purchase", 6.5, "null"),
+    (10, 3_600_000_006, 7, "view", 7.5, "}"),
+    (11, 3_600_000_007, 8, "click", 8.5, '{"k": -3}'),
 ]
 
 #: Hardened in round 4b — kept as an (empty) escape hatch for any future

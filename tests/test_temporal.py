@@ -206,3 +206,26 @@ class TestAsofJoinDifferential:
         )
         got = {int(r.pid): (r.asof_ts, r.asof_v) for r in got_df.collect()}
         assert got == want, (direction, exact, tol, probes, builds)
+
+    def test_null_keys_never_match(self, spark):
+        """SQL join semantics: a NULL key matches nothing. The window
+        rewrite's partitionBy would otherwise group NULL keys together
+        (GROUP BY semantics) and silently pair NULL-key probes with
+        NULL-key builds — the oracle's ASOF ON p.k = c.k never would."""
+        probe = spark.createDataFrame(
+            [(None, _ts("2024-01-01 10:00:05"), 1),
+             ("a", _ts("2024-01-01 10:00:05"), 2)],
+            "k string, t timestamp, pid int",
+        )
+        build = spark.createDataFrame(
+            [(None, _ts("2024-01-01 10:00:00"), 1.0),
+             ("a", _ts("2024-01-01 10:00:00"), 2.0)],
+            "k string, t timestamp, v double",
+        )
+        out = {
+            r.pid: r.asof_v
+            for r in asof_join(
+                probe, build, on=["k"], probe_ts="t", build_ts="t", payload=["v"]
+            ).collect()
+        }
+        assert out == {1: None, 2: 2.0}  # NULL-key probe kept, unmatched
