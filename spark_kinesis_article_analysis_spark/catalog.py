@@ -76,7 +76,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # to keep one timestamp type across corpus generations.
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _doubles_for_decimals(spark.read.parquet(table_path(sf_dir, name)))
+
+
+def _doubles_for_decimals(df: DataFrame) -> DataFrame:
+    """Normalize any DECIMAL column to DOUBLE on load — the money-column
+    analogue of the events-ts encoding branch above. Today's corpus
+    writes l_quantity/l_extendedprice/o_totalprice/... as float64, and
+    every float-discipline rounding choice in the oracles assumes double
+    arithmetic; a regeneration that flips them to parquet DECIMAL(12,2)
+    (what TPC-H itself specifies) would silently change Spark's
+    aggregate types, plans (decimal codegen is wider and slower), and
+    rounding behavior. Casting on load keeps the engine's semantics
+    invariant under that flip. Residual exposure documented in SCALE.md:
+    the DuckDB oracle side would still read DECIMAL and compute exact —
+    if the flip ever happens, the money oracles need CAST(col AS DOUBLE)
+    at their inputs (probe results in the round-4b notes)."""
+    dec = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
+    for c in dec:
+        df = df.withColumn(c, F.col(c).cast(T.DoubleType()))
+    return df
 
 
 #: (path, column) -> (min, max) — footer stats never change for an
