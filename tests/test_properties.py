@@ -294,3 +294,22 @@ def test_registry_verdict_window_protects_changed_oracles():
     window = set(specs[:50])
     for name in ("text_repetition_stats", "corpus_ingest_batch_form"):
         assert name in window, f"{name} (rewritten oracle) fell out of the verdict window"
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must be a registered query — a typo
+    here doesn't fail until the driver's per-round BENCH run, which is
+    too late to fix."""
+    import importlib.util
+    from pathlib import Path
+
+    from spark_kinesis_article_analysis_spark.registry import all_specs
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    unknown = [n for n in bench.HEADLINE if n not in all_specs()]
+    assert not unknown, f"bench.py HEADLINE references unregistered queries: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
