@@ -415,3 +415,95 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderdate").over(w2).alias("valid_to"),
         F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
     )
+
+
+def interval_overlap_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    probe_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width_secs: float,
+) -> DataFrame:
+    """Generic interval-overlap join: every (probe row, interval row)
+    pair with ``start_ts <= probe_ts < end_ts``, for ARBITRARY
+    variable-length intervals — the reusable form of the fixed-width
+    rewrite ``join_range_interval`` showcases. Returns the inner-joined
+    pairs (all probe columns + all interval columns).
+
+    Bin-join rewrite: each interval explodes onto every
+    ``bin_width_secs``-wide time bin it touches (ceil(len/width) + 1
+    rows), each probe row carries its single bin, and the join is
+    bin-EQUI + exact-bounds residual — hash-planned however large both
+    sides grow, where the raw theta-join is a per-partition nested
+    loop. Each qualifying pair meets in exactly one bin (the probe's),
+    so no dedup pass is needed. Pick ``bin_width_secs`` near the TYPICAL
+    interval length: wider bins mean fewer explode rows but more
+    residual misses per bin; intervals much longer than the bin width
+    just contribute proportionally more bin rows (correctness is
+    unaffected)."""
+    width_us = int(bin_width_secs * 1_000_000)
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_ts)) / F.lit(width_us)).cast("long"),
+                # last bin a half-open interval can touch: floor((end-1)/w)
+                (
+                    (F.unix_micros(F.col(end_ts)) - F.lit(1)) / F.lit(width_us)
+                ).cast("long"),
+            )
+        ),
+    )
+    p = probe.withColumn(
+        "__bin", (F.unix_micros(F.col(probe_ts)) / F.lit(width_us)).cast("long")
+    )
+    inside = (F.col(probe_ts) >= F.col(start_ts)) & (F.col(probe_ts) < F.col(end_ts))
+    return p.join(iv, "__bin").filter(inside).drop("__bin")
+
+
+def densify_locf(
+    agg: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    step: str,
+    zero_fill: dict | None = None,
+    locf_cols: list[str] | None = None,
+) -> DataFrame:
+    """Densify a bucket-grain aggregate: emit EVERY ``step``-spaced
+    bucket between each key's first and last observed bucket, zero-fill
+    the listed measures, optionally carry others forward (LOCF), and
+    flag synthesized rows with ``is_gap``. The reusable form of
+    ``time_bucket_gapfill``'s densification stage.
+
+    Operates strictly at bucket-grain cardinality — call it ON an
+    aggregate, never on raw rows: the sequence/explode/left-join/window
+    all scale with (time span / step) x |keys|, so the corpus-scale
+    cost stays whatever aggregation produced ``agg``."""
+    zero_fill = zero_fill or {}
+    locf_cols = locf_cols or []
+    series = (
+        agg.groupBy(*key_cols)
+        .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+            ).alias(bucket_col),
+        )
+    )
+    out = series.join(agg, [*key_cols, bucket_col], "left")
+    measure = next(iter(zero_fill), locf_cols[0] if locf_cols else None)
+    if measure is None:
+        raise ValueError("densify_locf needs at least one zero_fill or locf column")
+    out = out.withColumn("is_gap", F.col(measure).isNull())
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in locf_cols:
+        out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
+    for c, default in zero_fill.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(default)))
+    return out

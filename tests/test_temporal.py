@@ -229,3 +229,66 @@ class TestAsofJoinDifferential:
             ).collect()
         }
         assert out == {1: None, 2: 2.0}  # NULL-key probe kept, unmatched
+
+
+class TestIntervalOverlapJoin:
+    def test_variable_length_intervals(self, spark):
+        """The generic bin-join must be exact for intervals shorter AND
+        much longer than the bin width, including bin-boundary-exact
+        endpoints (half-open: start inclusive, end exclusive)."""
+        probe = spark.createDataFrame(
+            [(1, _ts("2024-01-01 00:05:00")),
+             (2, _ts("2024-01-01 00:10:00")),   # == iv10's end: excluded
+             (3, _ts("2024-01-01 02:30:00")),   # inside only the long one
+             (4, _ts("2024-01-01 09:00:00"))],  # inside nothing
+            "pid int, t timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("short", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:10:00")),
+             ("long", _ts("2024-01-01 00:04:00"), _ts("2024-01-01 03:00:00"))],
+            "iv string, s timestamp, e timestamp",
+        )
+        from spark_kinesis_article_analysis_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        got = {
+            (r.pid, r.iv)
+            for r in interval_overlap_join(
+                probe, intervals, "t", "s", "e", bin_width_secs=600
+            ).collect()
+        }
+        assert got == {(1, "short"), (1, "long"), (2, "long"), (3, "long")}
+        # brute-force cross check
+        want = {
+            (p.pid, i.iv)
+            for p in probe.collect()
+            for i in intervals.collect()
+            if i.s <= p.t < i.e
+        }
+        assert got == want
+
+
+class TestDensifyLocf:
+    def test_gaps_zero_filled_and_carried(self, spark):
+        agg = spark.createDataFrame(
+            [("a", _ts("2024-01-01 00:00:00"), 2, 5.0),
+             ("a", _ts("2024-01-01 00:30:00"), 1, 7.0),   # 00:10 + 00:20 missing
+             ("b", _ts("2024-01-01 00:00:00"), 3, 9.0)],
+            "k string, bucket timestamp, n long, v double",
+        )
+        from spark_kinesis_article_analysis_spark.operators.temporal import densify_locf
+
+        out = {
+            (r.k, r.bucket): (r.n, r.is_gap, r.v_locf)
+            for r in densify_locf(
+                agg, ["k"], "bucket", "10 minutes",
+                zero_fill={"n": 0}, locf_cols=["v"],
+            ).collect()
+        }
+        assert len(out) == 5  # a: 4 buckets, b: 1
+        assert out[("a", _ts("2024-01-01 00:00:00"))] == (2, False, 5.0)
+        assert out[("a", _ts("2024-01-01 00:10:00"))] == (0, True, 5.0)   # gap, LOCF
+        assert out[("a", _ts("2024-01-01 00:20:00"))] == (0, True, 5.0)
+        assert out[("a", _ts("2024-01-01 00:30:00"))] == (1, False, 7.0)
+        assert out[("b", _ts("2024-01-01 00:00:00"))] == (3, False, 9.0)
