@@ -698,3 +698,46 @@ class TestStreamingAsofEnrich:
         assert got[7][1] == 7.0   # same-ts click included
         assert got[8][1] == 3.0   # carried dup-ts click: max value won
         assert got[9] == (None, None)  # never any click for u3
+
+    def test_state_survives_checkpoint_restart(self, spark, tmp_path):
+        """The carried click must survive a query STOP + RESTART from the
+        same checkpoint (state-store recovery), and committed output must
+        not be re-emitted — the exactly-once posture of the reference's
+        sink extended to arbitrary per-key state."""
+        import datetime as dt
+
+        def ts(s):
+            return dt.datetime.fromisoformat(s)
+
+        d = str(tmp_path / "events")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        self._write_events(spark, d, 0, [
+            (0, ts("2024-01-01 00:00:00"), 1, "click", 5.0),
+            (1, ts("2024-01-01 00:00:10"), 1, "purchase", 100.0),
+        ])
+
+        def run():
+            stream = (
+                spark.readStream.schema(self.EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            q = sp.start_parquet_sink(sp.streaming_asof_enrich(stream), out, ckpt)
+            q.processAllAvailable()
+            q.stop()
+
+        run()
+        first = {r.event_id: r.click_value for r in spark.read.parquet(out).collect()}
+        assert first == {1: 5.0}
+
+        # new purchase AFTER restart must see the click carried in state
+        self._write_events(spark, d, 1, [
+            (2, ts("2024-01-01 00:01:00"), 1, "purchase", 101.0),
+        ])
+        run()
+        rows = spark.read.parquet(out).collect()
+        got = sorted((r.event_id, r.click_value) for r in rows)
+        assert got == [(1, 5.0), (2, 5.0)], (
+            f"state lost or batch re-emitted across restart: {got}"
+        )
