@@ -75,7 +75,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # cast to LTZ (session tz is UTC, so the instant is unchanged)
             # to keep one timestamp type across corpus generations.
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-        return df
+        return _doubles_for_decimals(df)
     return _doubles_for_decimals(spark.read.parquet(table_path(sf_dir, name)))
 
 

@@ -746,7 +746,13 @@ def scalar_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CASE WHEN NOT json_valid(props) THEN NULL
-            WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'VARCHAR')
+            WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                 THEN TRY_CAST(props::JSON ->> 'k' AS INTEGER)
+            WHEN json_type(props, '$.k') = 'VARCHAR'
+                 -- Spark's string->int cast accepts only integral strings
+                 -- (optional sign/whitespace); DuckDB TRY_CAST would also
+                 -- round '12.5' and parse '1e2'/'0x10', which Spark nulls.
+                 AND regexp_matches(props::JSON ->> 'k', '^\s*[+-]?[0-9]+\s*$')
                  THEN TRY_CAST(props::JSON ->> 'k' AS INTEGER)
             WHEN json_type(props, '$.k') = 'DOUBLE'
                  THEN TRY_CAST(trunc(TRY_CAST(props::JSON ->> 'k' AS DOUBLE)) AS INTEGER)

@@ -86,13 +86,15 @@ def asof_join(
         F.col(build_ts).alias("__ts"), *[F.col(c).alias(c) for c in payload]
     )
     build_tag, probe_tag = (0, 1) if allow_exact_matches else (1, 0)
-    # SQL join semantics: a NULL key matches NOTHING. The window's
-    # partitionBy would group NULL keys together (GROUP BY semantics),
-    # silently matching NULL-key probes to NULL-key builds — so NULL-key
-    # build rows are dropped up front (they can never match), while
-    # NULL-key probe rows flow through and land alone in the NULL
-    # partition, correctly yielding NULL payloads (LEFT semantics).
-    build = build.na.drop(subset=list(on))
+    # SQL join semantics: a NULL key or NULL timestamp matches NOTHING.
+    # The window's partitionBy would group NULL keys together (GROUP BY
+    # semantics), and a NULL build ts would sort to the head of the
+    # ascending scan and become a phantom fallback match — so build rows
+    # with a NULL key or ts are dropped up front (the oracle's
+    # `probe_ts >= build_ts` can never accept them), while NULL-key/ts
+    # probe rows flow through with NULL payloads (LEFT semantics; the
+    # probe-side NULL ts is handled at the match projection below).
+    build = build.na.drop(subset=[*on, build_ts])
     b = build.select(
         *on,
         F.col(build_ts).alias("__t"),
@@ -115,6 +117,10 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = F.last("__carry", ignorenulls=True).over(w)
+    # A probe with a NULL ts satisfies no ts bound in either direction
+    # (and under the forward/descending sort it would otherwise scan the
+    # whole partition from the NULLS-LAST position).
+    matched = F.when(F.col("__t").isNotNull(), matched)
     if tolerance_secs is not None:
         gap = F.abs(
             F.col("__t").cast("double") - matched["__ts"].cast("double")
@@ -329,31 +335,20 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tv"))
     )
-    series = (
-        agg.groupBy("event_type")
-        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))
-            ).alias("bucket"),
-        )
-    )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        series.join(agg, ["event_type", "bucket"], "left")
-        .select(
-            "event_type",
-            F.col("bucket").alias("bucket_start"),
-            F.coalesce("n", F.lit(0)).alias("n_events"),
-            F.coalesce("tv", F.lit(0.0)).alias("total_value"),
-            F.col("n").isNull().alias("is_gap"),
-            F.last("tv", ignorenulls=True).over(w).alias("locf_value"),
-        )
+    return densify_locf(
+        agg,
+        ["event_type"],
+        "bucket",
+        "15 minutes",
+        zero_fill={"n": 0, "tv": 0.0},
+        locf_cols=["tv"],
+    ).select(
+        "event_type",
+        F.col("bucket").alias("bucket_start"),
+        F.col("n").alias("n_events"),
+        F.col("tv").alias("total_value"),
+        "is_gap",
+        F.col("tv_locf").alias("locf_value"),
     )
 
 
@@ -443,6 +438,12 @@ def interval_overlap_join(
     just contribute proportionally more bin rows (correctness is
     unaffected)."""
     width_us = int(bin_width_secs * 1_000_000)
+    # An inverted interval (end <= start) contains nothing — drop it
+    # BEFORE the explode: Spark's sequence(a, b) auto-selects step -1
+    # when a > b, so one corrupt year-inverted row would otherwise
+    # explode a bin row per bin across the whole backwards span (correct
+    # after the residual filter, but a job-killing blowup first).
+    intervals = intervals.filter(F.col(end_ts) > F.col(start_ts))
     iv = intervals.withColumn(
         "__bin",
         F.explode(
@@ -479,9 +480,19 @@ def densify_locf(
     Operates strictly at bucket-grain cardinality — call it ON an
     aggregate, never on raw rows: the sequence/explode/left-join/window
     all scale with (time span / step) x |keys|, so the corpus-scale
-    cost stays whatever aggregation produced ``agg``."""
+    cost stays whatever aggregation produced ``agg``. ``is_gap`` comes
+    from an explicit presence marker, not measure NULL-ness, so an
+    observed bucket whose measure is legitimately NULL (the exact case
+    LOCF exists for) is never mislabeled as synthesized; NULL key
+    groups round-trip via a null-safe join (their observed values are
+    kept, matching the GROUP BY that produced them)."""
+    import functools
+
     zero_fill = zero_fill or {}
     locf_cols = locf_cols or []
+    if not zero_fill and not locf_cols:
+        raise ValueError("densify_locf needs at least one zero_fill or locf column")
+    marked = agg.withColumn("__present", F.lit(True))
     series = (
         agg.groupBy(*key_cols)
         .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
@@ -491,12 +502,21 @@ def densify_locf(
                 F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
             ).alias(bucket_col),
         )
+        .alias("s")
     )
-    out = series.join(agg, [*key_cols, bucket_col], "left")
-    measure = next(iter(zero_fill), locf_cols[0] if locf_cols else None)
-    if measure is None:
-        raise ValueError("densify_locf needs at least one zero_fill or locf column")
-    out = out.withColumn("is_gap", F.col(measure).isNull())
+    a = marked.alias("a")
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(f"s.{k}").eqNullSafe(F.col(f"a.{k}")) for k in key_cols]
+        + [F.col(f"s.{bucket_col}") == F.col(f"a.{bucket_col}")],
+    )
+    measures = [c for c in agg.columns if c not in (*key_cols, bucket_col)]
+    out = series.join(a, cond, "left").select(
+        *[F.col(f"s.{k}") for k in key_cols],
+        F.col(f"s.{bucket_col}").alias(bucket_col),
+        *[F.col(f"a.{c}") for c in measures],
+        F.col("a.__present").isNull().alias("is_gap"),
+    )
     w = (
         W.partitionBy(*key_cols)
         .orderBy(bucket_col)

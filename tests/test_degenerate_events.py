@@ -69,6 +69,13 @@ _EVENTS_HOSTILE = [
     (9, 3_600_000_005, 7, "purchase", 6.5, "null"),
     (10, 3_600_000_006, 7, "view", 7.5, "}"),
     (11, 3_600_000_007, 8, "click", 8.5, '{"k": -3}'),
+    # string->int cast semantics: Spark accepts only integral strings
+    # (optional sign/whitespace); DuckDB TRY_CAST would round '12.5'
+    # and parse '1e2' — the oracle's regexp guard encodes the boundary.
+    (12, 3_600_000_008, 9, "view", 9.5, '{"k": "12.5"}'),
+    (13, 3_600_000_009, 9, "click", 10.5, '{"k": "1e2"}'),
+    (14, 3_600_000_010, 10, "view", 11.5, '{"k": "+7"}'),
+    (15, 3_600_000_011, 10, "error", 12.5, '{"k": " 8 "}'),
 ]
 
 #: Hardened in round 4b — kept as an (empty) escape hatch for any future

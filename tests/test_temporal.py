@@ -292,3 +292,53 @@ class TestDensifyLocf:
         assert out[("a", _ts("2024-01-01 00:20:00"))] == (0, True, 5.0)
         assert out[("a", _ts("2024-01-01 00:30:00"))] == (1, False, 7.0)
         assert out[("b", _ts("2024-01-01 00:00:00"))] == (3, False, 9.0)
+
+    def test_observed_null_measure_is_not_a_gap(self, spark):
+        """is_gap must come from row presence, not measure NULL-ness: an
+        observed bucket whose measure is legitimately NULL (the case
+        LOCF exists for) stays is_gap=False, and NULL-key groups keep
+        their observed values through the null-safe join-back."""
+        import datetime as dt
+
+        agg = spark.createDataFrame(
+            [("a", _ts("2024-01-01 00:00:00"), 5.0),
+             ("a", _ts("2024-01-01 00:10:00"), None),   # observed, NULL measure
+             (None, _ts("2024-01-01 00:00:00"), 9.0)],  # NULL key group
+            "k string, bucket timestamp, v double",
+        )
+        from spark_kinesis_article_analysis_spark.operators.temporal import densify_locf
+
+        out = {
+            (r.k, r.bucket): (r.is_gap, r.v, r.v_locf)
+            for r in densify_locf(
+                agg, ["k"], "bucket", "10 minutes", locf_cols=["v"]
+            ).collect()
+        }
+        assert out[("a", _ts("2024-01-01 00:10:00"))] == (False, None, 5.0)
+        assert out[(None, _ts("2024-01-01 00:00:00"))] == (False, 9.0, 9.0)
+
+    def test_null_timestamps_never_match(self, spark):
+        """A NULL build ts can never satisfy the >= bound (it would
+        otherwise sort to the head of the ascending scan as a phantom
+        fallback); a NULL probe ts matches nothing in either direction
+        (under the forward/descending sort it would otherwise see the
+        whole partition from the NULLS-LAST position)."""
+        probe = spark.createDataFrame(
+            [("a", _ts("2024-01-01 10:00:05"), 1), ("a", None, 2)],
+            "k string, t timestamp, pid int",
+        )
+        build = spark.createDataFrame(
+            [("a", None, 9.0), ("a", _ts("2024-01-01 12:00:00"), 2.0)],
+            "k string, t timestamp, v double",
+        )
+        for direction in ("backward", "forward"):
+            out = {
+                r.pid: r.asof_v
+                for r in asof_join(
+                    probe, build, on=["k"], probe_ts="t", build_ts="t",
+                    payload=["v"], direction=direction,
+                ).collect()
+            }
+            # pid 1: backward -> nothing at-or-before; forward -> 12:00 row
+            expect1 = None if direction == "backward" else 2.0
+            assert out == {1: expect1, 2: None}, (direction, out)
