@@ -91,14 +91,6 @@ def _shard_files(path: str) -> dict[str, str]:
     return out
 
 
-def _count_lines(file_path: str) -> int:
-    n = 0
-    with open(file_path, "rb") as f:
-        for _ in f:
-            n += 1
-    return n
-
-
 def _read_lines(
     file_path: str, shard_id: str, start: int, end: int | None
 ) -> Iterator[tuple]:
@@ -114,13 +106,15 @@ def _read_lines(
             if not line.strip():
                 continue
             env = json.loads(line)
-            data = env.get("data")
-            yield (
-                shard_id,
-                seq,
-                env.get("partitionKey"),
-                data.encode("utf-8") if isinstance(data, str) else data,
-            )
+            if "data_b64" in env:
+                import base64
+
+                data = base64.b64decode(env["data_b64"])
+            else:
+                data = env.get("data")
+                if isinstance(data, str):
+                    data = data.encode("utf-8")
+            yield (shard_id, seq, env.get("partitionKey"), data)
 
 
 @dataclass
@@ -224,6 +218,74 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
         # until the first observation (fresh start or restart — the
         # protocol doesn't let us distinguish them here).
         self._high: dict[str, int] | None = None
+        # Per-shard (bytes scanned, '\n'-terminated lines seen): the shard
+        # logs are append-only, so each trigger only scans the appended
+        # suffix — steady-state polling is O(new bytes), not O(archive).
+        self._line_cache: dict[str, tuple[int, int]] = {}
+
+    def _uncommitted_caps(self) -> dict[str, int]:
+        """Per-shard byte caps from a dangling writer PREPARE. A writer
+        that crashed mid-append leaves rows visible in the shard log that
+        its recovery will TRUNCATE away; counting them would emit
+        rolled-back rows downstream and (with the monotonic guard) then
+        permanently skip their replacements. The intent journal's
+        dangling PREPARE records each shard's pre-append length — the
+        committed prefix — so the reader never counts past it."""
+        caps: dict[str, int] = {}
+        log = os.path.join(self._path, "_committed_batches.log")
+        pending: dict | None = None
+        try:
+            with open(log, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.strip().split(" ", 2)
+                    if not parts or not parts[0]:
+                        continue
+                    if parts[0] == "PREPARE" and len(parts) == 3:
+                        try:
+                            pending = json.loads(parts[2])
+                        except ValueError:
+                            pending = None
+                    elif parts[0] in ("COMMIT", "ABORT"):
+                        pending = None
+        except OSError:
+            return caps
+        if pending:
+            for shard, length in pending.items():
+                try:
+                    caps[shard] = int(length)
+                except (TypeError, ValueError):
+                    continue
+        return caps
+
+    def _count_committed_lines(self, shard: str, file_path: str, cap: int | None) -> int:
+        """Count complete ('\n'-terminated) lines in ``file_path`` up to
+        ``cap`` bytes (or EOF), scanning only bytes not already scanned.
+        A torn final line (no trailing newline — mid-crash append) is NOT
+        counted, so a row is only ever offered once it is fully durable."""
+        try:
+            size = os.path.getsize(file_path)
+        except OSError:
+            return self._line_cache.get(shard, (0, 0))[1]
+        limit = size if cap is None else min(size, cap)
+        pos, cnt = self._line_cache.get(shard, (0, 0))
+        if limit < pos:
+            # shard shrank (writer recovery truncated an uncommitted
+            # suffix the cap had already excluded, or manual surgery):
+            # rescan from the start.
+            pos, cnt = 0, 0
+        if limit > pos:
+            with open(file_path, "rb") as f:
+                f.seek(pos)
+                remaining = limit - pos
+                while remaining > 0:
+                    chunk = f.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    cnt += chunk.count(b"\n")
+                    pos += len(chunk)
+                    remaining -= len(chunk)
+        self._line_cache[shard] = (pos, cnt)
+        return cnt
 
     def _observe(self, offset: dict) -> None:
         if self._high is None:
@@ -241,9 +303,10 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         shards = _shard_files(self._path)
+        caps = self._uncommitted_caps()
         latest: dict[str, int] = {}
         for shard, f in shards.items():
-            avail = _count_lines(f)
+            avail = self._count_committed_lines(shard, f, caps.get(shard))
             if self._max_rows is not None and self._high is not None:
                 base = int(self._high.get(shard, 0))
                 avail = min(avail, base + self._max_rows)
@@ -338,9 +401,20 @@ class ArticleReplayWriterBase:
                     files[shard] = os.path.join(staging, f"{shard}.{task_id}.jsonl")
                     handles[shard] = open(files[shard], "w", encoding="utf-8")
                 data = row.data
+                env: dict = {"partitionKey": row.partition_key}
                 if isinstance(data, (bytes, bytearray)):
-                    data = bytes(data).decode("utf-8")
-                env = {"partitionKey": row.partition_key, "data": data}
+                    # the Kinesis record contract is ARBITRARY bytes; JSON
+                    # can only carry text, so non-UTF-8 payloads ride as
+                    # base64 under a separate key (UTF-8 payloads keep the
+                    # compact text form — existing archives stay readable).
+                    try:
+                        env["data"] = bytes(data).decode("utf-8")
+                    except UnicodeDecodeError:
+                        import base64
+
+                        env["data_b64"] = base64.b64encode(bytes(data)).decode("ascii")
+                else:
+                    env["data"] = data
                 handles[shard].write(json.dumps(env) + "\n")
         finally:
             for h in handles.values():
@@ -453,6 +527,25 @@ class _IntentJournal:
         self._append_log(f"PREPARE {token} {json.dumps(lengths)}")
         self._append_staged(messages)
         self._append_log(f"COMMIT {token}")
+        self._sweep_staging()
+
+    def _sweep_staging(self) -> None:
+        """Remove orphaned staging files. Tasks that die before returning
+        a commit message (executor OOM/preemption) leave temp files no
+        later commit/abort ever references; epochs are serialized, so at
+        the end of one every file still under ``_staging`` is an orphan
+        (this epoch's referenced files were consumed by the append, and
+        a zombie task's open fd survives a POSIX unlink harmlessly)."""
+        staging = os.path.join(self._path, "_staging")
+        try:
+            names = os.listdir(staging)
+        except OSError:
+            return
+        for name in names:
+            try:
+                os.remove(os.path.join(staging, name))
+            except OSError:
+                pass
 
 
 class ArticleReplayBatchWriter(ArticleReplayWriterBase, _IntentJournal, DataSourceWriter):
@@ -464,6 +557,7 @@ class ArticleReplayBatchWriter(ArticleReplayWriterBase, _IntentJournal, DataSour
 
     def abort(self, messages) -> None:
         self._drop_staged(messages)
+        self._sweep_staging()
 
 
 class ArticleReplayStreamWriter(ArticleReplayWriterBase, _IntentJournal, DataSourceStreamWriter):
@@ -488,6 +582,7 @@ class ArticleReplayStreamWriter(ArticleReplayWriterBase, _IntentJournal, DataSou
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_staged(messages)
+        self._sweep_staging()
 
 
 class ArticleReplayDataSource(DataSource):
@@ -514,6 +609,15 @@ class ArticleReplayDataSource(DataSource):
         return ArticleReplayBatchWriter(self.options)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> ArticleReplayStreamWriter:
+        if overwrite:
+            # complete/update output modes hand overwrite=True per
+            # micro-batch; silently appending would duplicate every
+            # cumulative result. Append-only log: reject like the batch
+            # writer does.
+            raise ValueError(
+                "article_replay is an append-only log; streaming overwrite "
+                "(complete/update output mode) is not supported"
+            )
         return ArticleReplayStreamWriter(self.options)
 
 

@@ -69,7 +69,18 @@ def payload(spark: SparkSession, cfg: KinesisConfig) -> DataFrame:
 
     try:
         raw = reader(spark, cfg).load()
-    except Exception as exc:  # connector jar not on classpath
+    except Exception as exc:
+        # Rewrap ONLY the missing-connector failure; auth/stream/option
+        # errors from a present connector must propagate as themselves —
+        # mislabeling them sends the operator chasing a classpath problem
+        # that does not exist.
+        msg = str(exc)
+        if not (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source" in msg
+            or "ClassNotFoundException" in msg
+        ):
+            raise
         raise RuntimeError(
             "Kinesis connector not available. Add the AWS Labs "
             "spark-streaming-sql-kinesis-connector jar via spark.jars.packages "

@@ -169,25 +169,29 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str, how: str = 
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    left_key: str,
     left_time: str,
     right_time: str,
+    right_key: str | None = None,
     interval: str = "10 minutes",
     left_watermark: str = "10 seconds",
     right_watermark: str = "10 seconds",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` with an event-time interval
-    bound: right row within [left_time - interval, left_time].
+    """Stream-stream inner join on ``left_key = right_key`` (the key
+    columns may be named differently per side — ``right_key`` defaults
+    to ``left_key``) with an event-time interval bound: right row within
+    [left_time - interval, left_time].
 
     Both sides carry watermarks, so each side's join state is evicted
     once the other side's watermark passes the interval bound — the
     state-bounding recipe from the Structured Streaming paper. At
     100 TB/day the state footprint is rate x interval per key, never
     unbounded."""
+    right_key = right_key or left_key
     lw = left.withWatermark(left_time, left_watermark)
     rw = right.withWatermark(right_time, right_watermark)
     cond = (
-        (lw[key] == rw[key])
+        (lw[left_key] == rw[right_key])
         & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {interval}"))
         & (rw[right_time] <= lw[left_time])
     )
@@ -220,7 +224,12 @@ def streaming_asof_enrich(events: DataFrame) -> DataFrame:
         # normalize to ns-resolution so carried-state rows concat/merge
         # cleanly whatever resolution Arrow handed us
         rows["ts"] = rows["ts"].astype("datetime64[ns]")
-        clicks = rows[rows["event_type"] == "click"][["ts", "value"]]
+        # NULL-matches-nothing, as in the batch operator: NaT-ts clicks
+        # can never satisfy the bound (and merge_asof raises on NaT
+        # merge keys); NaT-ts purchases are emitted unenriched below.
+        clicks = rows[(rows["event_type"] == "click") & rows["ts"].notna()][
+            ["ts", "value"]
+        ]
         if state.exists:
             ts_us, v = state.get
             carried = pd.DataFrame(
@@ -228,9 +237,12 @@ def streaming_asof_enrich(events: DataFrame) -> DataFrame:
             )
             carried["ts"] = carried["ts"].astype("datetime64[ns]")
             clicks = pd.concat([carried, clicks], ignore_index=True)
-        # (ts, value) ascending: merge_asof takes the LAST row per ts,
-        # i.e. the max value — the batch operator's dup tie-break.
-        clicks = clicks.sort_values(["ts", "value"], kind="stable")
+        # (ts, value) ascending with NaN values FIRST: merge_asof takes
+        # the LAST row per ts, i.e. the max real value — the batch
+        # operator's dup tie-break, where a NULL payload sorts first too.
+        clicks = clicks.sort_values(
+            ["ts", "value"], kind="stable", na_position="first"
+        )
         purchases = rows[rows["event_type"] == "purchase"][
             ["event_id", "ts", "value"]
         ].sort_values("ts", kind="stable")
@@ -239,7 +251,11 @@ def streaming_asof_enrich(events: DataFrame) -> DataFrame:
             state.update((int(latest["ts"].value // 1_000), float(latest["value"])))
         if len(purchases):
             purchases = purchases.rename(columns={"value": "purchase_value"})
-            if len(clicks):
+            nat = purchases[purchases["ts"].isna()].assign(
+                click_ts=pd.NaT, click_value=float("nan")
+            )
+            purchases = purchases[purchases["ts"].notna()]
+            if len(clicks) and len(purchases):
                 out = pd.merge_asof(
                     purchases,
                     clicks.rename(columns={"ts": "click_ts", "value": "click_value"}),
@@ -252,6 +268,7 @@ def streaming_asof_enrich(events: DataFrame) -> DataFrame:
                 out = purchases.assign(
                     click_ts=pd.NaT, click_value=float("nan")
                 )
+            out = pd.concat([out, nat], ignore_index=True)
             out["user_id"] = key[0]
             yield out.rename(columns={"ts": "purchase_ts"})[
                 [
@@ -294,7 +311,10 @@ def running_author_stats(parsed_with_wc: DataFrame) -> DataFrame:
         (author,) = key
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
-            n += len(pdf)
+            # avg() semantics: NULL word counts (malformed payloads) are
+            # excluded from BOTH numerator and denominator, matching the
+            # declarative F.avg the rest of the package uses.
+            n += int(pdf["word_count"].notna().sum())
             total += float(pdf["word_count"].sum())
         state.update((n, total))
         yield pd.DataFrame(
@@ -345,7 +365,8 @@ def running_author_stats_v2(parsed_with_wc: DataFrame) -> DataFrame:
 
             n, total = self.acc.get() if self.acc.exists() else (0, 0.0)
             for pdf in rows:
-                n += len(pdf)
+                # avg() semantics: NULLs out of numerator AND denominator
+                n += int(pdf["word_count"].notna().sum())
                 total += float(pdf["word_count"].sum())
             self.acc.update((n, total))
             yield pd.DataFrame(

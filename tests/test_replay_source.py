@@ -514,3 +514,116 @@ class TestWrite:
         assert len(lines) == 2 and _json.loads(lines[1])["partitionKey"] == "b"
         committed, pending = w2._read_log()
         assert committed == {0, 1} and pending is None
+
+
+class TestReviewHardening:
+    def test_binary_payload_roundtrips_via_base64(self, registered, tmp_path):
+        """Non-UTF-8 binary payloads (gzip/avro bytes — the general
+        Kinesis record contract) must survive the write->read round trip;
+        UTF-8 payloads keep the compact text envelope."""
+        d = str(tmp_path / "bin_arch")
+        rows = [
+            ("shard-000", "gz", b"\x1f\x8b\x08\x00\xff\xfe"),
+            ("shard-000", "txt", b'{"k": 1}'),
+        ]
+        df = registered.createDataFrame(
+            rows, "shard_id string, partition_key string, data binary"
+        )
+        df.coalesce(1).write.format("article_replay").option("path", d).mode(
+            "append"
+        ).save()
+        back = {
+            r.partition_key: bytes(r.data)
+            for r in registered.read.format("article_replay")
+            .option("path", d)
+            .load()
+            .collect()
+        }
+        assert back == {"gz": b"\x1f\x8b\x08\x00\xff\xfe", "txt": b'{"k": 1}'}
+
+    def test_streaming_overwrite_rejected(self, registered, tmp_path):
+        """Complete output mode hands overwrite=True per micro-batch; the
+        append-only sink must reject it instead of silently appending
+        cumulative duplicates."""
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            ArticleReplayDataSource,
+            RECORD_SCHEMA,
+        )
+
+        ds = ArticleReplayDataSource(options={"path": str(tmp_path / "x")})
+        with pytest.raises(ValueError, match="append-only"):
+            ds.streamWriter(RECORD_SCHEMA, overwrite=True)
+
+    def test_reader_never_counts_uncommitted_rows(self, archive, tmp_path):
+        """A writer that crashed mid-append leaves rows in the shard log
+        that its recovery will truncate; the reader's latestOffset must
+        cap at the dangling PREPARE's pre-append length so rolled-back
+        rows are never planned into a batch (and never poison the
+        monotonic high-water mark)."""
+        import json as _json
+        import os
+
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            ArticleReplayStreamReader,
+        )
+
+        shard = os.path.join(archive, "shard-000.jsonl")
+        committed_len = os.path.getsize(shard)
+        reader = ArticleReplayStreamReader({"path": archive})
+        base = reader.latestOffset()["shard-000"]
+
+        # simulate a crashed writer: PREPARE journaled, rows appended,
+        # no COMMIT
+        with open(os.path.join(archive, "_committed_batches.log"), "a") as f:
+            f.write(f'PREPARE 7 {_json.dumps({"shard-000": committed_len})}\n')
+        with open(shard, "a", encoding="utf-8") as f:
+            f.write(_json.dumps({"partitionKey": "pk", "data": "torn"}) + "\n")
+
+        assert reader.latestOffset()["shard-000"] == base, (
+            "uncommitted rows must not advance the offset"
+        )
+        # writer recovery commits the epoch -> rows become visible
+        with open(os.path.join(archive, "_committed_batches.log"), "a") as f:
+            f.write("COMMIT 7\n")
+        assert reader.latestOffset()["shard-000"] == base + 1
+
+    def test_torn_final_line_not_counted(self, archive):
+        """A partial trailing line (no newline — mid-crash append) is not
+        yet durable as a row; the offset must stop before it."""
+        import os
+
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            ArticleReplayStreamReader,
+        )
+
+        shard = os.path.join(archive, "shard-000.jsonl")
+        reader = ArticleReplayStreamReader({"path": archive})
+        base = reader.latestOffset()["shard-000"]
+        with open(shard, "a", encoding="utf-8") as f:
+            f.write('{"partitionKey": "pk", "data": "no-newline')  # torn
+        assert reader.latestOffset()["shard-000"] == base
+        with open(shard, "a", encoding="utf-8") as f:
+            f.write('"}\n')  # line completed -> now a row
+        assert reader.latestOffset()["shard-000"] == base + 1
+
+    def test_orphaned_staging_swept_at_commit(self, registered, tmp_path):
+        """Temp files from tasks that died before returning a commit
+        message must not accumulate: any file left under _staging after
+        an epoch's commit is an orphan and gets swept."""
+        import os
+
+        d = str(tmp_path / "sweep_arch")
+        os.makedirs(os.path.join(d, "_staging"), exist_ok=True)
+        orphan = os.path.join(d, "_staging", "shard-000.deadtask.jsonl")
+        with open(orphan, "w") as f:
+            f.write('{"partitionKey": "zombie", "data": "x"}\n')
+        df = registered.createDataFrame(
+            [("shard-000", "p1", b"live")],
+            "shard_id string, partition_key string, data binary",
+        )
+        df.coalesce(1).write.format("article_replay").option("path", d).mode(
+            "append"
+        ).save()
+        assert os.listdir(os.path.join(d, "_staging")) == []
+        rows = registered.read.format("article_replay").option("path", d).load().collect()
+        assert [r.partition_key for r in rows] == ["p1"]  # orphan never appended

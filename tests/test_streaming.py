@@ -290,16 +290,11 @@ class TestStreamStreamJoin:
             spark.readStream.schema(schema).parquet(rdir)
             .select(F.col("user").alias("r_user"), F.to_timestamp("ts").alias("r_ts"))
         )
-        # key columns differ by name -> build the interval-join condition
-        # directly (same shape as sp.stream_stream_interval_join)
-        lw = left.withWatermark("l_ts", "10 seconds")
-        rw = right.withWatermark("r_ts", "10 seconds")
-        cond = (
-            (lw.l_user == rw.r_user)
-            & (rw.r_ts >= lw.l_ts - F.expr("INTERVAL 10 minutes"))
-            & (rw.r_ts <= lw.l_ts)
+        joined = sp.stream_stream_interval_join(
+            left, right, left_key="l_user", right_key="r_user",
+            left_time="l_ts", right_time="r_ts", interval="10 minutes",
         )
-        q = sp.start_memory_sink(lw.join(rw, cond, "inner"), "ssjoin")
+        q = sp.start_memory_sink(joined, "ssjoin")
         q.processAllAvailable()
         q.stop()
         out = [(r.l_user, str(r.r_ts)) for r in spark.sql("SELECT * FROM ssjoin").collect()]
