@@ -49,7 +49,7 @@ SEG_WORDS = 3
     "text_segment_dedup",
     oracle=f"""
 WITH words AS (
-    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
 ),
 segs AS (
     SELECT doc_id, i,
@@ -96,7 +96,13 @@ def segment_dedup(d: DataFrame) -> DataFrame:
 
     Takes any ``(doc_id, text)`` frame; idempotent — a deduped corpus
     passes through unchanged (tests/test_properties.py)."""
-    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    # NULL text segments as empty text — split(NULL) yields a NULL array
+    # whose doc would otherwise be absent from the Spark segment stream
+    # but present (with null reassembly) in the totals join, while the
+    # oracle dropped it entirely (probed on the NULL-text fixture).
+    words = d.select(
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("w")
+    )
     n_segs = (F.floor((F.size("w") - F.lit(1)) / F.lit(SEG_WORDS)) + 1).cast("int")
     doc_totals = words.select("doc_id", n_segs.cast("long").alias("n_segs"))
     segs = F.transform(

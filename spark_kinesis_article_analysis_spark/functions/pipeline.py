@@ -25,6 +25,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_kinesis_article_analysis_spark.catalog import load, parquet_column_bounds, table_path
+from spark_kinesis_article_analysis_spark.functions.splits import (
+    BUCKET_SQL,
+    TRAIN_MAX,
+    VALID_MAX,
+    doc_bucket,
+)
 from spark_kinesis_article_analysis_spark.registry import register
 
 #: Chunking geometry: 50-token chunks every 40 tokens (10-token overlap).
@@ -181,14 +187,14 @@ def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "split_hash_assign",
-    oracle="""
+    oracle=f"""
 WITH t AS (
-    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+    SELECT doc_id, {BUCKET_SQL} AS bucket
     FROM documents
 )
 SELECT doc_id, bucket,
-       CASE WHEN bucket < 'cd' THEN 'train'
-            WHEN bucket < 'e6' THEN 'valid'
+       CASE WHEN bucket < '{TRAIN_MAX}' THEN 'train'
+            WHEN bucket < '{VALID_MAX}' THEN 'valid'
             ELSE 'test' END AS split
 FROM t
 """,
@@ -202,12 +208,12 @@ FROM t
 )
 def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bucket = doc_bucket()
     return d.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.when(bucket < "cd", "train")
-        .when(bucket < "e6", "valid")
+        F.when(bucket < TRAIN_MAX, "train")
+        .when(bucket < VALID_MAX, "valid")
         .otherwise("test")
         .alias("split"),
     )
@@ -218,7 +224,8 @@ def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
     SELECT doc_id, lang,
-           round(length(text) / len(string_split_regex(text, '\\s+')), 6) AS score
+           round(length(coalesce(text, '')) /
+                 len(string_split_regex(coalesce(text, ''), '\\s+')), 6) AS score
     FROM documents
 ),
 r AS (
@@ -242,7 +249,14 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         "lang",
-        F.round(F.length("text") / F.size(_toks()), 6).alias("score"),
+        # NULL text scores as empty text (0.0) — a NULL score would sort
+        # NULLS FIRST in Spark but NULLS LAST in DuckDB, shifting every
+        # percent_rank in the partition (probed on the NULL-text fixture).
+        F.round(
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            / F.size(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")),
+            6,
+        ).alias("score"),
     )
     pr = F.percent_rank().over(W.partitionBy("lang").orderBy("score", "doc_id"))
     return (
@@ -257,7 +271,8 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
     SELECT doc_id, lang,
-           round(length(text) / len(string_split_regex(text, '\\s+')), 6) AS score
+           round(length(coalesce(text, '')) /
+                 len(string_split_regex(coalesce(text, ''), '\\s+')), 6) AS score
     FROM documents
 ),
 r AS (
@@ -287,7 +302,14 @@ def quality_gate_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         "lang",
-        F.round(F.length("text") / F.size(_toks()), 6).alias("score"),
+        # NULL text scores as empty text (0.0) — a NULL score would sort
+        # NULLS FIRST in Spark but NULLS LAST in DuckDB, shifting every
+        # percent_rank in the partition (probed on the NULL-text fixture).
+        F.round(
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            / F.size(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")),
+            6,
+        ).alias("score"),
     )
     shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # histogram-balanced arithmetic shards: no repartitionByRange, so no
@@ -312,9 +334,10 @@ def quality_gate_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE d AS (
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' '))
+           md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(coalesce(text, ''), '\\s+'))), ' '))
                AS fp,
-           md5(substr(text, 1, 64)) AS ph
+           md5(substr(coalesce(text, ''), 1, 64)) AS ph
     FROM documents
 ),
 e AS (
@@ -344,10 +367,17 @@ FROM comp
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # NULL text fingerprints as empty text: md5(NULL) is NULL, and the
+    # label joins on fp/ph are null-rejecting — a NULL-text doc would
+    # silently VANISH from the output (probed on the NULL-text fixture;
+    # the oracle's recursive closure keeps it).
+    norm_text = F.coalesce(F.col("text"), F.lit(""))
     nodes = d.select(
         "doc_id",
-        F.md5(F.array_join(F.sort_array(F.array_distinct(_toks())), " ")).alias("fp"),
-        F.md5(F.substring("text", 1, 64)).alias("ph"),
+        F.md5(
+            F.array_join(F.sort_array(F.array_distinct(F.split(norm_text, r"\s+"))), " ")
+        ).alias("fp"),
+        F.md5(F.substring(norm_text, 1, 64)).alias("ph"),
         F.col("doc_id").alias("label"),
     ).localCheckpoint(eager=True)
     # Convergence probe: labels only ever decrease (least of mins), so the
@@ -355,7 +385,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # costs one scalar agg per round instead of a join against the
     # previous state.
     prev_sum = None
-    for _ in range(20):
+    converged = False
+    for _ in range(50):
         m1 = nodes.groupBy("fp").agg(F.min("label").alias("l1"))
         m2 = nodes.groupBy("ph").agg(F.min("label").alias("l2"))
         nodes = (
@@ -366,8 +397,18 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         label_sum = nodes.agg(F.sum("label")).collect()[0][0]
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # loud beats wrong: a silent exit here would return multiple
+        # component ids for one true component (duplicate-cluster graphs
+        # with diameter > rounds — pathological, but detectable for free)
+        raise RuntimeError(
+            "dedup_cluster_components: label propagation did not converge "
+            "within 50 rounds (duplicate-graph diameter exceeds the "
+            "iteration budget); raise the round cap for this corpus"
+        )
     comp = nodes.select("doc_id", F.col("label").alias("component_id"))
     return comp.withColumn(
         "component_size", F.count("*").over(W.partitionBy("component_id"))
@@ -385,17 +426,17 @@ def observed_quality_gate(df: DataFrame, min_tokens: int = 20, max_tokens: int =
 
     n_tokens = F.size(F.split("text", r"\s+"))
     with_n = df.withColumn("n_tokens", n_tokens)
+    # ONE binding of the gate predicate: the observe() arms and the
+    # filter below must never disagree about what "kept" means.
+    kept = F.col("n_tokens").between(min_tokens, max_tokens)
     obs = Observation("quality_gate")
     observed = with_n.observe(
         obs,
         F.count(F.lit(1)).alias("rows_in"),
-        F.sum(F.when((F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens), 1).otherwise(0)).alias("rows_kept"),
-        F.sum(F.when((F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens), F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("rows_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
     )
-    return (
-        observed.filter(F.col("n_tokens").between(min_tokens, max_tokens)),
-        obs,
-    )
+    return (observed.filter(kept), obs)
 
 
 @register(
@@ -412,8 +453,8 @@ d AS (
 ),
 q AS (SELECT * FROM d WHERE n_tokens BETWEEN 20 AND 1000),
 s AS (
-    SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+    SELECT *, CASE WHEN {BUCKET_SQL} < '{TRAIN_MAX}' THEN 'train'
+                   WHEN {BUCKET_SQL} < '{VALID_MAX}' THEN 'valid'
                    ELSE 'test' END AS split
     FROM q
 )
@@ -454,9 +495,11 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.size(_toks()).alias("n_tokens"))
         .filter(F.col("n_tokens").between(20, 1000))
     )
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bucket = doc_bucket()
     split = (
-        F.when(bucket < "cd", "train").when(bucket < "e6", "valid").otherwise("test")
+        F.when(bucket < TRAIN_MAX, "train")
+        .when(bucket < VALID_MAX, "valid")
+        .otherwise("test")
     )
     s = kept.withColumn("split", split)
     shards = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -35,6 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.functions.splits import (
+    BUCKET_SQL,
+    TRAIN_MAX,
+    doc_bucket,
+)
 from spark_kinesis_article_analysis_spark.registry import register
 
 
@@ -63,7 +68,13 @@ def repetition_stats(d: DataFrame) -> DataFrame:
     column — pure map-side expressions, so it composes into batch AND
     streaming plans unchanged (used by
     ``streaming.pipeline.corpus_ingest_stream``)."""
-    t = d.withColumn("__t", _toks()).withColumn("__bg", _bigrams(F.col("__t")))
+    # NULL text is treated as EMPTY text (one '' token): the gate must be
+    # decidable for every row — a NULL passes_gate would silently drop the
+    # doc from a streaming filter, and half the stats would be NULL while
+    # the bigram fractions defaulted to 0.0 (an incoherent hybrid).
+    t = d.withColumn(
+        "__t", F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")
+    ).withColumn("__bg", _bigrams(F.col("__t")))
     # longest equal-run in the sorted bigram array == max occurrence count
     acc0 = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
@@ -100,7 +111,7 @@ def repetition_stats(d: DataFrame) -> DataFrame:
     "text_repetition_stats",
     oracle="""
 WITH t AS (
-    SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS t FROM documents
 ),
 g AS (
     SELECT doc_id, t,
@@ -157,7 +168,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_ingest_batch_form",
     oracle="""
 WITH t AS (
-    SELECT doc_id, text, string_split_regex(text, '\\s+') AS t FROM documents
+    SELECT doc_id, text, string_split_regex(coalesce(text, ''), '\\s+') AS t FROM documents
 ),
 g AS (
     SELECT doc_id, text, t,
@@ -224,7 +235,7 @@ def corpus_ingest_batch_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRAM5_SQL = """
     SELECT doc_id, gram
-    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents{where}),
+    FROM (SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS t FROM documents{where}),
          LATERAL unnest(list_distinct(list_transform(
              generate_series(1, len(t) - 4),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS u(gram)
@@ -307,14 +318,14 @@ def text_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_batch",
-    oracle="""
+    oracle=f"""
 WITH batch AS (
     SELECT doc_id, lang, md5(text) AS text_hash FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'
+    WHERE {BUCKET_SQL} >= '{TRAIN_MAX}'
 ),
 corpus AS (
     SELECT DISTINCT md5(text) AS text_hash FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+    WHERE {BUCKET_SQL} < '{TRAIN_MAX}'
 )
 SELECT text_hash,
        min(doc_id)           AS doc_id,
@@ -337,10 +348,10 @@ GROUP BY text_hash
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bucket = doc_bucket()
     h = F.md5("text").alias("text_hash")
-    batch = d.filter(bucket >= "cd").select(h, "doc_id", "lang")
-    corpus = d.filter(bucket < "cd").select(h).distinct()
+    batch = d.filter(bucket >= TRAIN_MAX).select(h, "doc_id", "lang")
+    corpus = d.filter(bucket < TRAIN_MAX).select(h).distinct()
     return (
         batch.join(corpus, "text_hash", "left_anti")
         .groupBy("text_hash")
@@ -412,11 +423,11 @@ BLOOM_SEEDS = (0, 1, 2)
     oracle=f"""
 WITH corpus AS (
     SELECT text FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+    WHERE {BUCKET_SQL} < '{TRAIN_MAX}'
 ),
 batch AS (
     SELECT doc_id, text FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cd'
+    WHERE {BUCKET_SQL} >= '{TRAIN_MAX}'
 ),
 bits AS (
     SELECT DISTINCT
@@ -461,9 +472,9 @@ FROM probe p LEFT JOIN exact e ON p.doc_id = e.doc_id
 )
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    corpus = d.filter(bucket < "cd").select("text")
-    batch = d.filter(bucket >= "cd").select("doc_id", "text")
+    bucket = doc_bucket()
+    corpus = d.filter(bucket < TRAIN_MAX).select("text")
+    batch = d.filter(bucket >= TRAIN_MAX).select("doc_id", "text")
 
     def bloom_bit(seed: int):
         return (

@@ -31,7 +31,23 @@ def salted_join(
     """Equi-join with the big side salted and the small side replicated
     ``salt_buckets`` times. Use when ``big[big_key]`` is heavily skewed
     and the small side is modest (replication multiplies its shuffle
-    volume by ``salt_buckets``)."""
+    volume by ``salt_buckets``).
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` preserve plain-
+    join row identity: in a right/full outer join an unmatched small-side
+    row survives ONCE PER REPLICA (``salt_buckets`` copies), so those
+    modes are rejected. Salt caveat: the salt is a deterministic hash of
+    the whole big-side row (deterministic because a nondeterministic salt
+    can double-count under shuffle-stage retry), so EXACT duplicate rows
+    share a salt — a hot key made of identical rows is not spread. Give
+    such data a unique id column first; it feeds the hash and spreads
+    the copies."""
+    if how.replace("outer", "").strip("_ ") in ("right", "full"):
+        raise ValueError(
+            f"salted_join cannot express {how!r}: unmatched small-side rows "
+            "would appear once per salt replica; use AQE skew-join handling "
+            "for outer joins instead"
+        )
     big_salted = big.withColumn(
         "__salt", (F.xxhash64(*[F.col(c) for c in big.columns]) % salt_buckets + salt_buckets) % salt_buckets
     )
@@ -52,12 +68,24 @@ def two_phase_agg(
     key: str,
     value: str,
     salt_buckets: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Hot-key-safe sum/count: partial aggregate on (key, salt), then
     final on key. Returns (key, total, n) — extend per aggregate; only
     algebraic aggregates (sum/count/min/max/avg-via-sum) decompose
-    this way."""
-    salted = df.withColumn("__salt", (F.xxhash64(F.col(value)) % salt_buckets))
+    this way.
+
+    The salt hashes the value column (deterministic — safe under
+    shuffle-stage retry, unlike rand()) normalized to [0, buckets): the
+    previous raw ``%`` spanned negative residues too, silently doubling
+    the partial-group count. A hot key whose VALUE column is constant
+    still funnels into one partial group — feed a higher-cardinality
+    column (or a unique id) as ``value``'s companion via ``salt_col``."""
+    salt_src = F.col(salt_col) if salt_col is not None else F.col(value)
+    salted = df.withColumn(
+        "__salt",
+        (F.xxhash64(salt_src) % salt_buckets + salt_buckets) % salt_buckets,
+    )
     partial = salted.groupBy(key, "__salt").agg(
         F.sum(value).alias("__s"), F.count("*").alias("__n")
     )
@@ -76,7 +104,13 @@ def monotone_range_shard(order_col: str, lo: int, hi: int, num_shards: int) -> C
     on bounds the caller already knows (dense ids, or parquet footer
     min/max)."""
     width = max(1, -(-(hi - lo + 1) // num_shards))  # ceil div
-    return F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    shard = F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    # NULL sort keys shard to -1 (before every real shard — Spark sorts
+    # NULLS FIRST): arithmetic on NULL yields a NULL shard, and the
+    # two-phase rewrites' shard join is null-rejecting on __shard, so a
+    # NULL-key row would silently vanish from the window output
+    # (with_balanced_range_shard already guards identically).
+    return F.coalesce(shard, F.lit(-1))
 
 
 def _join_shard_parts(left: DataFrame, right: DataFrame, part_cols: list[str]) -> DataFrame:

@@ -36,6 +36,7 @@ _DOCS = [
     (50, "eval set holdout document with enough tokens to shingle"),
     (100, "the quick brown fox jumps over the lazy dog again"),  # contaminated vs 50? no — dup of 8
     (150, "eval set holdout document with enough tokens to shingle"),  # shares 5-grams with 50
+    (200, None),                       # NULL text: must not vanish or flip row sets
 ]
 
 
@@ -48,7 +49,9 @@ def corpus_dir(tmp_path_factory):
             "text": pa.array([t for _, t in _DOCS], pa.string()),
             "lang": pa.array(["en" if i % 3 else "de" for i, _ in _DOCS], pa.string()),
             "source": pa.array(["synthetic"] * len(_DOCS), pa.string()),
-            "n_chars": pa.array([len(t) for _, t in _DOCS], pa.int64()),
+            "n_chars": pa.array(
+                [len(t) if t is not None else None for _, t in _DOCS], pa.int64()
+            ),
         }
     )
     pq.write_table(tbl, d / "documents.parquet")

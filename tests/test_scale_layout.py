@@ -656,3 +656,67 @@ class TestDynamicPartitionPruning:
             .collect()
         }
         assert got == want
+
+
+class TestSkewGuards:
+    def test_salted_join_rejects_outer_modes(self, spark):
+        """Right/full outer joins would emit an unmatched small-side row
+        once per salt replica — reject them instead of silently
+        multiplying rows."""
+        from spark_kinesis_article_analysis_spark.operators.skew import salted_join
+
+        li = load(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+        o = load(spark, SF_SMOKE, "orders").select("o_orderkey")
+        for how in ("right", "full", "full_outer", "right_outer"):
+            with pytest.raises(ValueError, match="per salt replica"):
+                salted_join(li, o, "l_orderkey", "o_orderkey", how=how)
+
+    def test_sharded_running_sum_keeps_null_sort_keys(self, spark):
+        """A NULL sort key must survive the monotone-shard path exactly
+        as the plain window keeps it (NULLS FIRST): monotone_range_shard
+        maps NULL to shard -1 so the shard join cannot drop the row."""
+        from pyspark.sql import Window as W
+
+        from spark_kinesis_article_analysis_spark.operators.skew import (
+            monotone_range_shard,
+            range_sharded_running_sum,
+        )
+
+        df = spark.createDataFrame(
+            [("a", None, 10), ("a", 1, 1), ("a", 2, 2), ("b", 3, 3)],
+            "k string, ord int, v int",
+        )
+        got = {
+            (r.k, r.ord): r.cum
+            for r in range_sharded_running_sum(
+                df, ["k"], "ord", "v", "cum", num_shards=2,
+                shard_by=monotone_range_shard("ord", 1, 3, 2),
+            ).collect()
+        }
+        w = (
+            W.partitionBy("k").orderBy("ord")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        want = {
+            (r.k, r.ord): r.cum
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want and ("a", None) in got, (got, want)
+
+    def test_two_phase_agg_salts_are_nonnegative_and_spreadable(self, spark):
+        """pmod normalization plus an optional salt column for hot keys
+        whose value column is constant."""
+        from spark_kinesis_article_analysis_spark.operators.skew import two_phase_agg
+
+        df = spark.createDataFrame(
+            [("hot", 1.0, i) for i in range(100)] + [("cold", 2.0, 0)],
+            "k string, v double, uid long",
+        )
+        out = {r.k: (r.total, r.n) for r in two_phase_agg(df, "k", "v").collect()}
+        assert out == {"hot": (100.0, 100), "cold": (2.0, 1)}
+        # constant value column: salt on the unique id instead
+        out2 = {
+            r.k: (r.total, r.n)
+            for r in two_phase_agg(df, "k", "v", salt_col="uid").collect()
+        }
+        assert out2 == out
