@@ -16,9 +16,10 @@ Scale posture:
 - IVF: assign every vector to its nearest of K centroids (one broadcast
   pass), then search only the probe cell — O(N/K) per query;
 - LSH: sign-bit bucket of R fixed hyperplanes, candidates from bucket
-  equality; recall vs brute force is asserted in tests (rows-only for
-  the driver — hyperplanes come from xxhash64 bit mixing, which DuckDB
-  lacks).
+  equality; recall vs brute force is asserted in tests. Both LSH forms
+  are oracle-backed since round 4: plane weights are derived at
+  plan-build time (seeded stdlib PRNG / md5) and embedded as literals
+  the DuckDB oracle repeats verbatim.
 """
 
 from __future__ import annotations
@@ -160,6 +161,11 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "emb")
         .collect()  # bounded by N_QUERIES — a query SET, not the corpus
     )
+    if not qrows:
+        # every query vector was zero-norm (or absent): the exact twin
+        # returns an empty frame; np.linalg.norm(axis=1) on the empty
+        # 1-D array would raise AxisError at plan-build time instead.
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cosine double")
     q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     Q = np.array([list(r.emb) for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -175,7 +181,17 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             C = _np.array(pdf["emb"].tolist(), dtype=_np.float64)
             ids = pdf["vec_id"].to_numpy()
             Cn = C / _np.linalg.norm(C, axis=1, keepdims=True)
-            S = _np.round(Cn @ Qn.T, 6)  # round BEFORE ranking, like the exact form
+            # round BEFORE ranking, like the exact form — and with the
+            # exact form's ROUNDING MODE: Spark's F.round is decimal
+            # HALF_UP while np.round is half-to-even, a systematic 1e-6
+            # divergence at exact halves, not just summation-order ulps.
+            # floor(|x|*1e6 + 0.5) is vectorized half-up; the residual
+            # difference (binary scaling vs Spark's shortest-repr decimal
+            # string) only surfaces when the scaled value sits within one
+            # ulp of .5 — covered by the pytest tolerance + membership
+            # assertions (tests/test_rows_only.py::TestArrowTopK).
+            raw = Cn @ Qn.T
+            S = _np.sign(raw) * _np.floor(_np.abs(raw) * 1e6 + 0.5) / 1e6
             for qi, qid in enumerate(q_ids):
                 col = S[:, qi]
                 top = _np.lexsort((ids, -col))[:k]
@@ -478,12 +494,13 @@ FROM e CROSS JOIN tb
     doc=(
         "sim_lsh_buckets with engine-portable hyperplanes: identical "
         "4-table x 4-sign-bit bucketing, but plane weights derive from "
-        "md5(table:bit:dim) instead of xxhash64, so DuckDB reproduces "
-        "every weight, projection, and bucket id and the driver value-"
-        "hash-checks the whole LSH assignment (sign comparisons sit "
-        "far from the float summation noise floor, so fold order "
-        "cannot flip a bucket bit in practice). The xxhash64 form "
-        "remains the cheap production path."
+        "md5(table:bit:dim) instead of the seeded-PRNG literals, so "
+        "DuckDB reproduces every weight, projection, and bucket id and "
+        "the driver value-hash-checks the whole LSH assignment (sign "
+        "comparisons sit far from the float summation noise floor, so "
+        "fold order cannot flip a bucket bit in practice). Since round "
+        "4 BOTH forms embed literal planes and are oracle-backed; this "
+        "twin differs only in how the constants are derived."
     ),
 )
 def sim_lsh_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,7 +141,6 @@ FROM documents
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = tokens_col()
-    pred = F.lit(None).cast("string")
     expr = None
     for lang, markers in LANG_MARKERS.items():
         cond = None

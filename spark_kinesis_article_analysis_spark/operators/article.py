@@ -97,7 +97,14 @@ def parse_articles(payload: DataFrame) -> DataFrame:
 
 def with_word_count(articles: DataFrame, text_col: str = "content") -> DataFrame:
     """P5/P6: whitespace-run tokenize + array length
-    (``process_articles.py:74-75``)."""
+    (``process_articles.py:74-75``).
+
+    Same split rule as ``functions/text.tokens_col`` — deliberately NOT
+    imported from there: text.py is a registering module, and importing
+    it here (article is also reachable via streaming/pipeline, outside
+    the registry's _load_all) could reorder query registration and with
+    it the driver's verdict-rotation window. Keep the two in sync with
+    the tokenizer property test (tests/test_properties.py)."""
     return articles.withColumn("words", F.split(F.col(text_col), r"\s+")).withColumn(
         "word_count", F.size(F.col("words"))
     )

@@ -98,3 +98,31 @@ def test_rows_only_embedding_specs_survive_zero_vector(spark, emb_dir):
         assert df.count() >= 0
         if name == "sim_cosine_topk_arrow":
             assert df.filter("query_id = 0 OR neighbor_id = 0").count() == 0
+
+
+def test_arrow_topk_all_queries_zero_norm(spark, tmp_path):
+    """Every query vec_id zero-norm: the exact operator returns an empty
+    frame; the Arrow twin must match instead of raising AxisError from
+    numpy axis-1 normalization of an empty query matrix (found by
+    review, round 4b)."""
+    d = tmp_path / "allzero_q"
+    d.mkdir()
+    vecs = [(i, [0.0] * 64, 0) for i in range(5)] + [  # all 5 queries zero
+        (i, [((i + j) % 5 - 2) / 2.0 for j in range(64)], 1) for i in range(5, 12)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([v[2] for v in vecs], pa.int64()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    specs = all_specs()
+    exact = specs["sim_cosine_topk"].build(spark, str(d)).collect()
+    arrow = specs["sim_cosine_topk_arrow"].build(spark, str(d)).collect()
+    assert exact == [] and arrow == []
