@@ -60,7 +60,10 @@ def make_fake_decoder() -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataF
 
     def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            # NULL payload (e.g. a NULL-text document regeneration — the
+            # shape test_degenerate_docs defends) decodes as empty bytes;
+            # len(None)/sum(None) would kill the whole task instead.
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -145,7 +148,7 @@ def make_fake_frame_sampler(
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
+                b = bytes(payload) if payload is not None else b""
                 n_frames = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
                 for i in range(0, n_frames, stride):
                     ids.append(doc_id)

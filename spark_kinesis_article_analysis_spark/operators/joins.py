@@ -5,9 +5,14 @@ Absent from the reference (single-stream pipeline, SURVEY.md §2 Part B);
 this is the standard surface any user of the engine needs.
 
 Scale notes (100 TB):
-- Dim tables (region/nation/customer/supplier/part — see
-  ``catalog.DIM_TABLES``) are joined with an explicit
-  ``F.broadcast`` hint: the fact side never shuffles for them.
+- Constant-size dims (region: 5 rows, nation: 25) broadcast
+  unconditionally — the fact side never shuffles for them. The
+  SF-SCALING "dims" (customer/supplier/part grow linearly with the
+  corpus in TPC-H) are hinted broadcast here because they fit at every
+  test/bench SF, but the hint is a size claim, not physics: at 100 TB
+  customer is TB-scale and the right plan is an un-hinted join — AQE
+  broadcasts while it fits and falls back to sort-merge (over bucketed
+  layouts, see tests/test_scale_layout.py) when it stops fitting.
 - Fact-fact equi-joins (orders x lineitem) sort-merge on the key; at
   scale the right layout is bucketing both tables by orderkey so the
   exchange disappears — AQE + skew-join handles stragglers otherwise.
@@ -38,7 +43,12 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
     tags=("join", "broadcast", "agg"),
-    doc="Fact x broadcast dim inner join + aggregate — the canonical star-schema probe.",
+    doc=(
+        "Fact x broadcast dim inner join + aggregate — the canonical "
+        "star-schema probe. The hint is honest at this corpus's scale; "
+        "see the module scale note for why a TPC-H customer table stops "
+        "being broadcastable at 100 TB (it scales with SF)."
+    ),
 )
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -213,7 +223,7 @@ SELECT event_id, user_id, ts, last_purchase_ts
 FROM (
     SELECT event_id, user_id, ts, event_type,
            max(CASE WHEN event_type = 'purchase' THEN ts END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
     FROM events
 )
@@ -224,8 +234,12 @@ WHERE event_type = 'click'
         "As-of join (Spark has no native one): for each click, the most recent "
         "purchase timestamp by the same user at-or-before it. Expressed as a "
         "running max over the time-sorted per-user stream — one shuffle, linear "
-        "work, no inequality join blow-up (the scalable formulation; "
-        "pd.merge_asof via applyInPandas is the alternative)."
+        "work, no inequality join blow-up (the scalable formulation; the "
+        "general two-relation, payload-carrying form is "
+        "operators/temporal.asof_join). The oracle window pins NULLS FIRST "
+        "to match Spark's ascending sort, so a NULL-ts row gets a NULL "
+        "match on both engines instead of DuckDB's tail placement seeing "
+        "every purchase."
     ),
 )
 def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

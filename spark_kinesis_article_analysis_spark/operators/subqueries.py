@@ -91,7 +91,7 @@ FROM region a CROSS JOIN region b
 WHERE a.r_regionkey <> b.r_regionkey
 """,
     tags=("join", "cross"),
-    doc="Explicit cross join, bounded to the 5-row region dim (25 pairs).",
+    doc="Explicit cross join, bounded to the 5-row region dim (5x5 minus the 5 self-pairs = 20 pairs).",
 )
 def join_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = load(spark, sf_dir, "region").alias("a")

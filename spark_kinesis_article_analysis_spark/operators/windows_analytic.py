@@ -176,7 +176,6 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     doc="percent_rank + cume_dist distribution functions over per-segment balance order.",
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
 
     c = load(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
