@@ -392,6 +392,7 @@ WITH e AS (
            CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
                 ELSE INTERVAL 10 MINUTE END AS gap
     FROM events
+    WHERE ts IS NOT NULL
 ),
 m AS (
     SELECT *, max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts

@@ -38,6 +38,7 @@ SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
        count(*) AS n_events,
        round(sum(value), 6) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY window_start, window_end, event_type
 """,
     tags=("time-window", "tumbling", "G2"),
@@ -101,6 +102,7 @@ WITH marked AS (
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM events
+    WHERE ts IS NOT NULL
 ),
 sessions AS (
     SELECT user_id, ts, value,
@@ -148,6 +150,7 @@ SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start
                  END), 6) AS avg_k,
        count(*) AS n
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY window_start, event_type
 """,
     tags=("time-window", "json", "P2"),

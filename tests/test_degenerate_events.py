@@ -82,13 +82,35 @@ _EVENTS_HOSTILE = [
 #: spec with a genuinely JSON-strict contract.
 _PROPS_FRAGILE: set[str] = set()
 
+#: The valid fixture with NULL timestamps interleaved (parquet allows a
+#: NULL ts anywhere; an upstream ingest bug or a driver regeneration
+#: could produce them). Every time-consuming spec must agree with the
+#: oracle on what a NULL event time means — Spark's window()/
+#: session_window() silently DROP NULL-ts rows (the grouping expression
+#: is NULL), date_trunc/lag/asof propagate NULL — and the oracles must
+#: mirror whichever semantics the builder has.
+_EVENTS_NULL_TS = [
+    (0, 0, 1, "view", 1.0, '{"k": 1}'),
+    (1, None, 2, "click", 2.0, '{"k": 2}'),  # NULL ts, valid props
+    (2, 59_999_999, 1, "view", 3.0, '{"k": 3}'),
+    (3, 60_000_000, 3, "error", -1.5, '{"k": 4}'),
+    (4, None, 3, "error", -2.5, '{"k": 5}'),  # NULL ts on a keyed group
+    (5, 3_599_999_999, 1, "view", 4.25, '{"k": 6}'),
+    (6, 3_600_000_000, 4, "purchase", 100.0, '{"k": 100}'),
+    (7, 3_600_000_000, 5, "purchase", 100.0, '{"k": 100}'),
+    (8, None, 5, "purchase", 50.0, None),  # NULL ts AND NULL props
+    (9, 86_400_000_000, 2, "click", 8.0, '{"k": 0}'),
+]
+
 
 def _write(d, rows, unit: str) -> str:
-    ts_us = [_BASE_US + off for _, off, *_ in rows]
+    ts_us = [None if off is None else _BASE_US + off for _, off, *_ in rows]
     ts = (
         pa.array(ts_us, pa.timestamp("us"))
         if unit == "us"
-        else pa.array([t * 1000 for t in ts_us], pa.timestamp("ns"))
+        else pa.array(
+            [None if t is None else t * 1000 for t in ts_us], pa.timestamp("ns")
+        )
     )
     tbl = pa.table(
         {
@@ -150,3 +172,14 @@ def test_event_parity_both_ts_encodings(spark, name, events_dir):
 )
 def test_event_parity_hostile_props(spark, name, hostile_events_dir):
     _compare(spark, name, hostile_events_dir)
+
+
+@pytest.fixture(scope="module")
+def null_ts_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("null_ts_events")
+    return _write(d, _EVENTS_NULL_TS, "us")
+
+
+@pytest.mark.parametrize("name", _events_only_specs())
+def test_event_parity_null_ts(spark, name, null_ts_events_dir):
+    _compare(spark, name, null_ts_events_dir)
