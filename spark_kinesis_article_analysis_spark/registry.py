@@ -41,6 +41,9 @@ class QuerySpec:
     #: file that defines the builder — drives the re-verify-on-change
     #: ordering in :func:`all_specs`
     src_file: str = ""
+    #: first line of the builder function — the within-module tiebreak
+    #: for :func:`all_specs` (definition order, import-order-independent)
+    src_line: int = 0
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -87,6 +90,7 @@ def register(
             tags=tags,
             doc=doc or (fn.__doc__ or ""),
             src_file=inspect.getsourcefile(fn) or "",
+            src_line=getattr(fn, "__code__", None).co_firstlineno if hasattr(fn, "__code__") else 0,
         )
         return fn
 
@@ -142,6 +146,55 @@ def _load_all() -> None:
         replay_batch,
         temporal,
     )
+
+
+#: Canonical module order for :func:`all_specs` ties — MUST mirror the
+#: import order of :func:`_load_all` (asserted by tests). Ordering by
+#: this list + the builder's source line makes the queue independent of
+#: which module happened to be imported first (a test importing
+#: ``operators.article`` directly must not reshuffle the verdict
+#: window).
+_MODULE_ORDER: tuple[str, ...] = (
+    "aggregates.py",
+    "relational.py",
+    "dedup.py",
+    "similarity.py",
+    "quality.py",
+    "text.py",
+    "pipeline.py",
+    "multimodal.py",
+    "udfs.py",
+    "corpus.py",
+    "article.py",
+    "joins.py",
+    "subqueries.py",
+    "windows_analytic.py",
+    "windows_time.py",
+    "scalar.py",
+    "tpch_extra.py",
+    "replay_batch.py",
+    "temporal.py",
+)
+
+#: Specs whose ORACLE semantics were rewritten since their last driver
+#: verdict — they jump to the front of the changed-since-verified class
+#: so the 50-query verdict budget re-checks the rewritten oracles before
+#: anything that merely shares a module with other edits. Self-cleaning:
+#: once the driver re-verdicts one and its module is untouched since,
+#: the rank function classes it "unchanged" regardless of this set.
+#: Round-4 entries: quality.py's bigram-less LEFT JOIN parity rewrite;
+#: windows_time/corpus NULL-event-time rewrite (oracles now drop NULL ts
+#: exactly like Spark's window()/session_window()).
+_ORACLE_REWRITTEN: frozenset[str] = frozenset(
+    {
+        "text_repetition_stats",
+        "corpus_ingest_batch_form",
+        "time_window_tumbling",
+        "time_window_session",
+        "time_window_json_events",
+        "window_session_dynamic_gap",
+    }
+)
 
 
 def _repo_root() -> str:
@@ -214,14 +267,16 @@ def all_specs() -> dict[str, QuerySpec]:
     """All registered specs in verification-priority order:
 
     1. never driver-verified,
-    2. verified, but the defining module was committed AFTER the verdict
+    2. verified, but the ORACLE was rewritten since (``_ORACLE_REWRITTEN``),
+    3. verified, but the defining module was committed AFTER the verdict
        (the verdict may no longer describe the shipped code),
-    3. verified and unchanged since.
+    4. verified and unchanged since.
 
     The driver verdicts the first 50 entries per round; this ordering
     rotates the budget onto whatever currently lacks trustworthy
-    evidence, with no per-round hand-curation. Stable within each class
-    (registration order), so module import order still breaks ties.
+    evidence. Ties break on (canonical module order, builder source
+    line) — fully deterministic, independent of which module some test
+    happened to import first.
 
     Timestamp granularity caveat: class 2 vs 1 compares git COMMIT
     times, which relies on the driver's workflow committing the
@@ -241,10 +296,21 @@ def all_specs() -> dict[str, QuerySpec]:
         src = _REGISTRY[name].src_file
         src_ts = _git_commit_ts(src) if src else None
         if src_ts is not None and src_ts > verified[name]:
-            return 1
-        return 2
+            return 1 if name in _ORACLE_REWRITTEN else 2
+        return 3
 
-    order = sorted(_REGISTRY, key=rank)
+    def module_pos(name: str) -> int:
+        import os
+
+        base = os.path.basename(_REGISTRY[name].src_file)
+        try:
+            return _MODULE_ORDER.index(base)
+        except ValueError:
+            return len(_MODULE_ORDER)
+
+    order = sorted(
+        _REGISTRY, key=lambda n: (rank(n), module_pos(n), _REGISTRY[n].src_line)
+    )
     return {name: _REGISTRY[name] for name in order}
 
 

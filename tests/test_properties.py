@@ -276,14 +276,19 @@ def test_coverage_md_header_matches_registry():
 
 def test_registry_verdict_window_protects_changed_oracles():
     """The driver verdicts only the first 50 of all_specs() per round.
-    Two invariants keep that budget pointed at real evidence gaps:
-    (1) never-verified specs all rank first; (2) the specs whose ORACLES
-    were rewritten this round (quality.py's bigram-less parity fix) stay
-    inside the window — that is why quality.py imports before
-    pipeline.py in registry._load_all. An import reorder that silently
-    pushes a changed-oracle spec past position 50 would ship an oracle
-    the driver never re-checks."""
-    from spark_kinesis_article_analysis_spark.registry import all_specs, _verified_ts
+    Three invariants keep that budget pointed at real evidence gaps:
+    (1) never-verified specs all rank first; (2) every spec whose ORACLE
+    was rewritten this round (_ORACLE_REWRITTEN) stays inside the
+    window; (3) the ordering is deterministic — importing a registry
+    module directly (as this very test module does with
+    operators.article) must not reshuffle the queue, which is why ties
+    break on (canonical module order, source line), never on
+    registration order."""
+    from spark_kinesis_article_analysis_spark.registry import (
+        _ORACLE_REWRITTEN,
+        _verified_ts,
+        all_specs,
+    )
 
     specs = list(all_specs())
     verified = _verified_ts()
@@ -292,8 +297,21 @@ def test_registry_verdict_window_protects_changed_oracles():
         "never-verified specs must occupy the head of the queue"
     )
     window = set(specs[:50])
-    for name in ("text_repetition_stats", "corpus_ingest_batch_form"):
+    for name in _ORACLE_REWRITTEN:
         assert name in window, f"{name} (rewritten oracle) fell out of the verdict window"
+
+
+def test_registry_module_order_covers_every_module():
+    """_MODULE_ORDER is the tiebreak for the verdict queue; a registry
+    module missing from it would silently sort last. It must mirror
+    _load_all exactly — every registered spec's defining file appears."""
+    import os
+
+    from spark_kinesis_article_analysis_spark.registry import _MODULE_ORDER, all_specs
+
+    bases = {os.path.basename(s.src_file) for s in all_specs().values()}
+    missing = bases - set(_MODULE_ORDER)
+    assert not missing, f"registry modules absent from _MODULE_ORDER: {missing}"
 
 
 def test_bench_headline_names_resolve():
