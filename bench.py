@@ -74,6 +74,10 @@ HEADLINE = [
     "agg_exact_percentile",       # single array-percentage buffer (was 2 separate sorts)
     "dedup_fuzzy_levenshtein",    # LSH candidates + edit-distance verify
     "scd2_history",               # CDC/SCD2 validity intervals, one exchange
+    # round-4c scale ops
+    "agg_heavy_hitters",          # corpus-wide token frequency top-k
+    "window_cumulative_distinct", # two-window running-distinct rewrite
+    "layout_zorder_cluster",      # stats broadcast + interleave + bucket agg
 ]
 
 

@@ -1,0 +1,368 @@
+"""Scale-path operators a 100 TB training-data pipeline runs daily:
+reproducible sampling, heavy hitters, multi-dimensional layout
+clustering (Z-order), random-projection dimensionality reduction, and
+running distinct counts.
+
+All Catalyst built-ins — zero Python UDFs, zero collects. Every spec
+follows the repo's twin-oracle discipline: randomness is md5-derived or
+generated at plan-build time from shared constants, so the DuckDB
+oracle reproduces the exact values (the pattern that made the LSH
+pipelines hash-verifiable, ``dedup.py``/``similarity.py``).
+
+Reference parity note: the reference app (process_articles.py:62-82) has
+none of these — they are part of the BASELINE.json north-star extension
+surface ("design every operator for 100 TB scale").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+# --------------------------------------------------------------------------
+# sample_hash_portable — reproducible content-addressed Bernoulli sampling
+# --------------------------------------------------------------------------
+
+#: keep a doc iff md5-bucket(doc_id) < this (out of 1000) — 10% sample.
+SAMPLE_PERMILLE = 100
+
+
+@register(
+    "sample_hash_portable",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           AS sample_bucket
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+      < {SAMPLE_PERMILLE}
+""",
+    tags=("sampling", "dedup-adjacent", "north-star"),
+    doc=(
+        "Content-addressed 10% Bernoulli sample: keep iff "
+        "md5(doc_id) mod 1000 < 100. Unlike rand(seed) sampling this is "
+        "REPRODUCIBLE across engines, partitionings, and reruns — the "
+        "property a training-data pipeline needs for holdout sets that "
+        "survive corpus regeneration. Map-only, filter evaluates per-row "
+        "with no shuffle; at 100 TB the sample is a single scan-fused "
+        "stage (and composable: bucket < 10 is a nested 1% subsample of "
+        "the 10% sample, the standard hash-sampling telescope)."
+    ),
+)
+def sample_hash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    return (
+        d.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < SAMPLE_PERMILLE)
+        .select("doc_id", "lang", "sample_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_heavy_hitters — exact frequent tokens, two-phase
+# --------------------------------------------------------------------------
+
+HEAVY_HITTERS_K = 20
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+SELECT token, cnt
+FROM (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+)
+ORDER BY cnt DESC, token
+LIMIT {HEAVY_HITTERS_K}
+""",
+    tags=("aggregate", "text", "heavy-hitters", "north-star"),
+    doc=(
+        "Exact corpus-wide heavy hitters: top-20 whitespace tokens by "
+        "frequency, ties broken lexicographically. NULL text == empty "
+        "text (the corpus-wide rule)."
+    ),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase by construction: explode -> hash agg on token gets a
+    map-side partial combine, so the shuffle carries one row per
+    (partition, distinct token), not one per token OCCURRENCE — hot
+    tokens ('the') cost nothing extra, which is why exact heavy hitters
+    need no sketch until the DISTINCT-token count itself explodes. The
+    final top-k is ``orderBy().limit(k)`` — planned as
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(HEAVY_HITTERS_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# layout_zorder_cluster — multi-dimensional layout clustering key
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit z-value
+
+
+def _zval_sql(x: str, y: str, divop: str) -> str:
+    """Bit-interleave SQL for z(x, y) generated from one formula so the
+    Spark and DuckDB sides cannot diverge; pure *, %, integer-div
+    arithmetic (no engine-specific shift syntax). ``divop`` is the
+    engine's integer-division token ('div' for Spark, '//' for DuckDB).
+    """
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(({x} {divop} {2 ** i}) % 2) * {2 ** (2 * i)}")
+        terms.append(f"(({y} {divop} {2 ** i}) % 2) * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _quant(val: str, lo: str, hi: str, divop: str) -> str:
+    """Quantize ``val`` into [0, 255] over the observed [lo, hi] domain.
+    A MODULO-based 8-bit key would alias (a year of minutes wraps every
+    4.3 h, de-clustering the time axis — probed); quantizing the full
+    domain into 256 equi-width cells is what actual Z-order layouts do.
+    """
+    return f"least(255, (({val} - {lo}) * 256) {divop} ({hi} - {lo} + 1))"
+
+
+_MIN_SPARK = "(unix_micros(ts) div 60000000)"
+_MIN_DUCK = "(epoch_us(ts) // 60000000)"
+
+
+@register(
+    "layout_zorder_cluster",
+    oracle=f"""
+WITH s AS (
+    SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+           min({_MIN_DUCK}) AS tlo, max({_MIN_DUCK}) AS thi
+    FROM events WHERE ts IS NOT NULL
+),
+keyed AS (
+    SELECT event_id,
+           {_quant("user_id", "ulo", "uhi", "//")} AS zx,
+           {_quant(_MIN_DUCK, "tlo", "thi", "//")} AS zy
+    FROM events, s
+    WHERE ts IS NOT NULL
+)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM (SELECT event_id, ({_zval_sql("zx", "zy", "//")}) // 64 AS zbucket FROM keyed)
+GROUP BY zbucket
+""",
+    tags=("layout", "zorder", "scale", "north-star"),
+    doc=(
+        "Z-order (Morton) clustering key over (user_id, event minute): "
+        "quantize each dimension into 256 equi-width cells over its "
+        "observed domain, interleave the 8 bits, bucket by zvalue/64. "
+        "NULL event times are excluded (no position on the time axis), "
+        "matching the window operators' NULL-ts rule."
+    ),
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain stats are one map-side-combined 1-row aggregate
+    broadcast to the scan (same tiny-metadata-job posture as
+    skew.with_balanced_range_shard; on a curated table the bounds come
+    free from parquet footers). The z-value itself is scan-fused integer
+    arithmetic in whole-stage codegen. The 100 TB layout op this key
+    exists for is ``repartitionByRange(zval).sortWithinPartitions(zval)
+    .write.parquet(...)`` — after which row-group min/max ranges are
+    narrow in BOTH user_id and time, so a predicate on either dimension
+    prunes row groups; a single-column sort can only ever prune one.
+    tests/test_scale_layout.py pins the 2-D pruning on real files."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    stats = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.expr(f"min({_MIN_SPARK})").alias("tlo"),
+        F.expr(f"max({_MIN_SPARK})").alias("thi"),
+    )
+    zx = _quant("user_id", "ulo", "uhi", "div")
+    zy = _quant(_MIN_SPARK, "tlo", "thi", "div")
+    return (
+        ev.join(F.broadcast(stats))
+        .withColumn("zx", F.expr(zx))
+        .withColumn("zy", F.expr(zy))
+        .withColumn("zbucket", F.expr(f"({_zval_sql('zx', 'zy', 'div')}) div 64"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
+def zorder_key(
+    user_range: tuple[int, int],
+    minute_range: tuple[int, int],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Reusable Column form of the z-value for layout writes, with the
+    per-dimension domains passed in (from parquet footer stats or a
+    1-row min/max job). The cast tolerates TIMESTAMP_NTZ inputs (raw
+    parquet reads bypass catalog.load's normalization); a constant tz
+    shift translates the minute axis without de-clustering it."""
+    minute = f"(unix_micros(cast({ts_col} as timestamp)) div 60000000)"
+    return F.expr(
+        _zval_sql(
+            _quant(user_col, str(user_range[0]), str(user_range[1]), "div"),
+            _quant(minute, str(minute_range[0]), str(minute_range[1]), "div"),
+            "div",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# embed_random_projection — md5-derived Johnson-Lindenstrauss reduction
+# --------------------------------------------------------------------------
+
+EMB_DIM = 64
+PROJ_DIM = 8
+
+
+def _proj_weight(k: int, j: int) -> float:
+    """Deterministic weight in [-1, 1] for (output dim k, input dim j) —
+    md5-derived so the oracle regenerates the identical matrix."""
+    h = int(hashlib.md5(f"proj:{k}:{j}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+_PROJ = [[_proj_weight(k, j) for j in range(EMB_DIM)] for k in range(PROJ_DIM)]
+
+
+def _proj_oracle() -> str:
+    # Seeded with 0.0 so the fold order (0 + p1 + p2 + ...) matches
+    # Spark's aggregate() seed exactly — an all-zero vector otherwise
+    # diverges on SIGNED zero: Spark computes 0.0 + (-0.0) = +0.0 while
+    # an unseeded left-to-right chain keeps -0.0.
+    # CAST each element to DOUBLE: DuckDB keeps FLOAT * DOUBLE in FLOAT
+    # precision (probed: proj values came back float32-quantized), while
+    # Spark's zip_with promotes the float element to double exactly.
+    cols = ", ".join(
+        "round(0.0 + "
+        + " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * ({w!r})"
+            for j, w in enumerate(_PROJ[k])
+        )
+        + f", 6) AS proj_{k}"
+        for k in range(PROJ_DIM)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+@register(
+    "embed_random_projection",
+    oracle=_proj_oracle(),
+    tags=("embedding", "projection", "north-star"),
+    doc=(
+        "Random-projection (Johnson-Lindenstrauss) reduction 64 -> 8 dims "
+        "with an md5-derived weight matrix the oracle regenerates exactly; "
+        "per-coordinate left-to-right fold seeded at 0.0 on both engines "
+        "(signed-zero parity for the all-zero vector)."
+    ),
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only: the weight matrix is a plan literal (constant-folded
+    JVM-side, no broadcast needed at any corpus size) and each output
+    coordinate is one zip_with/aggregate fold inside codegen — the same
+    single-SQL-parse discipline as similarity._bucket_expr (the Column-
+    API per-element form was measured at ~2.6 s of driver-side plan
+    construction). At 100 TB this is a scan-fused projection that cuts
+    downstream ANN shuffle bytes 8x."""
+    e = load(spark, sf_dir, "embeddings")
+    exprs = []
+    for k in range(PROJ_DIM):
+        row = "array(" + ", ".join(f"{w!r}D" for w in _PROJ[k]) + ")"
+        exprs.append(
+            F.expr(
+                f"round(aggregate(zip_with(embedding, {row}, (p, q) -> p * q), "
+                f"cast(0.0 as double), (a, v) -> a + v), 6)"
+            ).alias(f"proj_{k}")
+        )
+    return e.select("vec_id", *exprs)
+
+
+# --------------------------------------------------------------------------
+# window_cumulative_distinct — running distinct count, two-window rewrite
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+WITH flagged AS (
+    SELECT event_id, event_type, ts, user_id,
+           CASE WHEN row_number() OVER (
+                    PARTITION BY event_type, user_id
+                    ORDER BY ts ASC NULLS FIRST, event_id) = 1
+                THEN 1 ELSE 0 END AS first_seen
+    FROM events
+)
+SELECT event_id, event_type, ts,
+       CAST(sum(first_seen) OVER (
+            PARTITION BY event_type
+            ORDER BY ts ASC NULLS FIRST, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS distinct_users_so_far
+FROM flagged
+""",
+    tags=("window", "distinct", "analytic"),
+    doc=(
+        "Running COUNT(DISTINCT user_id) per event_type in event order — "
+        "no engine supports DISTINCT in a running frame directly; the "
+        "portable rewrite flags each user's first occurrence (one window) "
+        "and running-sums the flags (second window). NULL-ts rows sort "
+        "first deterministically (event_id tiebreak) on both engines."
+    ),
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles: (event_type, user_id) for the first-occurrence flag,
+    then event_type for the running sum. The second window is one
+    reducer per event_type — the exact shape operators/skew.py's
+    range_sharded_running_sum exists to rewrite when a hot event_type
+    holds half the corpus (the flag sum IS a sharded running sum; swap
+    it in unchanged at scale)."""
+    ev = load(spark, sf_dir, "events")
+    w_first = W.partitionBy("event_type", "user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id")
+    )
+    w_run = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("ts").asc_nulls_first(), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "first_seen", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+        )
+        .withColumn("distinct_users_so_far", F.sum("first_seen").over(w_run))
+        .select("event_id", "event_type", "ts", "distinct_users_so_far")
+    )

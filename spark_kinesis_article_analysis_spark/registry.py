@@ -146,6 +146,9 @@ def _load_all() -> None:
         replay_batch,
         temporal,
     )
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        scale_ops,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -174,6 +177,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "tpch_extra.py",
     "replay_batch.py",
     "temporal.py",
+    "scale_ops.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

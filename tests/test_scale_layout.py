@@ -517,6 +517,82 @@ class TestSortedWriteClustering:
         # clustered: row groups tile it, so the summed span ~= the domain
         assert span_clustered < span_scattered / 2, (span_clustered, span_scattered, full)
 
+    def test_zorder_write_narrows_rowgroups_in_both_dimensions(self, spark, tmp_path):
+        """A single-column sort narrows row-group zone maps in ONE
+        dimension and scatters the other; clustering by the Z-order key
+        (functions/scale_ops.zorder_key) narrows BOTH user_id and ts —
+        the property that lets a 100 TB layout serve selective
+        predicates on either dimension from a few row groups."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from spark_kinesis_article_analysis_spark.functions.scale_ops import zorder_key
+        from tests.conftest import SF_CORRECTNESS
+
+        ev = (
+            spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+            .filter(F.col("ts").isNotNull())
+            .select("event_id", "ts", "user_id", "value")
+        )
+
+        def spans(path: str, col_idx: int) -> float:
+            total = 0
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx).statistics
+                    lo, hi = st.min, st.max
+                    if hasattr(lo, "timestamp"):
+                        lo, hi = lo.timestamp(), hi.timestamp()
+                    total += hi - lo
+            return total
+
+        by_time = str(tmp_path / "by_time")
+        (
+            ev.repartitionByRange(16, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(by_time)
+        )
+        lo = ev.selectExpr(
+            "min(user_id)", "max(user_id)",
+            "min(unix_micros(cast(ts as timestamp)) div 60000000)",
+            "max(unix_micros(cast(ts as timestamp)) div 60000000)",
+        ).first()
+        by_z = str(tmp_path / "by_z")
+        (
+            ev.withColumn("__z", zorder_key((lo[0], lo[1]), (lo[2], lo[3])))
+            .repartitionByRange(16, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(by_z)
+        )
+        # column order in the written files: event_id(0), ts(1), user_id(2)
+        # time-sorted: ts tight, user_id spans the whole domain each group.
+        # z-ordered: BOTH dimensions must beat the time-sorted layout's
+        # worse axis — user_id span strictly narrower than time-sorted's,
+        # while its own ts span stays bounded (z interleaves, so each
+        # axis is ~sqrt-narrowed rather than one perfect + one scattered).
+        assert spans(by_z, 2) < 0.7 * spans(by_time, 2), (
+            spans(by_z, 2),
+            spans(by_time, 2),
+        )
+        # and the z layout's ts axis must still be far from fully
+        # scattered: compare against a layout sorted ONLY by user_id.
+        by_user = str(tmp_path / "by_user")
+        (
+            ev.repartitionByRange(16, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(by_user)
+        )
+        assert spans(by_z, 1) < 0.7 * spans(by_user, 1), (
+            spans(by_z, 1),
+            spans(by_user, 1),
+        )
+
 
 class TestCosineBlockCap:
     """dedup_embedding_cosine's blocking key is HARD-bounded: no block
