@@ -311,6 +311,141 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# time_rolling_interval_stats — event-time RANGE frame (rolling 1 hour)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "time_rolling_interval_stats",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(sum(value) OVER w, 6) AS sum_1h
+FROM events
+WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "time-series", "range-frame"),
+    doc=(
+        "Rolling 1-hour count/sum per user — the hypertable 'stats over "
+        "a trailing interval' shape, as an event-time RANGE frame over "
+        "epoch micros (identical peer semantics on both engines; "
+        "interval literals in frames are not portable, epoch arithmetic "
+        "is). NULL-ts rows have no position on the time axis and are "
+        "excluded, the window operators' uniform rule."
+    ),
+)
+def time_rolling_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash exchange on user_id + per-partition sort; the frame scan
+    is the O(n) two-pointer pass, not a per-row re-aggregation. Hot-key
+    posture: a single user with half the corpus serializes its sort —
+    the same straggler shape range_sharded_running_sum kills; a rolling
+    frame shards the same way because shard boundaries only need the
+    trailing hour replicated across the cut."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cdc_merge_upsert — MERGE INTO semantics as a single full-outer join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+WITH changes AS (
+    SELECT o_custkey AS k,
+           CASE WHEN count(*) % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+           round(sum(o_totalprice), 2) AS amt
+    FROM orders GROUP BY o_custkey
+    UNION ALL
+    SELECT -o_custkey AS k, 'I' AS op, round(sum(o_totalprice), 2) AS amt
+    FROM orders GROUP BY o_custkey HAVING count(*) % 11 = 0
+)
+SELECT
+    coalesce(s.c_custkey, c.k) AS c_custkey,
+    coalesce(s.c_name, 'new-' || CAST(c.k AS VARCHAR)) AS c_name,
+    round(CASE WHEN c.op = 'U' THEN s.c_acctbal + c.amt
+               WHEN c.op = 'I' THEN c.amt
+               ELSE s.c_acctbal END, 2) AS acctbal
+FROM customer s
+FULL OUTER JOIN changes c ON s.c_custkey = c.k
+WHERE NOT (c.op = 'D' AND s.c_custkey IS NOT NULL)      -- delete matched
+  AND NOT (c.op = 'D' AND s.c_custkey IS NULL)          -- delete unmatched: no-op row, drop
+  AND NOT (c.op = 'U' AND s.c_custkey IS NULL)          -- update unmatched: no-op row, drop
+  AND NOT (c.op = 'I' AND s.c_custkey IS NOT NULL)      -- insert matched: no-op row, drop
+""",
+    tags=("cdc", "merge", "upsert", "join"),
+    doc=(
+        "MERGE INTO semantics (upsert + delete + insert) over a plain "
+        "parquet snapshot, expressed as ONE full-outer join: matched 'U' "
+        "updates in place, matched 'D' deletes, unmatched 'I' inserts, "
+        "every other (op, match) combination is a no-op. The change feed "
+        "is derived deterministically from orders so the oracle "
+        "reproduces it exactly."
+    ),
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-format-free core of what Delta/Iceberg MERGE compiles
+    to: one shuffle join on the merge key (broadcast when the change
+    batch is small — the common CDC case; AQE decides), then a
+    row-local action projection. At 100 TB the win is joining ONLY
+    files whose key ranges intersect the batch (layout_zorder_cluster /
+    sorted-write zone maps give exactly that pruning)."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("amt")
+    )
+    changes = (
+        per_cust.select(
+            F.col("o_custkey").alias("k"),
+            F.when(F.col("n") % 7 == 0, "D").otherwise("U").alias("op"),
+            "amt",
+        )
+    ).unionByName(
+        per_cust.filter(F.col("n") % 11 == 0).select(
+            (-F.col("o_custkey")).alias("k"), F.lit("I").alias("op"), "amt"
+        )
+    )
+    s = load(spark, sf_dir, "customer")
+    merged = s.join(changes, s["c_custkey"] == changes["k"], "full_outer")
+    matched = s["c_custkey"].isNotNull()
+    return (
+        merged.filter(
+            ~((F.col("op") == "D") & matched)
+            & ~((F.col("op") == "D") & ~matched)
+            & ~((F.col("op") == "U") & ~matched)
+            & ~((F.col("op") == "I") & matched)
+        )
+        .select(
+            F.coalesce(s["c_custkey"], F.col("k")).alias("c_custkey"),
+            F.coalesce(s["c_name"], F.concat(F.lit("new-"), F.col("k").cast("string"))).alias(
+                "c_name"
+            ),
+            F.round(
+                F.when(F.col("op") == "U", s["c_acctbal"] + F.col("amt"))
+                .when(F.col("op") == "I", F.col("amt"))
+                .otherwise(s["c_acctbal"]),
+                2,
+            ).alias("acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # window_cumulative_distinct — running distinct count, two-window rewrite
 # --------------------------------------------------------------------------
 

@@ -100,6 +100,12 @@ _EVENTS_NULL_TS = [
     (7, 3_600_000_000, 5, "purchase", 100.0, '{"k": 100}'),
     (8, None, 5, "purchase", 50.0, None),  # NULL ts AND NULL props
     (9, 86_400_000_000, 2, "click", 8.0, '{"k": 0}'),
+    # NULL user_id: a legal GROUP/PARTITION BY value (both engines treat
+    # NULLs as one group in grouping AND window partitioning) but a
+    # match-nothing value in joins — the two semantics must not be
+    # conflated by any spec.
+    (10, 60_000_002, None, "view", 5.0, '{"k": 9}'),
+    (11, 60_000_003, None, "view", 6.0, '{"k": 10}'),
 ]
 
 
