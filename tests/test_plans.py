@@ -317,3 +317,53 @@ class TestScd2AndFuzzyPlanShape:
         plan = inspect.explain_str(df)
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestScaleOpsPlanShape:
+    def test_sampling_and_projection_are_map_only(self, spark):
+        """Hash sampling and the JL projection are scan-fused map stages;
+        any Exchange is a regression."""
+        for name in ["sample_hash_portable", "embed_random_projection"]:
+            df = SPECS[name].build(spark, SF_CORRECTNESS)
+            assert inspect.count_exchanges(df) == 0, f"{name}: {inspect.explain_str(df)}"
+
+    def test_heavy_hitters_is_partial_agg_plus_takeordered(self, spark):
+        """Two-phase claim: partial HashAggregate before the token
+        exchange (hot tokens combine map-side), and the final top-k is
+        TakeOrderedAndProject — never a global Sort of the distinct-token
+        set."""
+        df = SPECS["agg_heavy_hitters"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+    def test_rolling_interval_stats_single_exchange(self, spark):
+        df = SPECS["time_rolling_interval_stats"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert plan.count("hashpartitioning") == 1, plan
+
+    def test_cumulative_distinct_two_exchanges(self, spark):
+        """(event_type, user_id) flag window + event_type running sum —
+        exactly two hash exchanges, and no join (the rewrite is
+        window-only)."""
+        df = SPECS["window_cumulative_distinct"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert plan.count("hashpartitioning") == 2, plan
+        assert "Join" not in plan, plan
+
+    def test_zorder_stats_broadcast_no_corpus_shuffle_before_agg(self, spark):
+        """The 1-row domain-stats agg must reach the corpus side as a
+        broadcast; the only corpus-scale exchange is the final zbucket
+        aggregation."""
+        df = SPECS["layout_zorder_cluster"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert inspect.has_broadcast_join(df), plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_cdc_merge_is_single_join_no_window(self, spark):
+        """MERGE compiles to ONE full-outer join + projection: no window
+        operator, no second corpus-grain join."""
+        df = SPECS["cdc_merge_upsert"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan, plan
+        assert "Window" not in plan, plan
