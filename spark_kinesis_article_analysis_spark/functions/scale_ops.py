@@ -446,6 +446,130 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# cluster_kmeans_portable — Lloyd, fixed rounds, oracle-verified
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+
+
+def _d2_sql_duck(vec: str, cent: str) -> str:
+    return (
+        f"round(list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> ({vec}[i] - {cent}[i]) * ({vec}[i] - {cent}[i]))), 6)"
+    )
+
+
+def _kmeans_assign_sql(cents_cte: str, out: str) -> str:
+    d2 = _d2_sql_duck("e.v", "c.cent")
+    return f"""{out} AS (
+    SELECT vec_id, cid AS cluster, d2 FROM (
+        SELECT e.vec_id, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cid) AS rn
+        FROM e, {cents_cte} c
+    ) WHERE rn = 1
+)"""
+
+
+@register(
+    "cluster_kmeans_portable",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cent FROM e WHERE vec_id < {KMEANS_K}),
+{_kmeans_assign_sql("c0", "a1")},
+pts AS (
+    SELECT a.cluster, t.pos, e.vec_id, e.v[t.pos] AS val
+    FROM a1 a JOIN e USING (vec_id),
+         LATERAL unnest(generate_series(1, {EMB_DIM})) AS t(pos)
+),
+m1 AS (
+    SELECT cluster, pos,
+           round(list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                             (x, y) -> x + y) / count(*), 6) AS m
+    FROM pts GROUP BY cluster, pos
+),
+c1 AS (SELECT cluster AS cid, list(m ORDER BY pos) AS cent FROM m1 GROUP BY cluster),
+{_kmeans_assign_sql("c1", "a2")}
+SELECT vec_id, cluster, round(sqrt(d2), 6) AS dist FROM a2
+""",
+    tags=("clustering", "kmeans", "north-star", "portable-twin"),
+    doc=(
+        "Lloyd k-means with every float operation pinned portable: "
+        "deterministic init (vec_id < K), assignment by (rounded-d2, cid) "
+        "argmin, centroid means as a vec_id-ORDERED 0.0-seeded fold "
+        "rounded per dim — so assign -> update -> assign is value-hash-"
+        "identical across engines. The iterative twin "
+        "(cluster_kmeans_lloyd) runs the convergence loop; this spec "
+        "proves the per-round arithmetic."
+    ),
+)
+def cluster_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scale shape as sim_ivf_topk's assignment: the centroid set
+    folds to ONE array row (K x dim doubles, broadcastable at any corpus
+    size) and every vector picks its cluster inside a single map-side
+    higher-order expression — no pair-grain rows, no window shuffle.
+    The update is one (cluster, pos) hash agg; the ordered fold costs a
+    collect_list per group of at most |cluster| elements, which is why
+    production kmeans at 100 TB accepts nondeterministic avg() instead —
+    this spec exists to VERIFY the arithmetic, and documents the price
+    of determinism."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cent")
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        folded = cents_df.agg(
+            F.collect_list(F.struct("cid", "cent")).alias("cents")
+        )
+        best = F.expr(
+            """array_min(transform(cents, c -> struct(
+                   round(aggregate(zip_with(v, c.cent, (p, q) -> (p - q) * (p - q)),
+                                   cast(0.0 as double), (a, x) -> a + x), 6) AS d2,
+                   c.cid AS cid)))"""
+        )
+        return (
+            e.join(F.broadcast(folded))
+            .withColumn("b", best)
+            .select("vec_id", "v", F.col("b.cid").alias("cluster"), F.col("b.d2").alias("d2"))
+        )
+
+    a1 = assign(cents)
+    sums = (
+        a1.select("cluster", "vec_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                        lambda s: s["val"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+    )
+    c1 = (
+        sums.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cent")
+        )
+        .select(F.col("cluster").alias("cid"), "cent")
+    )
+    a2 = assign(c1)
+    return a2.select(
+        "vec_id", "cluster", F.round(F.sqrt("d2"), 6).alias("dist")
+    )
+
+
+# --------------------------------------------------------------------------
 # window_cumulative_distinct — running distinct count, two-window rewrite
 # --------------------------------------------------------------------------
 

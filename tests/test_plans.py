@@ -367,3 +367,13 @@ class TestScaleOpsPlanShape:
         plan = inspect.explain_str(df)
         assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan, plan
         assert "Window" not in plan, plan
+
+    def test_kmeans_portable_assignment_is_map_side(self, spark):
+        """Both assignment passes fold the broadcast centroid array
+        map-side: no pair-grain window, no nested loop; the only
+        corpus-grain exchange is the (cluster, pos) update agg."""
+        df = SPECS["cluster_kmeans_portable"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "Window" not in plan, plan
+        assert inspect.has_broadcast_join(df), plan
