@@ -331,3 +331,177 @@ def test_bench_headline_names_resolve():
     unknown = [n for n in bench.HEADLINE if n not in all_specs()]
     assert not unknown, f"bench.py HEADLINE references unregistered queries: {unknown}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
+
+
+class TestScaleOpsProperties:
+    def test_hash_sample_telescopes_and_ignores_partitioning(self, spark):
+        """Content-addressed sampling must (a) telescope — the 1% sample
+        (bucket < 10) is EXACTLY the bucket<10 subset of the 10% sample —
+        and (b) be invariant under physical layout (same rows at any
+        partitioning), the property rand(seed) sampling lacks."""
+        from tests.conftest import SF_CORRECTNESS
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+
+        spec = all_specs()["sample_hash_portable"]
+        ten = spec.build(spark, SF_CORRECTNESS)
+        rows10 = {r.doc_id: r.sample_bucket for r in ten.collect()}
+        rows1 = {d for d, b in rows10.items() if b < 10}
+        one = {r.doc_id for r in ten.filter(F.col("sample_bucket") < 10).collect()}
+        assert one == rows1
+        repart = {
+            r.doc_id: r.sample_bucket
+            for r in spec.build(spark, SF_CORRECTNESS).repartition(13).collect()
+        }
+        assert repart == rows10
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=25))
+    def test_heavy_hitters_matches_counter_model(self, spark, corpus):
+        """agg_heavy_hitters == collections.Counter over the same
+        tokenization (Java \\s split, lowercase, empties dropped), with
+        (count desc, token asc) tie-break."""
+        from collections import Counter
+
+        df = spark.createDataFrame([(t,) for t in corpus], "text string")
+        got = [
+            (r.token, r.cnt)
+            for r in df.select(
+                F.explode(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")).alias(
+                    "token"
+                )
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token"))
+            .limit(20)
+            .collect()
+        ]
+        c = Counter()
+        for t in corpus:
+            for tok in re.split(r"[ \t\n\x0b\f\r]+", t.lower()):
+                if tok:
+                    c[tok] += 1
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert got == want
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 50), st.sampled_from(["a", "b"]), st.integers(0, 5)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_cumulative_distinct_matches_scan_model(self, spark, rows):
+        """window_cumulative_distinct == an O(n) python scan keeping a
+        per-type seen-set, in (ts, event_id) order."""
+        data = [
+            (i, typ, user, float(i)) for i, (ts, typ, user) in enumerate(rows)
+        ]
+        # ts deliberately duplicated across rows: tie-break is event_id
+        df = spark.createDataFrame(
+            [(eid, rows[eid][0], typ, user) for eid, typ, user, _ in data],
+            "event_id long, ts_num long, event_type string, user_id long",
+        ).withColumn("ts", F.timestamp_seconds("ts_num"))
+        from pyspark.sql import Window as W
+
+        w_first = W.partitionBy("event_type", "user_id").orderBy(
+            F.col("ts").asc_nulls_first(), F.col("event_id")
+        )
+        w_run = (
+            W.partitionBy("event_type")
+            .orderBy(F.col("ts").asc_nulls_first(), F.col("event_id"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        got = {
+            r.event_id: r.n
+            for r in df.withColumn(
+                "f", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+            )
+            .withColumn("n", F.sum("f").over(w_run))
+            .collect()
+        }
+        want = {}
+        for typ in {t for _, t, _ in rows}:
+            seen = set()
+            for eid in sorted(
+                (e for e, (ts, t, u) in enumerate(rows) if t == typ),
+                key=lambda e: (rows[e][0], e),
+            ):
+                seen.add(rows[eid][2])
+                want[eid] = len(seen)
+        assert got == want
+
+    def test_cdc_merge_action_invariants(self, spark):
+        """Delete keys vanish, insert keys appear exactly once with the
+        change amount, update keys keep identity but move acctbal by the
+        change amount, untouched keys ride through unchanged."""
+        from tests.conftest import SF_CORRECTNESS
+        from spark_kinesis_article_analysis_spark.catalog import load
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+
+        merged = {
+            r.c_custkey: (r.c_name, r.acctbal)
+            for r in all_specs()["cdc_merge_upsert"].build(spark, SF_CORRECTNESS).collect()
+        }
+        o = load(spark, SF_CORRECTNESS, "orders")
+        per = (
+            o.groupBy("o_custkey")
+            .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("amt"))
+            .collect()
+        )
+        snap = {
+            r.c_custkey: (r.c_name, r.c_acctbal)
+            for r in load(spark, SF_CORRECTNESS, "customer").collect()
+        }
+        deletes = {r.o_custkey for r in per if r.n % 7 == 0}
+        inserts = {r.o_custkey: r.amt for r in per if r.n % 11 == 0}
+        updates = {r.o_custkey: r.amt for r in per if r.n % 7 != 0}
+        for k in deletes:
+            assert k not in merged
+        for k, amt in inserts.items():
+            assert merged[-k] == (f"new-{-k}", round(amt, 2)), (k, merged.get(-k))
+        for k, amt in updates.items():
+            if k in snap:
+                assert merged[k][1] == round(snap[k][1] + amt, 2), k
+        untouched = set(snap) - deletes - set(updates)
+        for k in list(untouched)[:50]:
+            assert merged[k] == (snap[k][0], round(snap[k][1], 2)), k
+
+    def test_random_projection_recovers_matrix_on_basis_vectors(self, spark):
+        """Projecting the standard basis e_j must return column j of the
+        md5-derived matrix exactly (rounded) — pins the (k, j) index
+        orientation that a transposed implementation would silently flip."""
+        from spark_kinesis_article_analysis_spark.functions.scale_ops import (
+            _PROJ,
+            EMB_DIM,
+            PROJ_DIM,
+        )
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            basis = [
+                (j, [1.0 if i == j else 0.0 for i in range(EMB_DIM)], 0)
+                for j in range(EMB_DIM)
+            ]
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array([b[0] for b in basis], pa.int64()),
+                        "embedding": pa.array([b[1] for b in basis], pa.list_(pa.float32())),
+                        "label": pa.array([b[2] for b in basis], pa.int64()),
+                    }
+                ),
+                os.path.join(d, "embeddings.parquet"),
+            )
+            got = all_specs()["embed_random_projection"].build(spark, d).collect()
+        for r in got:
+            for k in range(PROJ_DIM):
+                assert getattr(r, f"proj_{k}") == round(_PROJ[k][r.vec_id], 6), (
+                    r.vec_id,
+                    k,
+                )
