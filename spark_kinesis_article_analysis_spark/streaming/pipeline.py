@@ -293,6 +293,61 @@ def streaming_asof_enrich(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_running_distinct(events: DataFrame) -> DataFrame:
+    """Streaming form of ``window_cumulative_distinct`` (functions/
+    scale_ops): per-event_type state carries the set of user_ids seen so
+    far; every event is emitted with the running distinct-user count.
+
+    The state IS the distinct set — the information-theoretic minimum
+    for an exact running distinct (per key it is bounded by that key's
+    distinct-user cardinality, not by event volume; the approximate
+    alternative at 100 TB is the HLL sketch of agg_hll_partial_merge,
+    whose state is O(1) per key). NULL user_id counts as one distinct
+    member (grouping semantics, matching the batch rewrite), carried as
+    a separate flag since the array state can't hold NULL. Within a
+    micro-batch events apply in (ts NULLS FIRST, event_id) order — the
+    batch operator's exact order; cross-batch exactness needs batch
+    boundaries to respect event-time order, as with
+    streaming_asof_enrich (true for ordered replays/logs).
+    Batch/stream parity: tests/test_streaming.py::TestStreamingRunningDistinct.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["ts"] = rows["ts"].astype("datetime64[ns]")
+        seen: set[int] = set()
+        has_null = False
+        if state.exists:
+            users, has_null = state.get
+            seen = set(users or [])
+            has_null = bool(has_null)
+        rows = rows.sort_values(["ts", "event_id"], kind="stable", na_position="first")
+        counts = []
+        for uid in rows["user_id"]:
+            if pd.isna(uid):
+                has_null = True
+            else:
+                seen.add(int(uid))
+            counts.append(len(seen) + (1 if has_null else 0))
+        state.update((sorted(seen), has_null))
+        out = rows.assign(distinct_users_so_far=counts)
+        out["event_type"] = key[0]
+        yield out[["event_id", "event_type", "ts", "distinct_users_so_far"]]
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_id long, event_type string, ts timestamp, distinct_users_so_far long"
+        ),
+        stateStructType="users array<long>, has_null boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_author_stats(parsed_with_wc: DataFrame) -> DataFrame:
     """Arbitrary stateful operator (``applyInPandasWithState``): per-author
     running article count and running mean word count, maintained as

@@ -736,3 +736,72 @@ class TestStreamingAsofEnrich:
         assert got == [(1, 5.0), (2, 5.0)], (
             f"state lost or batch re-emitted across restart: {got}"
         )
+
+
+class TestStreamingRunningDistinct:
+    """Streaming twin of window_cumulative_distinct: per-type state set
+    must carry across micro-batches and count NULL user_id as one
+    distinct member, matching the batch two-window rewrite exactly."""
+
+    EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def test_matches_batch_rewrite_across_batches(self, spark, tmp_path):
+        import datetime as dt
+
+        def ts(s):
+            return dt.datetime.fromisoformat(s)
+
+        d = str(tmp_path / "events")
+        b0 = [
+            (0, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+            (1, ts("2024-01-01 00:00:05"), 2, "view", 1.0),
+            (2, ts("2024-01-01 00:00:05"), 1, "view", 1.0),   # repeat user, ts tie
+            (3, ts("2024-01-01 00:00:10"), None, "view", 1.0),  # NULL user counts once
+            (4, ts("2024-01-01 00:00:15"), 9, "click", 1.0),
+        ]
+        b1 = [
+            (5, ts("2024-01-01 00:01:00"), 2, "view", 1.0),   # carried: still 3
+            (6, ts("2024-01-01 00:01:05"), None, "view", 1.0),  # carried NULL: still 3
+            (7, ts("2024-01-01 00:01:10"), 4, "view", 1.0),   # new: 4
+            (8, ts("2024-01-01 00:01:15"), 9, "click", 1.0),  # carried: still 1
+        ]
+        spark.createDataFrame(b0, self.EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        spark.createDataFrame(b1, self.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+        stream = (
+            spark.readStream.schema(self.EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        _run_to_completion(sp.streaming_running_distinct(stream), "running_distinct")
+        got = {
+            r.event_id: r.distinct_users_so_far
+            for r in spark.sql("SELECT * FROM running_distinct").collect()
+        }
+
+        from pyspark.sql import Window as W
+
+        ev = spark.read.parquet(d)
+        w_first = W.partitionBy("event_type", "user_id").orderBy(
+            F.col("ts").asc_nulls_first(), F.col("event_id")
+        )
+        w_run = (
+            W.partitionBy("event_type")
+            .orderBy(F.col("ts").asc_nulls_first(), F.col("event_id"))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        want = {
+            r.event_id: r.n
+            for r in ev.withColumn(
+                "f", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+            )
+            .withColumn("n", F.sum("f").over(w_run))
+            .collect()
+        }
+        assert got == want, (got, want)
+        assert got[3] == 3 and got[6] == 3  # NULL user: one member, once
+        assert got[8] == 1  # click stream independent of views
