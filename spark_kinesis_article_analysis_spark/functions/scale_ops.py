@@ -473,7 +473,8 @@ def _kmeans_assign_sql(cents_cte: str, out: str) -> str:
 @register(
     "cluster_kmeans_portable",
     oracle=f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
 c0 AS (SELECT vec_id AS cid, v AS cent FROM e WHERE vec_id < {KMEANS_K}),
 {_kmeans_assign_sql("c0", "a1")},
 pts AS (
@@ -512,8 +513,14 @@ def cluster_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     production kmeans at 100 TB accepts nondeterministic avg() instead —
     this spec exists to VERIFY the arithmetic, and documents the price
     of determinism."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    # NULL embedding == no position in the space: excluded on both
+    # engine sides (the vector-grain analogue of the NULL-ts window
+    # rule; a NULL otherwise poisons the round-1 centroid means —
+    # posexplode drops it while the oracle's unnest NULLs the mean).
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
     )
     cents = e.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cent")

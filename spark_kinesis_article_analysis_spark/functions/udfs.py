@@ -86,7 +86,10 @@ def udf_pandas_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     def l2_norm(emb: pd.Series) -> pd.Series:
         import numpy as np
 
-        return emb.map(lambda v: float(np.sqrt(np.dot(v, v))))
+        # NULL embedding -> NULL norm, matching the builtin fold and the
+        # oracle's list_sum(NULL) propagation (a bare np.dot(None, None)
+        # would kill the whole Arrow batch instead of one row).
+        return emb.map(lambda v: None if v is None else float(np.sqrt(np.dot(v, v))))
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")

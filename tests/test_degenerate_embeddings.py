@@ -1,4 +1,5 @@
-"""Oracle parity on degenerate embeddings — above all the ZERO vector.
+"""Oracle parity on degenerate embeddings — the ZERO vector and the
+NULL embedding.
 
 Cosine is undefined for a zero-norm vector, and under ANSI mode (Spark
 4 default) a single all-zero embedding row — padding, a dead encoder, a
@@ -7,9 +8,15 @@ and dedup_embedding_cosine outright with DIVIDE_BY_ZERO (found by this
 fixture, round 4). The cosine-scoring operators now exclude zero-norm
 vectors on BOTH engine sides (similarity.NONZERO_SQL); operators where
 a zero vector is a legitimate row (norm stats, centroids, quantization)
-keep it. These tests run every embeddings-only oracle spec against a
-corpus where the edge cases are always present, so parity cannot regress
-with a future testdata generation.
+keep it. A NULL embedding (round 4c) follows the vector-grain analogue
+of the NULL-ts window rule: no position in the space — excluded by the
+clustering/scoring operators on BOTH engine sides (it otherwise poisons
+k-means round-1 centroid means asymmetrically: Spark's posexplode drops
+it, DuckDB's unnest NULLs the whole mean) and NULL-propagated by the
+norm operators (the pandas UDF previously killed its whole Arrow batch
+on np.dot(None, None)). These tests run every embeddings-only oracle
+spec against a corpus where the edge cases are always present, so
+parity cannot regress with a future testdata generation.
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ _VECS = (
         (i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(64)], i % 3)
         for i in range(8, 30)
     ]
+    + [(30, None, 2)]                                      # NULL embedding
 )
 
 
