@@ -208,6 +208,12 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+-- Spark emits ZERO rows for grouping-set aggs over empty input (both
+-- DataFrame and SQL forms — probed); DuckDB emits the SQL-standard ()
+-- grand-total row with n=0. On non-empty input every rollup row has
+-- n >= 1, so this HAVING mirrors Spark exactly and only bites the
+-- empty-corpus case.
+HAVING count(*) > 0
 """,
     tags=("agg", "rollup"),
     doc="ROLLUP hierarchy: (flag, status) -> (flag) -> () subtotals.",
@@ -226,6 +232,7 @@ SELECT o_orderstatus, o_orderpriority,
        round(sum(o_totalprice), 4) AS total, count(*) AS n
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+HAVING count(*) > 0  -- empty-input parity; see agg_rollup
 """,
     tags=("agg", "cube"),
     doc="CUBE: all 4 grouping-set combinations of (status, priority).",

@@ -158,13 +158,21 @@ class ArticleReplayBatchReader(DataSourceReader):
         return iter(unhandled)
 
     def partitions(self) -> Sequence[ShardPartition]:
-        return [
+        parts = [
             ShardPartition(shard_id=s, file_path=p, start=0, end=None)
             for s, p in self._shards.items()
             if self._keep is None or s in self._keep
         ]
+        # An EMPTY archive (or fully-pruned shard set) must still yield a
+        # valid scan: with a zero-length partition list the Python
+        # DataSource API hands read() a None partition (probed — the
+        # empty-corpus fixture crashed here), so return one sentinel
+        # no-op partition instead.
+        return parts or [ShardPartition(shard_id="", file_path="", start=0, end=0)]
 
     def read(self, partition: ShardPartition) -> Iterator[tuple]:
+        if partition is None or not partition.file_path:
+            return iter(())
         return _read_lines(
             partition.file_path, partition.shard_id, partition.start, partition.end
         )
@@ -334,9 +342,13 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
                         shard_id=shard, file_path=shards[shard], start=begin, end=stop
                     )
                 )
-        return parts
+        # same empty-scan sentinel as the batch reader: a no-progress
+        # micro-batch must not hand read() a None partition
+        return parts or [ShardPartition(shard_id="", file_path="", start=0, end=0)]
 
     def read(self, partition: ShardPartition) -> Iterator[tuple]:
+        if partition is None or not partition.file_path:
+            return iter(())
         return _read_lines(
             partition.file_path, partition.shard_id, partition.start, partition.end
         )
