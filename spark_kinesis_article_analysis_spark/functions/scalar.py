@@ -743,7 +743,7 @@ def scalar_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_variant_json",
-    oracle="""
+    oracle=r"""
 SELECT event_id,
        CASE WHEN NOT json_valid(props) THEN NULL
             WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')

@@ -37,6 +37,7 @@ _DOCS = [
     (100, "the quick brown fox jumps over the lazy dog again"),  # contaminated vs 50? no — dup of 8
     (150, "eval set holdout document with enough tokens to shingle"),  # shares 5-grams with 50
     (200, None),                       # NULL text: must not vanish or flip row sets
+    (250, "null lang document with enough tokens to shingle here"),  # NULL lang
 ]
 
 
@@ -47,8 +48,16 @@ def corpus_dir(tmp_path_factory):
         {
             "doc_id": pa.array([i for i, _ in _DOCS], pa.int64()),
             "text": pa.array([t for _, t in _DOCS], pa.string()),
-            "lang": pa.array(["en" if i % 3 else "de" for i, _ in _DOCS], pa.string()),
-            "source": pa.array(["synthetic"] * len(_DOCS), pa.string()),
+            # doc 250 has NULL lang: one GROUP in grouping/window
+            # partitioning on both engines, match-nothing in joins —
+            # the same two-semantics split the NULL-user_id events pin
+            "lang": pa.array(
+                [None if i == 250 else ("en" if i % 3 else "de") for i, _ in _DOCS],
+                pa.string(),
+            ),
+            "source": pa.array(
+                [None if i == 250 else "synthetic" for i, _ in _DOCS], pa.string()
+            ),
             "n_chars": pa.array(
                 [len(t) if t is not None else None for _, t in _DOCS], pa.int64()
             ),
