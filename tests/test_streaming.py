@@ -805,3 +805,54 @@ class TestStreamingRunningDistinct:
         assert got == want, (got, want)
         assert got[3] == 3 and got[6] == 3  # NULL user: one member, once
         assert got[8] == 1  # click stream independent of views
+
+    def test_state_set_survives_checkpoint_restart(self, spark, tmp_path):
+        """The seen-user set (array state + NULL flag) must survive a
+        query STOP + RESTART from the same checkpoint, and committed
+        output must not be re-emitted."""
+        import datetime as dt
+
+        def ts(s):
+            return dt.datetime.fromisoformat(s)
+
+        d = str(tmp_path / "events")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [
+                (0, ts("2024-01-01 00:00:00"), 1, "view", 1.0),
+                (1, ts("2024-01-01 00:00:05"), None, "view", 1.0),
+            ],
+            self.EVENT_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+
+        def run():
+            stream = (
+                spark.readStream.schema(self.EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            q = sp.start_parquet_sink(sp.streaming_running_distinct(stream), out, ckpt)
+            q.processAllAvailable()
+            q.stop()
+
+        run()
+        first = {r.event_id: r.distinct_users_so_far for r in spark.read.parquet(out).collect()}
+        assert first == {0: 1, 1: 2}
+
+        spark.createDataFrame(
+            [
+                (2, ts("2024-01-01 00:01:00"), 1, "view", 1.0),    # carried: still 2
+                (3, ts("2024-01-01 00:01:05"), None, "view", 1.0),  # carried NULL: still 2
+                (4, ts("2024-01-01 00:01:10"), 7, "view", 1.0),    # new: 3
+            ],
+            self.EVENT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(d)
+        run()
+        got = sorted(
+            (r.event_id, r.distinct_users_so_far)
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got == [(0, 1), (1, 2), (2, 2), (3, 2), (4, 3)], (
+            f"state lost or batch re-emitted across restart: {got}"
+        )
