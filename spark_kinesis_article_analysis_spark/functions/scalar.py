@@ -31,7 +31,9 @@ from spark_kinesis_article_analysis_spark.registry import register
 SELECT c_custkey,
        lower(c_name)                                   AS name_lower,
        upper(c_mktsegment)                             AS seg_upper,
-       trim(concat(' ', c_name, ' '))                  AS name_trim,
+       -- || not concat(): Spark's concat is NULL if ANY arg is NULL,
+       -- DuckDB's concat skips NULLs; || propagates NULL like Spark
+       trim(' ' || c_name || ' ')                      AS name_trim,
        length(c_name)                                  AS name_len,
        substring(c_name, 1, 8)                         AS name_prefix,
        concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
@@ -97,8 +99,12 @@ def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice, 1)                    AS price_round,
        abs(l_discount - 0.05)                       AS disc_centered,
-       round(sqrt(l_quantity), 6)                   AS qty_sqrt,
-       round(ln(l_extendedprice), 6)                AS price_ln,
+       -- Spark: sqrt(neg) = NaN, ln(nonpos) = NULL; DuckDB THROWS on
+       -- both — guard to mirror the engine
+       round(CASE WHEN l_quantity < 0 THEN 'NaN'::DOUBLE
+                  ELSE sqrt(l_quantity) END, 6)      AS qty_sqrt,
+       CASE WHEN l_extendedprice > 0
+            THEN round(ln(l_extendedprice), 6) END   AS price_ln,
        round(pow(l_quantity, 2), 4)                 AS qty_sq,
        CAST(ceil(l_discount * 100) AS BIGINT)       AS disc_pct_ceil,
        CAST(floor(l_tax * 100) AS BIGINT)           AS tax_pct_floor,
@@ -421,7 +427,9 @@ SELECT c_custkey,
        replace(c_name, '#', '-')                      AS name_dashed,
        CASE WHEN len(c_name) = 0 THEN c_name
             ELSE upper(c_name[1:1]) || lower(c_name[2:]) END AS name_initcap_ish,
-       split_part(c_name, '#', 1)                     AS name_head,
+       -- DuckDB's split_part(NULL, ...) yields '' — Spark propagates NULL
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE split_part(c_name, '#', 1) END       AS name_head,
        reverse(c_mktsegment)                          AS seg_rev,
        starts_with(c_mktsegment, 'BU')                AS is_bu,
        contains(c_name, '1')                          AS has_one
@@ -599,7 +607,11 @@ def scalar_json_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey,
        len(regexp_extract_all(c_name, '[0-9]'))                 AS n_digits,
-       array_to_string(regexp_extract_all(c_name, '[0-9]'), '') AS digits_cat,
+       -- empty match list: Spark array_join -> '', DuckDB -> NULL;
+       -- NULL input: both NULL
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE coalesce(array_to_string(regexp_extract_all(c_name, '[0-9]'), ''), '')
+       END                                                      AS digits_cat,
        translate(c_mktsegment, 'AEIOU', 'aeiou')                AS seg_vowel_lower,
        c_name[1:9] || '<<' || c_name[12:]                       AS name_overlaid
 FROM customer

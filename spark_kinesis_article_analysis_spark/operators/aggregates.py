@@ -161,7 +161,11 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
 SELECT n_regionkey,
-       array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations,
+       -- Spark's collect_set DROPS NULL elements (all-NULL group ->
+       -- empty set -> array_join ''); FILTER + coalesce mirrors that
+       coalesce(array_to_string(
+           list_sort(list(DISTINCT n_name) FILTER (n_name IS NOT NULL)), '|'), '')
+           AS nations,
        count(*) AS n
 FROM nation
 GROUP BY n_regionkey
