@@ -197,6 +197,14 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         "time_window_session",
         "time_window_json_events",
         "window_session_dynamic_gap",
+        # r4c empty-corpus / hostile-TPC-H mirrors
+        "agg_rollup",
+        "agg_cube",
+        "agg_collect",
+        "scalar_string_functions",
+        "scalar_math_functions",
+        "scalar_string_extended",
+        "scalar_regexp_misc",
     }
 )
 
