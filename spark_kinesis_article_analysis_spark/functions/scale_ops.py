@@ -446,6 +446,57 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# topk_per_group_sharded — two-phase top-k, hot-group-straggler-free
+# --------------------------------------------------------------------------
+
+TOPK_SALTS = 8
+
+
+@register(
+    "topk_per_group_sharded",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+FROM (
+    SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+    FROM customer
+) WHERE rn <= 3
+""",
+    tags=("topk", "skew", "two-phase"),
+    doc=(
+        "Row-identical to topk_per_group (same oracle): per-group top-3, "
+        "computed in two phases so a hot group cannot serialize one "
+        "reducer's sort — local top-3 within (group, salt), then final "
+        "top-3 over at most 3*TOPK_SALTS candidates per group."
+    ),
+)
+def topk_per_group_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-rank top-k (topk_per_group) sorts EVERY row of a group
+    on one reducer — at 100 TB a segment holding half the corpus is a
+    straggler. Phase 1 salts rows by hash(custkey) into TOPK_SALTS
+    sub-shards and keeps each sub-shard's local top-3 (correct because
+    the global top-3 are each top-3 of whatever sub-shard they landed
+    in); phase 2 ranks the <= 3*TOPK_SALTS survivors per group — a
+    bounded, skew-proof window. Same (acctbal DESC, custkey ASC)
+    ordering in both phases keeps the result bit-identical to the plain
+    form. The same rewrite family as range_sharded_running_sum, for the
+    rank-filter shape instead of running aggregates."""
+    c = load(spark, sf_dir, "customer")
+    salted = c.withColumn("__salt", F.pmod(F.hash("c_custkey"), F.lit(TOPK_SALTS)))
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    w_local = W.partitionBy("c_mktsegment", "__salt").orderBy(*order)
+    w_final = W.partitionBy("c_mktsegment").orderBy(*order)
+    return (
+        salted.withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= 3)
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
 # cluster_kmeans_portable — Lloyd, fixed rounds, oracle-verified
 # --------------------------------------------------------------------------
 

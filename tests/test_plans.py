@@ -377,3 +377,10 @@ class TestScaleOpsPlanShape:
         assert "CartesianProduct" not in plan, plan
         assert "Window" not in plan, plan
         assert inspect.has_broadcast_join(df), plan
+
+    def test_sharded_topk_local_phase_partitions_on_salt(self, spark):
+        """Phase 1's window must partition on (segment, salt) — the
+        straggler-free exchange — before the bounded final rank."""
+        df = SPECS["topk_per_group_sharded"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "__salt" in plan and plan.count("hashpartitioning") == 2, plan
