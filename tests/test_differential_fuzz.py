@@ -1,0 +1,134 @@
+"""Differential fuzzing: hypothesis-generated corpora, full Spark-vs-
+DuckDB parity on representative specs.
+
+The degenerate fixtures encode edge cases someone already THOUGHT of;
+this suite hunts the ones nobody did — random unicode, whitespace runs,
+NULL mixes, boundary timestamps — by generating the corpus itself and
+asserting exact-frame parity through the registered builders and their
+oracles (the identical compare the driver runs). One spec per operator
+family keeps runtime bounded; a failure here is a minimized
+counterexample for the whole family's parity discipline.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_kinesis_article_analysis_spark.registry import all_specs
+from tests.oracle_harness import _normalize
+
+# Text with unicode, whitespace runs, empties — but no surrogates (not
+# writable to parquet) and no NUL (DuckDB VARCHAR rejects it).
+_texts = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00", max_codepoint=0x2FFF
+    ),
+    min_size=0,
+    max_size=60,
+)
+_doc_rows = st.lists(
+    st.tuples(st.one_of(st.none(), _texts), st.sampled_from(["en", "de", None])),
+    min_size=1,
+    max_size=20,
+)
+_event_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 86_400)),  # ts offset seconds
+        st.one_of(st.none(), st.integers(0, 5)),       # user_id
+        st.sampled_from(["view", "click", None]),      # event_type
+        st.floats(-10, 10, allow_nan=False),           # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_BASE_US = 1_704_067_200_000_000
+
+
+def _write_docs(d, rows) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array([t for t, _ in rows], pa.string()),
+                "lang": pa.array([lang for _, lang in rows], pa.string()),
+                "source": pa.array(["fuzz"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t is not None else None for t, _ in rows], pa.int64()
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def _write_events(d, rows) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [None if o is None else _BASE_US + o * 1_000_000 for o, *_ in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for _, u, *_ in rows], pa.int64()),
+                "event_type": pa.array([e for _, _, e, _ in rows], pa.string()),
+                "value": pa.array([v for *_, v in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    return str(d)
+
+
+def _assert_parity(spark, name: str, sf_dir: str, table: str) -> None:
+    spec = all_specs()[name]
+    got = _normalize(spec.build(spark, sf_dir).toPandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+    )
+    want = _normalize(con.sql(spec.oracle).df())
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True, obj=name
+    )
+
+
+_DOC_SPECS = ["text_token_count", "agg_heavy_hitters", "dedup_exact", "text_langid"]
+_EVENT_SPECS = [
+    "time_window_tumbling",
+    "window_cumulative_distinct",
+    "time_rolling_interval_stats",
+]
+
+
+class TestDifferentialFuzz:
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_doc_rows)
+    def test_document_family_parity_on_random_corpora(self, spark, tmp_path_factory, rows):
+        d = tmp_path_factory.mktemp("fuzz_docs")
+        sf = _write_docs(d, rows)
+        for name in _DOC_SPECS:
+            _assert_parity(spark, name, sf, "documents")
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_event_rows)
+    def test_event_family_parity_on_random_corpora(self, spark, tmp_path_factory, rows):
+        d = tmp_path_factory.mktemp("fuzz_events")
+        sf = _write_events(d, rows)
+        for name in _EVENT_SPECS:
+            _assert_parity(spark, name, sf, "events")
