@@ -446,6 +446,46 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus_shuffle_deterministic — reproducible global training order
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_shuffle_deterministic",
+    oracle="""
+SELECT doc_id, lang,
+       md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                               doc_id) AS BIGINT) AS position
+FROM documents
+""",
+    tags=("sampling", "shuffle", "north-star"),
+    doc=(
+        "Deterministic global shuffle for training order: sort by "
+        "md5(epoch_salt || doc_id). Reproducible across engines, "
+        "partitionings, and reruns (no PRNG state to checkpoint); a new "
+        "epoch is a new salt — a full reshuffle with zero stored state."
+    ),
+)
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable form carries an explicit global position,
+    which costs a single-reducer final window at corpus scale — the
+    production form stops at ``repartitionByRange(shuffle_key)
+    .sortWithinPartitions(shuffle_key)``: a total order ACROSS sorted
+    output files without any global exchange, which is all an epoch
+    iterator needs. The key itself is map-only and content-addressed, so
+    any worker can recompute any epoch's order independently."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    w = W.orderBy(F.col("shuffle_key"), F.col("doc_id"))
+    return (
+        d.withColumn("shuffle_key", key)
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "lang", "shuffle_key", "position")
+    )
+
+
+# --------------------------------------------------------------------------
 # topk_per_group_sharded — two-phase top-k, hot-group-straggler-free
 # --------------------------------------------------------------------------
 
