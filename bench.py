@@ -78,6 +78,8 @@ HEADLINE = [
     "agg_heavy_hitters",          # corpus-wide token frequency top-k
     "window_cumulative_distinct", # two-window running-distinct rewrite
     "layout_zorder_cluster",      # stats broadcast + interleave + bucket agg
+    "cluster_kmeans_portable",    # value-hash-verified Lloyd round (ordered folds)
+    "scalar_variant_json",        # VARIANT parse family (heaviest unbenched scalar)
 ]
 
 
