@@ -796,3 +796,74 @@ class TestSkewGuards:
             for r in two_phase_agg(df, "k", "v", salt_col="uid").collect()
         }
         assert out2 == out
+
+
+class TestCacheReuse:
+    def test_persisted_plan_feeds_two_consumers_from_memory(self, spark):
+        """persist() + two downstream aggregations: the second consumer
+        must read InMemoryTableScan instead of re-running the scan +
+        projection — the reuse primitive for iterative/multi-output
+        pipelines (kmeans rounds, dedup-then-gate) at scale."""
+        ev = (
+            load(spark, SF_SMOKE, "events")
+            .withColumn("v2", F.col("value") * 2)
+            .persist()
+        )
+        try:
+            a = ev.groupBy("event_type").agg(F.sum("v2").alias("s"))
+            b = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+            assert a.count() > 0 and b.count() > 0
+            plan_b = inspect.explain_str(b)
+            assert "InMemoryTableScan" in plan_b or "InMemoryRelation" in plan_b, plan_b
+        finally:
+            ev.unpersist()
+
+
+class TestAwaitAnyTermination:
+    def test_await_all_returns_when_one_of_two_queries_stops(self, spark, tmp_path):
+        """S4 (`process_articles.py:93`): awaitAnyTermination with TWO
+        live queries must block until one terminates, then return."""
+        import threading
+        import time
+
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        d = str(tmp_path / "payload")
+        spark.createDataFrame(
+            [("{}",)], "data string"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+
+        def stream(name):
+            src = spark.readStream.schema("data string").parquet(d)
+            return (
+                src.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+
+        q1, q2 = stream("await_q1"), stream("await_q2")
+        try:
+            q1.processAllAvailable(), q2.processAllAvailable()
+            returned = threading.Event()
+
+            def waiter():
+                sp.await_all(spark)
+                returned.set()
+
+            t = threading.Thread(target=waiter, daemon=True)
+            t.start()
+            time.sleep(1.0)
+            assert not returned.is_set(), "await returned with both queries live"
+            q1.stop()
+            t.join(timeout=30)
+            assert returned.is_set(), "await did not return after a query stopped"
+        finally:
+            for q in (q1, q2):
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            # a terminated query latches awaitAnyTermination for the whole
+            # session — clear it so later streaming tests can block again
+            spark.streams.resetTerminated()
