@@ -23,6 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.functions.similarity import EMB_DIM
 from spark_kinesis_article_analysis_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -244,7 +245,9 @@ def zorder_key(
 # embed_random_projection — md5-derived Johnson-Lindenstrauss reduction
 # --------------------------------------------------------------------------
 
-EMB_DIM = 64
+# EMB_DIM imported from similarity — ONE dimension constant repo-wide
+# (tests/test_properties.py pins it against the actual fixture data, so
+# a driver regeneration at a new dim fails loudly, not via hash riddles)
 PROJ_DIM = 8
 
 

@@ -505,3 +505,21 @@ class TestScaleOpsProperties:
                     r.vec_id,
                     k,
                 )
+
+
+def test_embedding_dim_constant_matches_fixture():
+    """Every embeddings oracle generates SQL over exactly EMB_DIM
+    dimensions (generate_series bounds, literal weight matrices). If a
+    testdata regeneration changes the vector dim, this must fail with a
+    clear instruction instead of surfacing as value-hash divergence."""
+    import pyarrow.parquet as pq
+
+    from spark_kinesis_article_analysis_spark.functions.similarity import EMB_DIM
+    from tests.conftest import SF_CORRECTNESS
+
+    t = pq.read_table(f"{SF_CORRECTNESS}/embeddings.parquet", columns=["embedding"])
+    dims = {len(v) for v in t.column("embedding").to_pylist()[:50] if v is not None}
+    assert dims == {EMB_DIM}, (
+        f"fixture embedding dims {dims} != EMB_DIM {EMB_DIM}: update "
+        "similarity.EMB_DIM (single repo-wide constant) and re-run"
+    )
