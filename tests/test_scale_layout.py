@@ -842,6 +842,9 @@ class TestAwaitAnyTermination:
                 .start()
             )
 
+        # queries terminated by EARLIER tests latch awaitAnyTermination
+        # (it returns immediately until resetTerminated) — clear first
+        spark.streams.resetTerminated()
         q1, q2 = stream("await_q1"), stream("await_q2")
         try:
             q1.processAllAvailable(), q2.processAllAvailable()
