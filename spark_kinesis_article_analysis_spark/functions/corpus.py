@@ -347,7 +347,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_logprob",
     oracle=r"""
 WITH toks AS (
-    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term FROM documents
+    SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\x0b\f\r]+')) AS term FROM documents
 ),
 counts AS (
     SELECT term, CAST(count(*) AS DOUBLE) AS tc FROM toks GROUP BY term

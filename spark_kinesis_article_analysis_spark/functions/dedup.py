@@ -44,7 +44,7 @@ SIMHASH_BITS = 32
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
 
-_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_NORM = "lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))"
 
 
 def normalized_text_col():
@@ -91,7 +91,7 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
 
 _SHINGLE_SQL = """
     SELECT doc_id, shingle
-    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    FROM (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
          LATERAL unnest(list_distinct(list_transform(
              generate_series(1, len(t) - 2),
              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS u(shingle)
@@ -157,7 +157,7 @@ def _simhash_expr_spark():
     oracle=f"""
 WITH tok AS (
     SELECT doc_id, tkn
-    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    FROM (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
          LATERAL unnest(list_distinct(t)) AS u(tkn)
 ),
 hashed AS (

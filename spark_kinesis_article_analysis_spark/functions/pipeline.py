@@ -67,7 +67,7 @@ def _doc_id_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     "text_chunk_sliding",
     oracle=f"""
 WITH t AS (
-    SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+    SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents
 ),
 c AS (
     SELECT doc_id, i AS chunk_id,
@@ -106,7 +106,7 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_sequences_bounded",
     oracle=f"""
 WITH t AS (
-    SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS n_tokens
+    SELECT doc_id, lang, len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens
     FROM documents
 )
 SELECT doc_id, lang, n_tokens,
@@ -140,7 +140,7 @@ def pack_sequences_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_sequences_sharded",
     oracle=f"""
 WITH t AS (
-    SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS n_tokens
+    SELECT doc_id, lang, len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens
     FROM documents
 )
 SELECT doc_id, lang, n_tokens,
@@ -225,7 +225,7 @@ def split_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
     SELECT doc_id, lang,
            round(length(coalesce(text, '')) /
-                 len(string_split_regex(coalesce(text, ''), '\\s+')), 6) AS score
+                 len(string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+')), 6) AS score
     FROM documents
 ),
 r AS (
@@ -272,7 +272,7 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
     SELECT doc_id, lang,
            round(length(coalesce(text, '')) /
-                 len(string_split_regex(coalesce(text, ''), '\\s+')), 6) AS score
+                 len(string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+')), 6) AS score
     FROM documents
 ),
 r AS (
@@ -335,7 +335,7 @@ def quality_gate_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE d AS (
     SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(
-                   string_split_regex(coalesce(text, ''), '\\s+'))), ' '))
+                   string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+'))), ' '))
                AS fp,
            md5(substr(coalesce(text, ''), 1, 64)) AS ph
     FROM documents
@@ -445,10 +445,10 @@ def observed_quality_gate(df: DataFrame, min_tokens: int = 20, max_tokens: int =
 WITH surv AS (
     SELECT min(doc_id) AS doc_id
     FROM documents
-    GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    GROUP BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
 ),
 d AS (
-    SELECT doc.doc_id, doc.lang, len(string_split_regex(doc.text, '\\s+')) AS n_tokens
+    SELECT doc.doc_id, doc.lang, len(string_split_regex(doc.text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens
     FROM documents doc JOIN surv ON doc.doc_id = surv.doc_id
 ),
 q AS (SELECT * FROM d WHERE n_tokens BETWEEN 20 AND 1000),

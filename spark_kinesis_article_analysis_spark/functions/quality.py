@@ -111,7 +111,7 @@ def repetition_stats(d: DataFrame) -> DataFrame:
     "text_repetition_stats",
     oracle="""
 WITH t AS (
-    SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS t FROM documents
+    SELECT doc_id, string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
 ),
 g AS (
     SELECT doc_id, t,
@@ -168,7 +168,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_ingest_batch_form",
     oracle="""
 WITH t AS (
-    SELECT doc_id, text, string_split_regex(coalesce(text, ''), '\\s+') AS t FROM documents
+    SELECT doc_id, text, string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
 ),
 g AS (
     SELECT doc_id, text, t,
@@ -235,7 +235,7 @@ def corpus_ingest_batch_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRAM5_SQL = """
     SELECT doc_id, gram
-    FROM (SELECT doc_id, string_split_regex(coalesce(text, ''), '\\s+') AS t FROM documents{where}),
+    FROM (SELECT doc_id, string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents{where}),
          LATERAL unnest(list_distinct(list_transform(
              generate_series(1, len(t) - 4),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS u(gram)

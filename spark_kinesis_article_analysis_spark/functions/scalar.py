@@ -179,7 +179,7 @@ def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_functions",
     oracle="""
 WITH toks AS (
-    SELECT doc_id, string_split_regex(text, '\\s+') AS tokens FROM documents
+    SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS tokens FROM documents
 )
 SELECT doc_id,
        len(tokens)                                            AS n_tokens,
@@ -227,7 +227,7 @@ SELECT doc_id,
        2                                   AS n_keys,
        'chars|tokens'                      AS keys_sorted,
        n_chars                             AS chars_val,
-       len(string_split_regex(text, '\\s+'))::BIGINT AS tokens_val
+       len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'))::BIGINT AS tokens_val
 FROM documents
 """,
     tags=("scalar", "map"),
@@ -369,7 +369,7 @@ def scalar_months_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_posexplode",
     oracle="""
 SELECT doc_id, i - 1 AS pos, t[i] AS token
-FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+FROM (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
      LATERAL unnest(generate_series(1, len(t))) AS u(i)
 WHERE doc_id < 50
 """,
@@ -388,8 +388,8 @@ def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
     SELECT doc_id,
-           list_distinct(string_split_regex(text, '\\s+')) AS a,
-           list_distinct(string_split_regex(upper(text), '\\s+')) AS b
+           list_distinct(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS a,
+           list_distinct(string_split_regex(upper(text), '[ \\t\\n\\x0b\\f\\r]+')) AS b
     FROM documents
 )
 SELECT doc_id,
@@ -641,7 +641,7 @@ def scalar_regexp_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
     SELECT doc_id,
-           list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 18) AS rare
+           list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), x -> len(x) > 18) AS rare
     FROM documents
 )
 SELECT doc_id,

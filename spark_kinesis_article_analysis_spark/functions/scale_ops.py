@@ -84,7 +84,7 @@ SELECT token, cnt
 FROM (
     SELECT token, CAST(count(*) AS BIGINT) AS cnt
     FROM (
-        SELECT unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS token
+        SELECT unnest(string_split_regex(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+')) AS token
         FROM documents
     )
     WHERE token <> ''

@@ -39,7 +39,7 @@ def tokens_col(text_col: str = "text"):
     "text_token_count",
     oracle="""
 SELECT doc_id,
-       len(string_split_regex(text, '\\s+'))                  AS n_ws_tokens,
+       len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'))                  AS n_ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z0-9]+'))           AS n_word_tokens,
        len(regexp_extract_all(text, '[0-9]+'))                 AS n_number_tokens,
        length(text)                                            AS n_chars_raw
@@ -66,10 +66,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_score",
     oracle="""
 WITH t AS (
-    SELECT doc_id, text, len(string_split_regex(text, '\\s+')) AS n_tokens,
+    SELECT doc_id, text, len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
            length(text) AS n_chars,
            length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
-           len(list_filter(string_split_regex(text, '\\s+'),
+           len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'),
                            x -> list_contains(['the','and','of','der','und','el','le','les'], x)))
                AS n_stop
     FROM documents
@@ -119,7 +119,7 @@ def _langid_case_sql() -> str:
     whens = []
     for lang, markers in LANG_MARKERS.items():
         cond = " OR ".join(
-            f"list_contains(string_split_regex(text, '\\s+'), '{m}')" for m in markers
+            f"list_contains(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), '{m}')" for m in markers
         )
         whens.append(f"WHEN ({cond}) THEN '{lang}'")
     return "CASE " + " ".join(whens) + " ELSE 'unknown' END"
@@ -156,7 +156,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
 SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '\\s+'))), ' '))
+       md5(array_to_string(list_sort(list_distinct(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'))), ' '))
            AS fingerprint,
        md5(substr(text, 1, 64)) AS prefix_hash
 FROM documents
@@ -181,7 +181,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_top_bigrams",
     oracle="""
 WITH toks AS (
-    SELECT lang, string_split_regex(text, '\\s+') AS t FROM documents
+    SELECT lang, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
 ),
 bigrams AS (
     SELECT lang, bg
@@ -231,7 +231,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tok AS (
     SELECT doc_id, tkn
-    FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    FROM (SELECT doc_id, string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents),
          LATERAL unnest(t) AS u(tkn)
 ),
 tf AS (SELECT doc_id, tkn, count(*) AS tf FROM tok GROUP BY doc_id, tkn),

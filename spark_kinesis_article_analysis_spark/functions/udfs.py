@@ -33,7 +33,7 @@ WITH spans AS (
     FROM documents
 )
 SELECT doc_id, i - 1 AS span_idx, sp[i] AS span_text,
-       CAST(len(string_split_regex(sp[i], '\\s+')) AS INT) AS n_tokens
+       CAST(len(string_split_regex(sp[i], '[ \\t\\n\\x0b\\f\\r]+')) AS INT) AS n_tokens
 FROM spans, LATERAL unnest(generate_series(1, len(sp))) AS u(i)
 """,
     tags=("udtf", "text"),

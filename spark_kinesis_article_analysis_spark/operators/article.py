@@ -166,7 +166,7 @@ WITH articles AS (
     SELECT
         lang AS author,
         make_timestamp(({_EPOCH_2024} + (doc_id * 137) % 86400) * 1000000) AS publish_date,
-        len(string_split_regex(text, '\\s+')) AS word_count
+        len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word_count
     FROM documents
 )
 """

@@ -30,7 +30,7 @@ SELECT CAST(doc_id AS VARCHAR)                                              AS a
        lang                                                                 AS author,
        make_timestamp(({_EPOCH_2024} + (doc_id * 137) % 86400) * 1000000)   AS publish_date,
        text                                                                 AS content,
-       len(string_split_regex(text, '\\s+'))                                AS word_count
+       len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'))                                AS word_count
 FROM documents
 """,
     tags=("reference", "S1", "S5", "source", "round-trip"),
