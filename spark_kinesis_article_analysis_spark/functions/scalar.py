@@ -761,11 +761,17 @@ SELECT event_id,
             WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                  THEN TRY_CAST(props::JSON ->> 'k' AS INTEGER)
             WHEN json_type(props, '$.k') = 'VARCHAR'
-                 -- Spark's string->int cast accepts only integral strings
-                 -- (optional sign/whitespace); DuckDB TRY_CAST would also
-                 -- round '12.5' and parse '1e2'/'0x10', which Spark nulls.
-                 AND regexp_matches(props::JSON ->> 'k', '^\s*[+-]?[0-9]+\s*$')
-                 THEN TRY_CAST(props::JSON ->> 'k' AS INTEGER)
+                 -- Spark's string->int cast accepts only integral strings;
+                 -- DuckDB TRY_CAST would also round '12.5' and parse
+                 -- '1e2'/'0x10', which Spark nulls. The trim class is
+                 -- UTF8String.trimAll's <= 0x20 (probed: '\x0b8', '\x1f8',
+                 -- '8\x00' all cast to 8) — NOT regex \s.
+                 AND regexp_matches(props::JSON ->> 'k', '^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$')
+                 -- ...and DuckDB's own cast trims only C whitespace (not
+                 -- \x1f etc.), so strip the full class before casting
+                 THEN TRY_CAST(regexp_replace(props::JSON ->> 'k',
+                                              '^[\x00-\x20]+|[\x00-\x20]+$', '', 'g')
+                               AS INTEGER)
             WHEN json_type(props, '$.k') = 'DOUBLE'
                  THEN TRY_CAST(trunc(TRY_CAST(props::JSON ->> 'k' AS DOUBLE)) AS INTEGER)
             WHEN json_type(props, '$.k') = 'BOOLEAN'

@@ -76,6 +76,10 @@ _EVENTS_HOSTILE = [
     (13, 3_600_000_009, 9, "click", 10.5, '{"k": "1e2"}'),
     (14, 3_600_000_010, 10, "view", 11.5, '{"k": "+7"}'),
     (15, 3_600_000_011, 10, "error", 12.5, '{"k": " 8 "}'),
+    # Spark's cast trims ALL chars <= 0x20 (UTF8String.trimAll), not just
+    # regex \s — the oracle's [\x00-\x20]* class must keep matching these
+    (16, 3_600_000_012, 11, "view", 13.5, '{"k": "\\u000b8"}'),
+    (17, 3_600_000_013, 11, "click", 14.5, '{"k": "\\u001f9\\t"}'),
 ]
 
 #: Hardened in round 4b — kept as an (empty) escape hatch for any future
