@@ -159,9 +159,12 @@ FROM events
         "overflow Spark also nulls. Known limitation, shared by every "
         "json_valid-guarded oracle here: Spark's Jackson parser is "
         "PREFIX-LENIENT ('{\"k\": 1}garbage' extracts 1), which DuckDB "
-        "cannot express — valid-prefix+trailing-garbage payloads are the "
-        "one hostile class the oracles do not mirror "
-        "(tests/test_degenerate_events.py covers the rest)."
+        "cannot express, and both engines RE-RENDER extracted JSON "
+        "numbers (Java prints the double's exact decimal expansion, "
+        "DuckDB the shortest round-trip — fuzz-found on 2^-24) — those "
+        "two payload classes are the ones the oracles do not mirror "
+        "(tests/test_degenerate_events.py + test_differential_fuzz.py "
+        "cover the rest)."
     ),
 )
 def scalar_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
