@@ -68,23 +68,44 @@ SELECT o_orderstatus,
        max(o_totalprice)              AS max_price,
        min(o_orderdate)               AS first_date,
        max(o_orderdate)               AS last_date,
-       arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-       arg_max(o_orderkey, o_totalprice) AS priciest_order
+       -- struct-min, NOT arg_min: both engines' argmin is ARBITRARY
+       -- among tied ordering values (fuzz-found: two 0.0-price orders,
+       -- Spark picked one key, DuckDB the other). min/max over a
+       -- (price, key) struct pins ties to the smallest/largest key; the
+       -- FILTER reproduces min_by's ignore-NULL-ordering-values rule
+       -- (a NULL price field would otherwise sort FIRST in Spark's
+       -- struct comparison and LAST in DuckDB's).
+       (min(struct_pack(p := o_totalprice, k := o_orderkey))
+            FILTER (o_totalprice IS NOT NULL)).k AS cheapest_order,
+       (max(struct_pack(p := o_totalprice, k := o_orderkey))
+            FILTER (o_totalprice IS NOT NULL)).k AS priciest_order
 FROM orders
 GROUP BY o_orderstatus
 """,
     tags=("agg", "minmax", "argminmax"),
-    doc="min/max over numbers and timestamps + min_by/max_by (arg_min/arg_max).",
+    doc=(
+        "min/max over numbers and timestamps + deterministic argmin/argmax "
+        "(struct-min with key tie-break — min_by/arg_min are arbitrary "
+        "among ties on BOTH engines, found by the relational fuzzer)."
+    ),
 )
 def agg_minmax_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    cheapest = F.expr(
+        "min(struct(o_totalprice AS p, o_orderkey AS k)) "
+        "FILTER (WHERE o_totalprice IS NOT NULL)"
+    )["k"]
+    priciest = F.expr(
+        "max(struct(o_totalprice AS p, o_orderkey AS k)) "
+        "FILTER (WHERE o_totalprice IS NOT NULL)"
+    )["k"]
     return o.groupBy("o_orderstatus").agg(
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        cheapest.alias("cheapest_order"),
+        priciest.alias("priciest_order"),
     )
 
 

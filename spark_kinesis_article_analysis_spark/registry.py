@@ -201,6 +201,10 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         "agg_rollup",
         "agg_cube",
         "agg_collect",
+        # r4c fuzz finds: deterministic argmin rewrite (semantics pinned
+        # on ties), variant cast-trim class
+        "agg_minmax_argminmax",
+        "scalar_variant_json",
         "scalar_string_functions",
         "scalar_math_functions",
         "scalar_string_extended",

@@ -195,3 +195,58 @@ class TestDifferentialFuzz:
         )
         for name in ("scalar_json_functions", "scalar_variant_json", "time_window_json_events"):
             _assert_parity(spark, name, str(d), "events")
+
+
+#: orders-shaped rows with heavy key/value collisions: the tie-breaking
+#: and NULL-semantics hunting ground for aggregates/joins/subqueries.
+_order_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),        # o_custkey (collidey)
+        st.sampled_from(["O", "F", None]),              # o_orderstatus
+        st.one_of(st.none(), st.sampled_from([0.0, 1.5, 7.25])),  # o_totalprice (ties!)
+        st.one_of(st.none(), st.integers(0, 3)),        # orderdate day offset
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _write_orders(d, rows) -> str:
+    base = 1_704_067_200_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(10, 10 + len(rows)), pa.int64()),
+                "o_custkey": pa.array([c for c, *_ in rows], pa.int64()),
+                "o_orderstatus": pa.array([s for _, s, *_ in rows], pa.string()),
+                "o_totalprice": pa.array([p for _, _, p, _ in rows], pa.float64()),
+                "o_orderdate": pa.array(
+                    [None if o is None else base + o * 86_400_000_000 for *_, o in rows],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    return str(d)
+
+
+class TestRelationalFuzz:
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_order_rows)
+    def test_aggregate_family_parity_on_tied_orders(self, spark, tmp_path_factory, rows):
+        """min_by/max_by under VALUE TIES and NULL mixes — arbitrary-
+        among-ties results differ between engines unless the spec pins a
+        deterministic tie-break."""
+        d = tmp_path_factory.mktemp("fuzz_orders")
+        sf = _write_orders(d, rows)
+        for name in (
+            "agg_minmax_argminmax",
+            "agg_cube",
+            "scalar_date_arithmetic",
+            "scalar_bitwise",
+        ):
+            _assert_parity(spark, name, sf, "orders")
