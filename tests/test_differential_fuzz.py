@@ -250,3 +250,58 @@ class TestRelationalFuzz:
             "scalar_bitwise",
         ):
             _assert_parity(spark, name, sf, "orders")
+
+
+_vec_values = st.sampled_from(
+    [0.0, -1.0, 1.0, 0.5, -0.25, 0.125, 3.0, -2.5, 1e-3, 1e6, -1e6]
+)
+_emb_rows = st.lists(
+    st.tuples(
+        st.one_of(
+            st.none(),                                    # NULL embedding
+            st.just("zero"),                              # zero vector
+            st.lists(_vec_values, min_size=64, max_size=64),
+        ),
+        st.integers(0, 2),                                # label
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+class TestEmbeddingFuzz:
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_emb_rows)
+    def test_embedding_family_parity_on_random_vectors(self, spark, tmp_path_factory, rows):
+        """Random vectors (NULLs, zeros, magnitude extremes to 1e6)
+        through norms, JL projection, quantization, cosine top-k, and
+        the portable k-means round — the float-fold parity discipline
+        (ordered folds, 0.0 seeds, round-before-rank) under generative
+        attack rather than fixture-picked values."""
+        vecs = [
+            (i, [0.0] * 64 if v == "zero" else v, lab)
+            for i, (v, lab) in enumerate(rows)
+        ]
+        d = tmp_path_factory.mktemp("fuzz_emb")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([x[0] for x in vecs], pa.int64()),
+                    "embedding": pa.array(
+                        [x[1] for x in vecs], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([x[2] for x in vecs], pa.int64()),
+                }
+            ),
+            d / "embeddings.parquet",
+        )
+        for name in (
+            "embed_norm_stats",
+            "embed_random_projection",
+            "embed_quantize_int8",
+            "sim_cosine_topk",
+            "cluster_kmeans_portable",
+        ):
+            _assert_parity(spark, name, str(d), "embeddings")
