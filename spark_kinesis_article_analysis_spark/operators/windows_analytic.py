@@ -60,14 +60,14 @@ SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
        lead(o_totalprice) OVER w AS next_price,
        round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0.0), 4) AS price_delta
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC)
 """,
     tags=("window-analytic", "offset"),
     doc="lag/lead offsets along each customer's order history.",
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc_nulls_first(), F.col("o_orderkey").asc())
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -86,11 +86,11 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                                     ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
            AS running_total,
        round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                                     ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
            AS moving_avg3
 FROM orders
@@ -100,7 +100,7 @@ FROM orders
 )
 def window_frames_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    ordering = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    ordering = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc_nulls_first(), F.col("o_orderkey").asc())
     running = ordering.rowsBetween(W.unboundedPreceding, W.currentRow)
     moving = ordering.rowsBetween(-2, W.currentRow)
     return o.select(
@@ -141,7 +141,7 @@ SELECT o_custkey, o_orderkey,
        last_value(o_totalprice)  OVER w                 AS latest_price,
        nth_value(o_totalprice, 2) OVER w                AS second_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
     tags=("window-analytic", "first-last-nth"),
@@ -151,7 +151,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .orderBy(F.col("o_orderdate").asc_nulls_first(), F.col("o_orderkey").asc())
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return o.select(
@@ -170,15 +170,23 @@ SELECT c_custkey, c_mktsegment,
        round(percent_rank() OVER w, 6) AS pr,
        round(cume_dist()    OVER w, 6) AS cd
 FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal NULLS FIRST, c_custkey)
 """,
     tags=("window-analytic", "distribution"),
-    doc="percent_rank + cume_dist distribution functions over per-segment balance order.",
+    doc=(
+        "percent_rank + cume_dist distribution functions over per-segment "
+        "balance order. NULLS FIRST pinned in the oracle: Spark ASC is "
+        "NULLS FIRST, DuckDB ASC defaults NULLS LAST — a NULL balance "
+        "shifts EVERY row's cume_dist in the partition (fuzz-found)."
+    ),
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_first(), "c_custkey"
+    )
     return c.select(
         "c_custkey",
         "c_mktsegment",

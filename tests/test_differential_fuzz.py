@@ -248,6 +248,9 @@ class TestRelationalFuzz:
             "agg_cube",
             "scalar_date_arithmetic",
             "scalar_bitwise",
+            "window_lag_lead",
+            "window_frames_running",
+            "window_first_last_nth",
         ):
             _assert_parity(spark, name, sf, "orders")
 
@@ -305,3 +308,54 @@ class TestEmbeddingFuzz:
             "cluster_kmeans_portable",
         ):
             _assert_parity(spark, name, str(d), "embeddings")
+
+
+_cust_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["Customer#1", "", "Cu5t0mer#22"])),
+        st.sampled_from(["BUILDING", "MACHINERY", None, ""]),
+        st.one_of(st.none(), st.sampled_from([0.0, -5.5, 7.25, 100.0])),  # acctbal ties
+        st.one_of(st.none(), st.integers(0, 3)),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _write_customers(d, rows) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(1, 1 + len(rows)), pa.int64()),
+                "c_name": pa.array([n for n, *_ in rows], pa.string()),
+                "c_nationkey": pa.array([k for *_, k in rows], pa.int32()),
+                "c_acctbal": pa.array([b for _, _, b, _ in rows], pa.float64()),
+                "c_mktsegment": pa.array([s for _, s, *_ in rows], pa.string()),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    return str(d)
+
+
+class TestWindowFuzz:
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_cust_rows)
+    def test_window_family_parity_on_tied_customers(self, spark, tmp_path_factory, rows):
+        """Ranking/distribution/frame windows and both top-k forms over
+        heavily tied acctbals, NULL ordering keys, and NULL/empty
+        partition keys — any window whose ORDER BY is not a total order
+        (or whose NULLS placement is unpinned) diverges here."""
+        d = tmp_path_factory.mktemp("fuzz_cust")
+        sf = _write_customers(d, rows)
+        for name in (
+            "window_ranking",
+            "window_distribution",
+            "topk_per_group",
+            "topk_per_group_sharded",
+            "distinct_projection",
+            "agg_grouping_sets",
+        ):
+            _assert_parity(spark, name, sf, "customer")
