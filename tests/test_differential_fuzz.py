@@ -359,3 +359,66 @@ class TestWindowFuzz:
             "agg_grouping_sets",
         ):
             _assert_parity(spark, name, sf, "customer")
+
+
+_li_rows = st.lists(
+    st.tuples(
+        st.integers(10, 13),                                  # l_orderkey
+        st.one_of(st.none(), st.sampled_from([0.0, 1.0, 2.0, 30.0])),   # quantity
+        st.one_of(st.none(), st.sampled_from([0.0, 10.25, 10.25, 99.5])),  # extendedprice (ties)
+        st.one_of(st.none(), st.sampled_from([0.0, 0.25, 0.5])),  # discount
+        st.sampled_from(["R", "N", "A", None, ""]),           # returnflag
+        st.sampled_from(["O", "F", None]),                    # linestatus
+        st.one_of(st.none(), st.integers(0, 3)),              # shipdate offset
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+def _write_lineitem(d, rows) -> str:
+    base = 1_704_067_200_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([i % 4 + 1 for i in range(len(rows))], pa.int64()),
+                "l_suppkey": pa.array([i % 3 + 1 for i in range(len(rows))], pa.int64()),
+                "l_linenumber": pa.array(range(1, len(rows) + 1), pa.int32()),
+                "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
+                "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+                "l_discount": pa.array([r[3] for r in rows], pa.float64()),
+                "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+                "l_returnflag": pa.array([r[4] for r in rows], pa.string()),
+                "l_linestatus": pa.array([r[5] for r in rows], pa.string()),
+                "l_shipdate": pa.array(
+                    [None if r[6] is None else base + r[6] * 86_400_000_000 for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    return str(d)
+
+
+class TestLineitemFuzz:
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_li_rows)
+    def test_aggregate_parity_on_tied_lineitems(self, spark, tmp_path_factory, rows):
+        """Pricing summary, exact percentiles (interpolation on ties and
+        NULLs), co-moment stats (corr of constant series: NULL-vs-NaN
+        territory), and multiset EXCEPT ALL over dyadic-exact money
+        values — float-ORDER effects excluded by construction, so any
+        failure is a semantic divergence."""
+        d = tmp_path_factory.mktemp("fuzz_li")
+        sf = _write_lineitem(d, rows)
+        for name in (
+            "agg_pricing_summary",
+            "agg_exact_percentile",
+            "agg_stats_corr_regr",
+            "filter_predicates",
+        ):
+            _assert_parity(spark, name, sf, "lineitem")
