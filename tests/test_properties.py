@@ -523,3 +523,22 @@ def test_embedding_dim_constant_matches_fixture():
         f"fixture embedding dims {dims} != EMB_DIM {EMB_DIM}: update "
         "similarity.EMB_DIM (single repo-wide constant) and re-run"
     )
+
+
+def test_coverage_md_bench_count_matches():
+    """The COVERAGE.md bench-count sentence drifted once (said 25 at 44,
+    then 49 at 46) — pin it to the actual HEADLINE length."""
+    import importlib.util
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    text = (root / "COVERAGE.md").read_text()
+    m = _re.search(r"`bench.py`: (\d+) headline queries", text)
+    assert m, "COVERAGE.md bench sentence missing"
+    assert int(m.group(1)) == len(bench.HEADLINE), (
+        f"COVERAGE.md says {m.group(1)}, bench.py has {len(bench.HEADLINE)}"
+    )
