@@ -397,16 +397,46 @@ GROUP BY l_returnflag, l_linestatus
     ),
 )
 def agg_stats_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT Spark's corr()/covar_samp()/regr_*() aggregates: under ANSI
+    mode (Spark 4 default) those THROW DIVIDE_BY_ZERO when a group has
+    zero variance or a single pair — fuzz-found: ONE constant-series
+    group kills the whole job, while DuckDB (and the SQL standard)
+    return NULL. Each statistic is recomposed from throw-free Welford
+    primitives (covar_pop / var_pop / stddev_pop / avg divide by n,
+    never n-1 or a variance) with try_divide supplying the standard's
+    NULL for the degenerate cases. Pair-filtering is explicit (FILTER on
+    both-non-NULL) because the primitives are single-column while the
+    bivariate family is defined over complete pairs. Still one
+    partial+final hash aggregation."""
     li = load(spark, sf_dir, "lineitem")
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    pair = "(l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)"
+
+    def pf(agg: str) -> F.Column:
+        return F.expr(f"{agg} FILTER (WHERE {pair})")
+
+    n = pf("count(*)")
+    covp = F.expr("covar_pop(l_extendedprice, l_quantity)")  # pair-only by definition
+    sdx = pf("stddev_pop(l_quantity)")
+    sdy = pf("stddev_pop(l_extendedprice)")
+    varx = pf("var_pop(l_quantity)")
+    vary = pf("var_pop(l_extendedprice)")
+    avgx = pf("avg(l_quantity)")
+    avgy = pf("avg(l_extendedprice)")
+    corr = F.try_divide(covp, sdx * sdy)
+    slope = F.try_divide(covp, varx)
+    r2 = (
+        F.when(varx == 0, F.lit(None).cast("double"))
+        .when(vary == 0, F.lit(1.0))
+        .otherwise(corr * corr)
+    )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.regr_count(y, x).alias("n_pairs"),
-        F.round(F.corr(y, x), 6).alias("corr_price_qty"),
-        F.round(F.covar_samp(y, x), 6).alias("covar_s"),
-        F.round(F.covar_pop(y, x), 6).alias("covar_p"),
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
-        F.round(F.regr_avgx(y, x), 6).alias("avg_qty"),
-        F.round(F.regr_avgy(y, x), 6).alias("avg_price"),
+        n.alias("n_pairs"),
+        F.round(corr, 6).alias("corr_price_qty"),
+        F.round(F.try_divide(covp * n, n - 1), 6).alias("covar_s"),
+        F.round(covp, 6).alias("covar_p"),
+        F.round(slope, 6).alias("slope"),
+        F.round(avgy - slope * avgx, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        F.round(avgx, 6).alias("avg_qty"),
+        F.round(avgy, 6).alias("avg_price"),
     )
