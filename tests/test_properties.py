@@ -542,3 +542,20 @@ def test_coverage_md_bench_count_matches():
     assert int(m.group(1)) == len(bench.HEADLINE), (
         f"COVERAGE.md says {m.group(1)}, bench.py has {len(bench.HEADLINE)}"
     )
+
+
+def test_readme_counts_match_registry():
+    """README.md's query counts drifted twice this round — pin them."""
+    import re as _re
+    from pathlib import Path
+
+    from spark_kinesis_article_analysis_spark.registry import all_specs
+
+    specs = all_specs()
+    text = Path(__file__).resolve().parent.parent.joinpath("README.md").read_text()
+    m = _re.search(r"\((\d+) registered\s+queries, (\d+) DuckDB-oracle-backed", text)
+    assert m, "README count sentence missing"
+    n_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    assert (int(m.group(1)), int(m.group(2))) == (len(specs), n_oracle), (
+        f"README says {m.groups()}, registry has ({len(specs)}, {n_oracle})"
+    )
