@@ -309,7 +309,12 @@ SELECT s.event_type,
            PARTITION BY s.event_type ORDER BY s.bucket
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        )                        AS locf_value
-FROM series s LEFT JOIN agg a USING (event_type, bucket)
+-- NULL-safe key join: a NULL event_type is a legal GROUP that must
+-- round-trip through densification (the Spark helper already joins
+-- null-safely; USING's plain equality marked every NULL-type bucket
+-- as a gap — fuzz-found)
+FROM series s LEFT JOIN agg a
+  ON s.event_type IS NOT DISTINCT FROM a.event_type AND s.bucket = a.bucket
 """,
     tags=("time-window", "gapfill", "rollup", "temporal", "events"),
     doc=(

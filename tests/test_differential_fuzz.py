@@ -147,6 +147,12 @@ _EVENT_SPECS = [
     "time_window_tumbling",
     "window_cumulative_distinct",
     "time_rolling_interval_stats",
+    # temporal family: as-of joins (NULL-matches-nothing + tie rules),
+    # interval overlap (bin-join rewrite), gapfill densification/LOCF
+    "join_asof",
+    "join_asof_last_purchase",
+    "join_range_interval",
+    "time_bucket_gapfill",
 ]
 
 
