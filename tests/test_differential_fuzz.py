@@ -438,3 +438,45 @@ class TestLineitemFuzz:
             "filter_predicates",
         ):
             _assert_parity(spark, name, sf, "lineitem")
+
+
+_vocab_texts = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("solo"),
+    st.lists(
+        st.sampled_from(["the", "cat", "sat", "on", "a", "mat", "x", "été", "1", "-"]),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+)
+_dedup_rows = st.lists(
+    st.tuples(_vocab_texts, st.sampled_from(["en", "de", None])), min_size=1, max_size=14
+)
+
+
+class TestDedupFuzz:
+    @settings(
+        max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_dedup_rows)
+    def test_dedup_family_parity_on_collision_corpora(self, spark, tmp_path_factory, rows):
+        """The near-dup pipelines (n-gram Jaccard, SimHash, portable
+        MinHash-LSH, segment dedup) plus fingerprint/repetition/tfidf/
+        mixture over a tiny shared vocabulary — maximal shingle and hash
+        collisions, NULL/empty/1-token docs, NULL langs. Five examples
+        (these are multi-stage pipelines; the cheap families get deeper
+        example budgets elsewhere)."""
+        d = tmp_path_factory.mktemp("fuzz_dedup")
+        sf = _write_docs(d, rows)
+        for name in (
+            "dedup_ngram_jaccard",
+            "dedup_simhash",
+            "dedup_minhash_lsh_portable",
+            "text_segment_dedup",
+            "text_fingerprint",
+            "text_repetition_stats",
+            "text_tfidf_top_terms",
+            "corpus_mixture_resample",
+        ):
+            _assert_parity(spark, name, sf, "documents")
