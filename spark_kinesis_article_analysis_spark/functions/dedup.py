@@ -44,7 +44,7 @@ SIMHASH_BITS = 32
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4
 
-_NORM = "lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))"
+_NORM = "lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))"
 
 
 def normalized_text_col():

@@ -445,7 +445,7 @@ def observed_quality_gate(df: DataFrame, min_tokens: int = 20, max_tokens: int =
 WITH surv AS (
     SELECT min(doc_id) AS doc_id
     FROM documents
-    GROUP BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))))
+    GROUP BY md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')))
 ),
 d AS (
     SELECT doc.doc_id, doc.lang, len(string_split_regex(doc.text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens

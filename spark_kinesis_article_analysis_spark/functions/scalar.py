@@ -33,7 +33,7 @@ SELECT c_custkey,
        upper(c_mktsegment)                             AS seg_upper,
        -- || not concat(): Spark's concat is NULL if ANY arg is NULL,
        -- DuckDB's concat skips NULLs; || propagates NULL like Spark
-       trim(' ' || c_name || ' ')                      AS name_trim,
+       trim(' ' || c_name || ' ', ' ')                 AS name_trim,
        length(c_name)                                  AS name_len,
        substring(c_name, 1, 8)                         AS name_prefix,
        concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
@@ -569,7 +569,8 @@ def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        CASE WHEN json_valid(props)
             THEN json_extract_string(props, '$.k') END AS k_tuple,
-       CASE WHEN props IS NULL OR trim(props) = '' THEN NULL
+       CASE WHEN props IS NULL
+              OR trim(props, ' ' || chr(9) || chr(10) || chr(13)) = '' THEN NULL
             WHEN NOT json_valid(props) THEN '{}'
             WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                  AND TRY_CAST(props::JSON ->> 'k' AS BIGINT) IS NOT NULL

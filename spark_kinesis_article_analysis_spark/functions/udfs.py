@@ -28,7 +28,7 @@ from spark_kinesis_article_analysis_spark.registry import register
     oracle="""
 WITH spans AS (
     SELECT doc_id,
-           list_filter(list_transform(string_split_regex(text, '[.!?]'), p -> trim(p)),
+           list_filter(list_transform(string_split_regex(text, '[.!?]'), p -> trim(p, ' ')),
                        p -> p <> '') AS sp
     FROM documents
 )
