@@ -386,10 +386,13 @@ SELECT
                ELSE s.c_acctbal END, 2) AS acctbal
 FROM customer s
 FULL OUTER JOIN changes c ON s.c_custkey = c.k
-WHERE NOT (c.op = 'D' AND s.c_custkey IS NOT NULL)      -- delete matched
-  AND NOT (c.op = 'D' AND s.c_custkey IS NULL)          -- delete unmatched: no-op row, drop
-  AND NOT (c.op = 'U' AND s.c_custkey IS NULL)          -- update unmatched: no-op row, drop
-  AND NOT (c.op = 'I' AND s.c_custkey IS NOT NULL)      -- insert matched: no-op row, drop
+WHERE c.op IS NULL                                      -- target row with no change: ride through
+   OR (c.op = 'U' AND s.c_custkey IS NOT NULL)          -- matched update
+   OR (c.op = 'I' AND s.c_custkey IS NULL)              -- unmatched insert
+-- everything else (delete matched/unmatched, update unmatched,
+-- insert matched) drops; positive form so op IS NULL never
+-- NULL-propagates a target row out (ADVICE r4 high: the NOT(...)
+-- chain silently deleted every customer without a change record)
 """,
     tags=("cdc", "merge", "upsert", "join"),
     doc=(
@@ -427,11 +430,16 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = s.join(changes, s["c_custkey"] == changes["k"], "full_outer")
     matched = s["c_custkey"].isNotNull()
     return (
+        # Positive-form keep predicate: op IS NULL (target row with no
+        # change record) must ride through unchanged. The previous
+        # NOT(op='X' AND ...) conjunction evaluated to NULL for those
+        # rows — silent data loss on any customer without a change
+        # record (ADVICE r4 high; masked at test SFs because every
+        # fixture customer has orders).
         merged.filter(
-            ~((F.col("op") == "D") & matched)
-            & ~((F.col("op") == "D") & ~matched)
-            & ~((F.col("op") == "U") & ~matched)
-            & ~((F.col("op") == "I") & matched)
+            F.col("op").isNull()
+            | ((F.col("op") == "U") & matched)
+            | ((F.col("op") == "I") & ~matched)
         )
         .select(
             F.coalesce(s["c_custkey"], F.col("k")).alias("c_custkey"),

@@ -186,29 +186,15 @@ _MODULE_ORDER: tuple[str, ...] = (
 #: anything that merely shares a module with other edits. Self-cleaning:
 #: once the driver re-verdicts one and its module is untouched since,
 #: the rank function classes it "unchanged" regardless of this set.
-#: Round-4 entries: quality.py's bigram-less LEFT JOIN parity rewrite;
-#: windows_time/corpus NULL-event-time rewrite (oracles now drop NULL ts
-#: exactly like Spark's window()/session_window()).
+#: Round-5 entries (the 15 round-4 names all re-verdicted clean in
+#: CORRECTNESS_r04 and self-cleaned out): the cdc_merge_upsert
+#: unmatched-target-row fix (ADVICE r4 high — semantics changed on BOTH
+#: sides) and the dedup_ngram_jaccard shingle-df cap (oracle mirrors the
+#: cap).
 _ORACLE_REWRITTEN: frozenset[str] = frozenset(
     {
-        "text_repetition_stats",
-        "corpus_ingest_batch_form",
-        "time_window_tumbling",
-        "time_window_session",
-        "time_window_json_events",
-        "window_session_dynamic_gap",
-        # r4c empty-corpus / hostile-TPC-H mirrors
-        "agg_rollup",
-        "agg_cube",
-        "agg_collect",
-        # r4c fuzz finds: deterministic argmin rewrite (semantics pinned
-        # on ties), variant cast-trim class
-        "agg_minmax_argminmax",
-        "scalar_variant_json",
-        "scalar_string_functions",
-        "scalar_math_functions",
-        "scalar_string_extended",
-        "scalar_regexp_misc",
+        "cdc_merge_upsert",
+        "dedup_ngram_jaccard",
     }
 )
 

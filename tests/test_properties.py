@@ -286,9 +286,11 @@ def test_registry_verdict_window_protects_changed_oracles():
     registration order."""
     from spark_kinesis_article_analysis_spark.registry import (
         _ORACLE_REWRITTEN,
+        _git_commit_ts,
         _verified_ts,
         all_specs,
     )
+    from spark_kinesis_article_analysis_spark import registry as _reg
 
     specs = list(all_specs())
     verified = _verified_ts()
@@ -298,6 +300,16 @@ def test_registry_verdict_window_protects_changed_oracles():
     )
     window = set(specs[:50])
     for name in _ORACLE_REWRITTEN:
+        # Self-cleaning exemption, mirroring rank(): once the driver
+        # re-verdicts a rewritten-oracle spec and its module is untouched
+        # since, the spec is "unchanged" and correctly rotates OUT of the
+        # window (VERDICT r4 found the prior version of this invariant
+        # inverted the moment CORRECTNESS_r04.json landed).
+        src = _reg._REGISTRY[name].src_file
+        src_ts = _git_commit_ts(src) if src else None
+        reverdicted = name in verified and (src_ts is None or src_ts <= verified[name])
+        if reverdicted:
+            continue
         assert name in window, f"{name} (rewritten oracle) fell out of the verdict window"
 
 
@@ -466,8 +478,67 @@ class TestScaleOpsProperties:
             if k in snap:
                 assert merged[k][1] == round(snap[k][1] + amt, 2), k
         untouched = set(snap) - deletes - set(updates)
+        # On the fixture corpus every customer has orders, so this loop
+        # can be empty — the synthetic-snapshot test below is the one
+        # that always exercises ride-through (ADVICE r4).
         for k in list(untouched)[:50]:
             assert merged[k] == (snap[k][0], round(snap[k][1], 2)), k
+
+    def test_cdc_merge_untouched_rows_ride_through(self, spark):
+        """A target row with NO change record must survive the MERGE
+        unchanged. ADVICE r4 (high): the NOT(op='X' AND ...) filter
+        chain NULL-propagated exactly these rows out — silent data loss
+        on both engines, so oracle parity could never catch it. This
+        synthetic snapshot guarantees an orderless customer exists."""
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+
+        with tempfile.TemporaryDirectory() as d:
+            # customers 1..5; customer 5 has NO orders → no change record
+            pq.write_table(
+                pa.table(
+                    {
+                        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                        "c_name": pa.array([f"Customer#{k}" for k in range(1, 6)]),
+                        "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+                    }
+                ),
+                os.path.join(d, "customer.parquet"),
+            )
+            # orders: cust 1 → 7 orders (n%7==0 → D); cust 2 → 11 orders
+            # (U, and n%11==0 → also insert key -2); cust 3 → 2 orders
+            # (U); cust 4 → 1 order (U); cust 5 → none (untouched).
+            okeys, oprices = [], []
+            for k, n in ((1, 7), (2, 11), (3, 2), (4, 1)):
+                okeys += [k] * n
+                oprices += [100.0] * n
+            pq.write_table(
+                pa.table(
+                    {
+                        "o_custkey": pa.array(okeys, pa.int64()),
+                        "o_totalprice": pa.array(oprices),
+                    }
+                ),
+                os.path.join(d, "orders.parquet"),
+            )
+            merged = {
+                r.c_custkey: (r.c_name, r.acctbal)
+                for r in all_specs()["cdc_merge_upsert"].build(spark, d).collect()
+            }
+        assert 1 not in merged, "matched delete must remove the row"
+        assert merged[2] == ("Customer#2", 20.0 + 1100.0)
+        assert merged[3] == ("Customer#3", 30.0 + 200.0)
+        assert merged[4] == ("Customer#4", 40.0 + 100.0)
+        assert merged[-2] == ("new--2", 1100.0), "unmatched insert"
+        assert merged[5] == ("Customer#5", 50.0), (
+            "orderless customer must ride through the MERGE unchanged"
+        )
+        assert len(merged) == 5
 
     def test_random_projection_recovers_matrix_on_basis_vectors(self, spark):
         """Projecting the standard basis e_j must return column j of the
