@@ -98,14 +98,27 @@ _SHINGLE_SQL = """
 """
 
 
+#: Stop-shingle cap: a shingle appearing in more than this many documents
+#: is boilerplate (carries ~zero Jaccard information) and would contribute
+#: O(df²) pair rows to the shared-shingle self-join — the one quadratic
+#: blowup in the exact pipeline. Dropped from the shingle universe on BOTH
+#: engines, so sizes and intersections stay mutually consistent. Fixture
+#: max df is 25 at sf0.1, so the fixture result is row-identical with or
+#: without the cap (asserted in tests); at 100 TB the cap turns a corpus-
+#: hot shingle from a k² straggler into a dropped row.
+MAX_SHINGLE_DF = 128
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH shingled AS ({_SHINGLE_SQL}),
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+hot AS (SELECT shingle FROM shingled GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_DF}),
+kept AS (SELECT s.* FROM shingled s ANTI JOIN hot h ON s.shingle = h.shingle),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -117,14 +130,23 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
 """,
     tags=("dedup", "jaccard", "ngram", "north-star"),
     doc=(
-        "Exact word-3-gram Jaccard near-dup pairs (threshold 0.1): shingle "
-        "explode -> shared-shingle self-join -> |A∩B| / |A∪B| from the "
-        "inclusion-exclusion identity."
+        "Exact word-3-gram Jaccard near-dup pairs (threshold 0.1) over the "
+        "df-capped shingle universe: shingle explode -> drop stop-shingles "
+        "with document frequency > MAX_SHINGLE_DF (broadcast anti-join; the "
+        "hot list is tiny by construction) -> shared-shingle self-join -> "
+        "|A∩B| / |A∪B| from the inclusion-exclusion identity."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d, 3)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
