@@ -163,7 +163,12 @@ def _read_record_batches(
 
     for _, seq, key, data in _read_lines(file_path, shard_id, start, end):
         seqs.append(seq)
-        keys.append(key)
+        # A malformed envelope can carry a non-string partitionKey (e.g.
+        # a JSON number); pa.array(..., pa.string()) would then throw and
+        # fail the whole shard scan, where the per-row tuple path
+        # tolerated it (ADVICE r4). Coerce — one bad envelope stays one
+        # odd row.
+        keys.append(None if key is None else str(key))
         datas.append(data)
         if len(seqs) >= _ARROW_BATCH_ROWS:
             yield flush()

@@ -627,3 +627,31 @@ class TestReviewHardening:
         assert os.listdir(os.path.join(d, "_staging")) == []
         rows = registered.read.format("article_replay").option("path", d).load().collect()
         assert [r.partition_key for r in rows] == ["p1"]  # orphan never appended
+
+
+class TestMalformedEnvelope:
+    def test_numeric_partition_key_survives_arrow_read(self, registered, tmp_path):
+        """A malformed envelope whose partitionKey is a JSON number must
+        not fail the shard scan: the Arrow read path coerces it to its
+        string rendering (ADVICE r4 — pa.array(keys, pa.string()) threw
+        TypeError, failing the whole shard where the old per-row tuple
+        path tolerated the row)."""
+        d = str(tmp_path / "archive")
+        write_archive(
+            d,
+            {
+                "shard-000": [
+                    _env("a1", "alice", "2024-01-01 00:00:30"),
+                    {"partitionKey": 42, "data": json.dumps({"article_id": "a2"})},
+                    {"partitionKey": None, "data": json.dumps({"article_id": "a3"})},
+                ]
+            },
+        )
+        rows = (
+            registered.read.format("article_replay")
+            .option("path", d)
+            .load()
+            .orderBy("sequence_number")
+            .collect()
+        )
+        assert [r.partition_key for r in rows] == ["a1", "42", None]
