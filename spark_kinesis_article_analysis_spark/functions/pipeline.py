@@ -329,6 +329,71 @@ def quality_gate_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _propagate_labels(nodes: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Min-label propagation over the implicit doc graph whose edges link
+    rows sharing ``fp`` or ``ph``, accelerated with pointer jumping.
+
+    Per round: (a) hash-to-min — each key group broadcasts its min label
+    (two keyed aggs + joins); (b) pointer jump — a label IS a doc_id, so
+    chase it one hop through the (doc_id -> label) mapping and take the
+    min. Step (b) roughly halves the remaining chain length each round,
+    so convergence is O(log diameter) rounds instead of O(diameter) —
+    the difference between ~8 and ~200 shuffles on a 100 TB corpus with
+    long boilerplate chains. Labels are always doc_ids within the same
+    component (mins over component members only), so the fixpoint is
+    unchanged from plain propagation: every doc labeled with its
+    component's min doc_id.
+
+    ``nodes``: columns (doc_id, fp, ph, label), label pre-seeded to
+    doc_id. Raises loudly if ``max_rounds`` is hit — with pointer
+    jumping that means diameter ~2^max_rounds, i.e. something is wrong.
+    """
+    nodes = nodes.localCheckpoint(eager=True)
+    # Convergence probe: labels only ever decrease (least of mins), so the
+    # label sum is strictly decreasing until the fixpoint — comparing sums
+    # costs one scalar agg per round instead of a join against the
+    # previous state.
+    prev_sum = None
+    converged = False
+    for _ in range(max_rounds):
+        m1 = nodes.groupBy("fp").agg(F.min("label").alias("l1"))
+        m2 = nodes.groupBy("ph").agg(F.min("label").alias("l2"))
+        hashed = (
+            nodes.join(m1, "fp")
+            .join(m2, "ph")
+            .select("doc_id", "fp", "ph", F.least("label", "l1", "l2").alias("label"))
+        )
+        # pointer jump: label -> (that doc's current label); left join —
+        # the mapping is total over doc_ids, but stay NULL-safe anyway.
+        chase = hashed.select(F.col("doc_id").alias("jl"), F.col("label").alias("jll"))
+        nodes = (
+            hashed.join(chase, hashed["label"] == chase["jl"], "left")
+            .select(
+                "doc_id",
+                "fp",
+                "ph",
+                F.least("label", F.coalesce("jll", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        label_sum = nodes.agg(F.sum("label")).collect()[0][0]
+        if label_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = label_sum
+    if not converged:
+        # loud beats wrong: a silent exit here would return multiple
+        # component ids for one true component
+        raise RuntimeError(
+            "dedup_cluster_components: label propagation did not converge "
+            f"within max_rounds={max_rounds} (duplicate-graph diameter "
+            f"~2^{max_rounds} with pointer jumping — pass a larger "
+            "max_rounds for this corpus)"
+        )
+    return nodes
+
+
+
 @register(
     "dedup_cluster_components",
     oracle="""
@@ -360,9 +425,10 @@ FROM comp
         "Duplicate-cluster discovery: connected components over the graph whose "
         "edges link docs sharing either dedup key (full-content fingerprint OR "
         "64-char prefix hash), so transitive chains collapse into one cluster. "
-        "Spark side: min-label propagation — per round, a min() per key group "
-        "joined back (two keyed aggs + one join per round, iterations bounded "
-        "by graph diameter). Oracle: DuckDB recursive CTE closure."
+        "Spark side: min-label propagation with pointer jumping — per round, "
+        "a min() per key group joined back, then one label-chase hop, so "
+        "rounds are O(log diameter), not O(diameter). Oracle: DuckDB "
+        "recursive CTE closure."
     ),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,37 +445,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
         F.md5(F.substring(norm_text, 1, 64)).alias("ph"),
         F.col("doc_id").alias("label"),
-    ).localCheckpoint(eager=True)
-    # Convergence probe: labels only ever decrease (least of mins), so the
-    # label sum is strictly decreasing until the fixpoint — comparing sums
-    # costs one scalar agg per round instead of a join against the
-    # previous state.
-    prev_sum = None
-    converged = False
-    for _ in range(50):
-        m1 = nodes.groupBy("fp").agg(F.min("label").alias("l1"))
-        m2 = nodes.groupBy("ph").agg(F.min("label").alias("l2"))
-        nodes = (
-            nodes.join(m1, "fp")
-            .join(m2, "ph")
-            .select("doc_id", "fp", "ph", F.least("label", "l1", "l2").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        label_sum = nodes.agg(F.sum("label")).collect()[0][0]
-        if label_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = label_sum
-    if not converged:
-        # loud beats wrong: a silent exit here would return multiple
-        # component ids for one true component (duplicate-cluster graphs
-        # with diameter > rounds — pathological, but detectable for free)
-        raise RuntimeError(
-            "dedup_cluster_components: label propagation did not converge "
-            "within 50 rounds (duplicate-graph diameter exceeds the "
-            "iteration budget); raise the round cap for this corpus"
-        )
-    comp = nodes.select("doc_id", F.col("label").alias("component_id"))
+    )
+    comp = _propagate_labels(nodes).select("doc_id", F.col("label").alias("component_id"))
     return comp.withColumn(
         "component_size", F.count("*").over(W.partitionBy("component_id"))
     )

@@ -945,3 +945,53 @@ class TestShingleDfCap:
         )
         got = all_specs()["dedup_ngram_jaccard"].build(spark, str(tmp_path)).collect()
         assert got == []
+
+
+class TestComponentPointerJumping:
+    """_propagate_labels converges in O(log diameter) rounds, so a
+    100+-link duplicate chain (alternating fp/ph edges — the shape a
+    boilerplate template family produces at corpus scale) resolves well
+    inside the default round budget (VERDICT r4 watch item)."""
+
+    def _chain(self, spark, n):
+        # doc i shares fp with its even-pair neighbor and ph with its odd
+        # one: 0-1 via f0, 1-2 via p1, 2-3 via f1, ... — one component of
+        # diameter n.
+        rows = [(i, f"f{i // 2}", f"p{(i + 1) // 2}", i) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "doc_id long, fp string, ph string, label long"
+        )
+
+    def test_200_link_chain_converges_to_one_component(self, spark):
+        from spark_kinesis_article_analysis_spark.functions.pipeline import (
+            _propagate_labels,
+        )
+
+        n = 200
+        got = _propagate_labels(self._chain(spark, n), max_rounds=15).collect()
+        assert len(got) == n
+        assert {r.label for r in got} == {0}, "one chain must collapse to doc 0"
+
+    def test_round_cap_failure_is_loud_and_names_the_parameter(self, spark):
+        import pytest as _pytest
+
+        from spark_kinesis_article_analysis_spark.functions.pipeline import (
+            _propagate_labels,
+        )
+
+        with _pytest.raises(RuntimeError, match="max_rounds=1"):
+            _propagate_labels(self._chain(spark, 64), max_rounds=1)
+
+    def test_two_components_stay_separate(self, spark):
+        from spark_kinesis_article_analysis_spark.functions.pipeline import (
+            _propagate_labels,
+        )
+
+        a = [(i, f"f{i // 2}", f"p{(i + 1) // 2}", i) for i in range(50)]
+        b = [(100 + i, f"F{i // 2}", f"P{(i + 1) // 2}", 100 + i) for i in range(50)]
+        nodes = spark.createDataFrame(
+            a + b, "doc_id long, fp string, ph string, label long"
+        )
+        got = {r.doc_id: r.label for r in _propagate_labels(nodes, max_rounds=15).collect()}
+        assert all(got[i] == 0 for i in range(50))
+        assert all(got[100 + i] == 100 for i in range(50))
