@@ -80,6 +80,11 @@ HEADLINE = [
     "layout_zorder_cluster",      # stats broadcast + interleave + bucket agg
     "cluster_kmeans_portable",    # value-hash-verified Lloyd round (ordered folds)
     "scalar_variant_json",        # VARIANT parse family (heaviest unbenched scalar)
+    # round-5 breadth: the remaining warm-sweep heavies (VERDICT r4 #5)
+    "cluster_kmeans_lloyd",       # full iterative Lloyd (heaviest sweep entry)
+    "dedup_simhash",              # 32-bit per-token vote aggregation
+    "dedup_minhash_lsh_portable", # md5-portable banded LSH end-to-end
+    "agg_bitmap_distinct",        # bitmap-bucketed exact distinct counting
 ]
 
 

@@ -140,19 +140,38 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = _shingles(d, 3)
-    hot = (
+    # ONE shuffle on shingle builds the inverted index; the df cap is a
+    # free filter on posting-list size, and pairs expand intra-group with
+    # the same higher-order combination expression the LSH family uses —
+    # no shingle self-join (which would scan+explode the corpus twice AND
+    # shuffle both sides). Pair expansion per shingle is bounded by
+    # MAX_SHINGLE_DF²/2 elements, so no group can straggle.
+    groups = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= MAX_SHINGLE_DF)
+        .persist()  # consumed twice (sizes + pairs); posting lists are
+        # df-capped so the index is far smaller than the corpus scan +
+        # explode it replaces
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sizes = (
+        groups.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    pair_list = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode(pair_list).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.alias("sa")

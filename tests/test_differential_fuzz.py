@@ -480,3 +480,197 @@ class TestDedupFuzz:
             "corpus_mixture_resample",
         ):
             _assert_parity(spark, name, sf, "documents")
+
+
+# -- multi-table join/subquery fuzz -----------------------------------------
+# The join specs were verified on the fixture corpus where FKs are clean;
+# this family generates the dirty shapes real CDC feeds produce: NULL join
+# keys, dangling FKs, orderless customers, duplicate keys on both sides,
+# and NULLs inside a NOT IN subquery (null-aware anti join semantics).
+
+_join_order_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),            # o_custkey: 0 dangles, NULLs
+        st.sampled_from(["O", "F", None]),                  # o_orderstatus
+        st.one_of(
+            st.none(), st.sampled_from([0.0, 7.25, 150000.0, 150000.0])
+        ),                                                  # price: spans the semi-join threshold
+        st.one_of(st.none(), st.integers(0, 3)),            # orderdate day offset
+    ),
+    min_size=0,
+    max_size=15,
+)
+_supp_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.just("Supplier#A")),        # s_name
+        st.one_of(st.none(), st.integers(0, 3)),            # s_nationkey (NULL vs NOT IN!)
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _write_supplier(d, rows) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(1, 1 + len(rows)), pa.int64()),
+                "s_name": pa.array([n for n, _ in rows], pa.string()),
+                "s_nationkey": pa.array([k for _, k in rows], pa.int32()),
+            }
+        ),
+        d / "supplier.parquet",
+    )
+    return str(d)
+
+
+def _write_dims(d) -> None:
+    """Fixed tiny nation/region dims: nations 0..3 over 2 regions, ASIA
+    present (the multiway-star filter) plus one NULL-keyed nation row."""
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+                "n_name": pa.array(["CHINA", "JAPAN", "FRANCE", None], pa.string()),
+                "n_regionkey": pa.array([0, 0, 1, None], pa.int32()),
+            }
+        ),
+        d / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1], pa.int32()),
+                "r_name": pa.array(["ASIA", "EUROPE"], pa.string()),
+            }
+        ),
+        d / "region.parquet",
+    )
+
+
+class TestJoinSubqueryFuzz:
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_cust_rows, _join_order_rows, _supp_rows, _li_rows)
+    def test_join_family_parity_on_dirty_fk_graphs(
+        self, spark, tmp_path_factory, cust, orders, supp, li
+    ):
+        """Inner/outer/semi/anti joins, the 5-way star, and all three
+        subquery forms over a generated mini-TPC-H with dirty foreign
+        keys. The NOT IN spec is the sharpest edge: one NULL c_nationkey
+        in the subquery must empty the whole result on both engines."""
+        d = tmp_path_factory.mktemp("fuzz_join")
+        _write_customers(d, cust)
+        _write_orders(d, orders)
+        _write_supplier(d, supp)
+        _write_lineitem(d, li)
+        _write_dims(d)
+        sf = str(d)
+        con = duckdb.connect()
+        for t in ("customer", "orders", "supplier", "lineitem", "nation", "region"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        for name in (
+            "join_broadcast_dim",
+            "join_left_outer",
+            "join_full_outer",
+            "join_semi",
+            "join_anti",
+            "join_multiway_star",
+            "subquery_scalar_correlated",
+            "subquery_in_exists",
+            "subquery_not_in",
+        ):
+            spec = all_specs()[name]
+            got = _normalize(spec.build(spark, sf).toPandas())
+            want = _normalize(con.sql(spec.oracle).df())
+            assert list(got.columns) == list(want.columns), name
+            assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False, check_exact=True, obj=name
+            )
+
+
+# -- replay-source fuzz: batch read vs streaming accumulation ---------------
+# Two independent code paths over the same archive — the batch reader
+# (one partition per shard, Arrow RecordBatch yields) and the streaming
+# reader (offset protocol, per-shard micro-batches). They must deliver
+# the identical multiset of rows for ANY archive: odd shard counts,
+# empty shards, hostile payloads (unicode, missing data, base64 binary,
+# non-string partitionKeys).
+
+_payloads = st.one_of(
+    st.none(),
+    st.just(""),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\x00", max_codepoint=0x2FFF
+        ),
+        max_size=40,
+    ),
+)
+_pkeys = st.one_of(
+    st.none(),
+    st.integers(-5, 5),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=8
+    ),
+)
+_archive_shape = st.lists(  # one entry per shard: list of envelopes
+    st.lists(st.tuples(_pkeys, _payloads), min_size=0, max_size=6),
+    min_size=1,
+    max_size=4,
+)
+
+
+class TestReplaySourceFuzz:
+    @settings(
+        max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_archive_shape)
+    def test_batch_and_stream_reads_agree_on_random_archives(
+        self, spark, tmp_path_factory, shards
+    ):
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            ArticleReplayDataSource,
+            write_archive,
+        )
+
+        spark.dataSource.register(ArticleReplayDataSource)
+        d = str(tmp_path_factory.mktemp("fuzz_replay") / "archive")
+        write_archive(
+            d,
+            {
+                f"shard-{i:03d}": [
+                    {"partitionKey": pk, "data": data} for pk, data in envs
+                ]
+                for i, envs in enumerate(shards)
+            },
+        )
+
+        def key(r):
+            return (r.shard_id, r.sequence_number, r.partition_key, r.data)
+
+        batch = sorted(
+            key(r)
+            for r in spark.read.format("article_replay").option("path", d).load().collect()
+        )
+        name = f"replay_fuzz_{abs(hash(str(shards))) % 10**9}"
+        q = (
+            spark.readStream.format("article_replay")
+            .option("path", d)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            stream = sorted(key(r) for r in spark.sql(f"SELECT * FROM {name}").collect())
+        finally:
+            q.stop()
+        assert batch == stream
