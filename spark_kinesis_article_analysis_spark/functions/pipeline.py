@@ -329,17 +329,24 @@ def quality_gate_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _propagate_labels(nodes: DataFrame, max_rounds: int = 50) -> DataFrame:
+def _propagate_labels(
+    nodes: DataFrame, max_rounds: int = 50, jump_after: int = 3
+) -> DataFrame:
     """Min-label propagation over the implicit doc graph whose edges link
-    rows sharing ``fp`` or ``ph``, accelerated with pointer jumping.
+    rows sharing ``fp`` or ``ph``, with adaptive pointer jumping.
 
     Per round: (a) hash-to-min — each key group broadcasts its min label
-    (two keyed aggs + joins); (b) pointer jump — a label IS a doc_id, so
-    chase it one hop through the (doc_id -> label) mapping and take the
-    min. Step (b) roughly halves the remaining chain length each round,
-    so convergence is O(log diameter) rounds instead of O(diameter) —
-    the difference between ~8 and ~200 shuffles on a 100 TB corpus with
-    long boilerplate chains. Labels are always doc_ids within the same
+    (two keyed aggs + joins); (b) from round ``jump_after`` on, a pointer
+    jump — a label IS a doc_id, so chase it one hop through the
+    (doc_id -> label) mapping and take the min. Step (b) roughly halves
+    the remaining chain length each round, so a long-diameter graph
+    converges in O(jump_after + log diameter) rounds instead of
+    O(diameter) — the difference between ~10 and ~200 shuffles on a
+    100 TB corpus with long boilerplate chains. The jump is deferred
+    because a typical duplicate graph (star-shaped clusters, diameter
+    ≤ 3) converges before it would ever help — paying the extra chase
+    join per round tripled the fixture wall time when it ran
+    unconditionally. Labels are always doc_ids within the same
     component (mins over component members only), so the fixpoint is
     unchanged from plain propagation: every doc labeled with its
     component's min doc_id.
@@ -355,7 +362,7 @@ def _propagate_labels(nodes: DataFrame, max_rounds: int = 50) -> DataFrame:
     # previous state.
     prev_sum = None
     converged = False
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         m1 = nodes.groupBy("fp").agg(F.min("label").alias("l1"))
         m2 = nodes.groupBy("ph").agg(F.min("label").alias("l2"))
         hashed = (
@@ -363,19 +370,20 @@ def _propagate_labels(nodes: DataFrame, max_rounds: int = 50) -> DataFrame:
             .join(m2, "ph")
             .select("doc_id", "fp", "ph", F.least("label", "l1", "l2").alias("label"))
         )
-        # pointer jump: label -> (that doc's current label); left join —
-        # the mapping is total over doc_ids, but stay NULL-safe anyway.
-        chase = hashed.select(F.col("doc_id").alias("jl"), F.col("label").alias("jll"))
-        nodes = (
-            hashed.join(chase, hashed["label"] == chase["jl"], "left")
-            .select(
+        if rnd >= jump_after:
+            # pointer jump: label -> (that doc's current label); left
+            # join — the mapping is total over doc_ids, but stay
+            # NULL-safe anyway.
+            chase = hashed.select(
+                F.col("doc_id").alias("jl"), F.col("label").alias("jll")
+            )
+            hashed = hashed.join(chase, hashed["label"] == chase["jl"], "left").select(
                 "doc_id",
                 "fp",
                 "ph",
                 F.least("label", F.coalesce("jll", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
-        )
+        nodes = hashed.localCheckpoint(eager=True)
         label_sum = nodes.agg(F.sum("label")).collect()[0][0]
         if label_sum == prev_sum:
             converged = True
