@@ -327,12 +327,17 @@ corpus AS (
     SELECT DISTINCT md5(text) AS text_hash FROM documents
     WHERE {BUCKET_SQL} < '{TRAIN_MAX}'
 )
-SELECT text_hash,
-       min(doc_id)           AS doc_id,
-       arg_min(lang, doc_id) AS lang
-FROM batch b
-WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text_hash = b.text_hash)
-GROUP BY text_hash
+SELECT text_hash, doc_id, lang FROM (
+    SELECT text_hash, doc_id, lang,
+           row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text_hash = b.text_hash)
+) WHERE rn = 1
+-- row_number, NOT arg_min(lang, doc_id): DuckDB's arg_min SKIPS rows
+-- whose arg is NULL, so a first-occurrence survivor with NULL lang
+-- reported the lang of a LATER duplicate — diverging from Spark's
+-- min(struct(doc_id, lang)), which keeps the true first row
+-- (fuzz-found on an all-NULL-text corpus with mixed langs)
 """,
     tags=("dedup", "incremental", "north-star"),
     doc=(

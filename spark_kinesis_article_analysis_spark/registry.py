@@ -195,6 +195,9 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
     {
         "cdc_merge_upsert",
         "dedup_ngram_jaccard",
+        # r5 fuzz find: DuckDB arg_min skips NULL args — first-occurrence
+        # oracle rewritten as a row_number window
+        "dedup_incremental_batch",
     }
 )
 

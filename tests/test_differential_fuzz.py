@@ -91,13 +91,14 @@ def _write_events(d, rows) -> str:
     return str(d)
 
 
-def _assert_parity(spark, name: str, sf_dir: str, table: str) -> None:
+def _assert_parity(spark, name: str, sf_dir: str, table) -> None:
     spec = all_specs()[name]
     got = _normalize(spec.build(spark, sf_dir).toPandas())
     con = duckdb.connect()
-    con.sql(
-        f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
-    )
+    for t in (table,) if isinstance(table, str) else table:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
     want = _normalize(con.sql(spec.oracle).df())
     assert list(got.columns) == list(want.columns), name
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
@@ -261,6 +262,7 @@ class TestRelationalFuzz:
         sf = _write_orders(d, rows)
         for name in (
             "agg_minmax_argminmax",
+            "dedup_keep_latest",
             "agg_cube",
             "scalar_date_arithmetic",
             "scalar_bitwise",
@@ -322,6 +324,15 @@ class TestEmbeddingFuzz:
             "embed_quantize_int8",
             "sim_cosine_topk",
             "cluster_kmeans_portable",
+            # r5: the rest of the oracle-backed similarity surface — all
+            # in the round-5 driver verdict window, so any divergence the
+            # fuzzer finds here is one the driver would find later
+            "sim_ivf_topk",
+            "sim_lsh_buckets",
+            "sim_lsh_buckets_portable",
+            "sim_quantized_topk",
+            "embed_centroid_per_label",
+            "udf_pandas_vector_norm",
         ):
             _assert_parity(spark, name, str(d), "embeddings")
 
@@ -674,3 +685,37 @@ class TestReplaySourceFuzz:
         finally:
             q.stop()
         assert batch == stream
+
+
+class TestCorpusQualityFuzz:
+    @settings(
+        max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_doc_rows)
+    def test_corpus_prep_family_parity_on_random_corpora(
+        self, spark, tmp_path_factory, rows
+    ):
+        """The corpus-prep surface in the round-5 verdict window that no
+        fuzz family covered yet: keep-latest/incremental/bloom dedup
+        forms, quality gates (percentile interpolation over tied tiny
+        corpora!), hash splitting, sequence packing, PII scrubbing, and
+        the composed end-to-end pipeline."""
+        d = tmp_path_factory.mktemp("fuzz_corpus")
+        sf = _write_docs(d, rows)
+        # text_pii_scrub joins a small customer dim for its name
+        # dictionary — fixed rows, the fuzz surface is the documents side
+        _write_customers(d, [("Customer#1", "BUILDING", 0.0, 1), (None, None, None, None)])
+        for name in (
+            "dedup_incremental_batch",
+            "dedup_bloom_prefilter",
+            "text_quality_score",
+            "text_top_bigrams",
+            "text_chunk_sliding",
+            "split_hash_assign",
+            "quality_percentile_gate",
+            "quality_gate_sharded",
+            "pack_sequences_bounded",
+            "corpus_prep_end_to_end",
+        ):
+            _assert_parity(spark, name, sf, "documents")
+        _assert_parity(spark, "text_pii_scrub", sf, ("documents", "customer"))
