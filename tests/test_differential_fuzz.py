@@ -719,3 +719,94 @@ class TestCorpusQualityFuzz:
         ):
             _assert_parity(spark, name, sf, "documents")
         _assert_parity(spark, "text_pii_scrub", sf, ("documents", "customer"))
+
+
+# -- streaming batch-twin fuzz ----------------------------------------------
+# The unification property (same transform, same rows => same result in
+# batch and streaming) was verified on hand-picked articles; this
+# generates the corpus: hostile author strings, odd-whitespace content,
+# missing fields, NULL-parse timestamps — arrival-ordered so watermark
+# drops cannot diverge the comparison, with a far-future closer so every
+# fuzzed window is emitted.
+
+_authors = st.sampled_from(["alice", "bob", "", "żóła", None])
+_contents = st.sampled_from(
+    ["w1 w2 w3", "", "  ", "a\tb\nc", "x", "é ü ö", None]
+)
+_article_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3600),  # publish offset seconds (sorted before batching)
+        _authors,
+        _contents,
+        st.booleans(),  # drop the content key entirely (from_json NULL)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+class TestStreamingTwinFuzz:
+    @settings(
+        max_examples=4, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_article_rows)
+    def test_stream_emits_exactly_the_batch_windows(
+        self, spark, tmp_path_factory, rows
+    ):
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        def art(i, off, author, content, drop_content):
+            a = {
+                "article_id": f"a{i}",
+                "title": f"t{i}",
+                "author": author,
+                "publish_date": f"2024-01-01 00:{off // 60:02d}:{off % 60:02d}",
+            }
+            if not drop_content:
+                a["content"] = content
+            return a
+
+        ordered = sorted(enumerate(rows), key=lambda x: x[1][0])
+        arts = [art(i, *r) for i, r in ordered]
+        closer = {
+            "article_id": "zz",
+            "title": "closer",
+            "author": "zz_closer",
+            "publish_date": "2024-01-01 09:00:00",
+            "content": "c",
+        }
+        payload_dir = str(tmp_path_factory.mktemp("fuzz_stream") / "payload")
+        chunks = [arts[i : i + 3] for i in range(0, len(arts), 3)] + [[closer]]
+        for idx, chunk in enumerate(chunks):
+            spark.createDataFrame(
+                [(json.dumps(a),) for a in chunk], sp.PAYLOAD_SCHEMA
+            ).coalesce(1).write.mode("append" if idx else "overwrite").parquet(
+                payload_dir
+            )
+
+        name = f"twin_fuzz_{abs(hash(str(rows))) % 10**9}"
+        stream = sp.article_stream(
+            sp.payload_stream(spark, payload_dir), watermark="10 seconds"
+        )
+        q = sp.start_memory_sink(stream, name, "append")
+        q.processAllAvailable()
+        q.stop()
+        streamed = {
+            (str(r.window_start), r.author): r.average_word_count
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+        batch_df = sp.article_pipeline(
+            spark.createDataFrame(
+                [(json.dumps(a),) for a in arts + [closer]], sp.PAYLOAD_SCHEMA
+            )
+        )
+        batch = {
+            (str(r.window_start), r.author): r.average_word_count
+            for r in batch_df.collect()
+        }
+        # arrival-ordered input + far-future closer: the stream must emit
+        # EXACTLY the batch windows minus the closer's own (never-closed)
+        # windows, with identical aggregates.
+        expect = {k: v for k, v in batch.items() if k[1] != "zz_closer"}
+        assert streamed == expect

@@ -384,3 +384,24 @@ class TestScaleOpsPlanShape:
         df = SPECS["topk_per_group_sharded"].build(spark, SF_CORRECTNESS)
         plan = inspect.explain_str(df)
         assert "__salt" in plan and plan.count("hashpartitioning") == 2, plan
+
+
+class TestNgramJaccardPlanShape:
+    def test_inverted_index_form_no_self_join(self, spark):
+        """r5 rewrite: posting lists build with one groupBy-shingle, pairs
+        expand intra-group — the plan must contain NO join between two
+        shingle-exploded corpus scans (the old self-join re-derived the
+        explode per side) and NO cartesian product; the df-capped index
+        is cached (InMemoryRelation) so its two consumers share one
+        upstream scan+explode."""
+        df = SPECS["dedup_ngram_jaccard"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df, "simple")
+        assert "CartesianProduct" not in plan
+        assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, (
+            "capped posting-list index must be cached for its two consumers"
+        )
+        # joins in the plan are only the two doc-grain size lookups
+        # (simple mode prints each operator once, unlike formatted)
+        n_smj = plan.count("SortMergeJoin")
+        n_bhj = plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+        assert n_smj + n_bhj <= 2, plan
