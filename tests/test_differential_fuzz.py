@@ -52,6 +52,17 @@ _event_rows = st.lists(
 
 _BASE_US = 1_704_067_200_000_000
 
+# Deep-fuzz lever: SPARK_GRAFT_FUZZ_EXAMPLES multiplies every family's
+# example budget (default 1x = CI cost). A long background hunt runs
+# the same harnesses at 5-10x.
+import os as _os
+
+_FUZZ_SCALE = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "1"))
+
+
+def _ex(n: int) -> int:
+    return n * _FUZZ_SCALE
+
 
 def _write_docs(d, rows) -> str:
     pq.write_table(
@@ -159,7 +170,7 @@ _EVENT_SPECS = [
 
 class TestDifferentialFuzz:
     @settings(
-        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_doc_rows)
     def test_document_family_parity_on_random_corpora(self, spark, tmp_path_factory, rows):
@@ -169,7 +180,7 @@ class TestDifferentialFuzz:
             _assert_parity(spark, name, sf, "documents")
 
     @settings(
-        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_event_rows)
     def test_event_family_parity_on_random_corpora(self, spark, tmp_path_factory, rows):
@@ -179,7 +190,7 @@ class TestDifferentialFuzz:
             _assert_parity(spark, name, sf, "events")
 
     @settings(
-        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_props_rows)
     def test_json_family_parity_on_random_props(self, spark, tmp_path_factory, rows):
@@ -251,7 +262,7 @@ def _write_orders(d, rows) -> str:
 
 class TestRelationalFuzz:
     @settings(
-        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_order_rows)
     def test_aggregate_family_parity_on_tied_orders(self, spark, tmp_path_factory, rows):
@@ -292,7 +303,7 @@ _emb_rows = st.lists(
 
 class TestEmbeddingFuzz:
     @settings(
-        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_emb_rows)
     def test_embedding_family_parity_on_random_vectors(self, spark, tmp_path_factory, rows):
@@ -367,7 +378,7 @@ def _write_customers(d, rows) -> str:
 
 class TestWindowFuzz:
     @settings(
-        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_cust_rows)
     def test_window_family_parity_on_tied_customers(self, spark, tmp_path_factory, rows):
@@ -431,7 +442,7 @@ def _write_lineitem(d, rows) -> str:
 
 class TestLineitemFuzz:
     @settings(
-        max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_li_rows)
     def test_aggregate_parity_on_tied_lineitems(self, spark, tmp_path_factory, rows):
@@ -468,7 +479,7 @@ _dedup_rows = st.lists(
 
 class TestDedupFuzz:
     @settings(
-        max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(5), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_dedup_rows)
     def test_dedup_family_parity_on_collision_corpora(self, spark, tmp_path_factory, rows):
@@ -561,7 +572,7 @@ def _write_dims(d) -> None:
 
 class TestJoinSubqueryFuzz:
     @settings(
-        max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(6), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_cust_rows, _join_order_rows, _supp_rows, _li_rows)
     def test_join_family_parity_on_dirty_fk_graphs(
@@ -639,7 +650,7 @@ _archive_shape = st.lists(  # one entry per shard: list of envelopes
 
 class TestReplaySourceFuzz:
     @settings(
-        max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(5), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_archive_shape)
     def test_batch_and_stream_reads_agree_on_random_archives(
@@ -689,7 +700,7 @@ class TestReplaySourceFuzz:
 
 class TestCorpusQualityFuzz:
     @settings(
-        max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(5), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_doc_rows)
     def test_corpus_prep_family_parity_on_random_corpora(
@@ -747,7 +758,7 @@ _article_rows = st.lists(
 
 class TestStreamingTwinFuzz:
     @settings(
-        max_examples=4, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+        max_examples=_ex(4), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_article_rows)
     def test_stream_emits_exactly_the_batch_windows(
