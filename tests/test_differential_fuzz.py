@@ -727,6 +727,12 @@ class TestCorpusQualityFuzz:
             "quality_gate_sharded",
             "pack_sequences_bounded",
             "corpus_prep_end_to_end",
+            # Python-crossing window specs (Arrow-batched): binary
+            # metadata struct, UDTF spans, applyInPandas zscore (std of
+            # 1-row groups / NULL n_chars = the NaN frontier)
+            "multimodal_binary_metadata",
+            "udtf_sentence_spans",
+            "grouped_map_zscore",
         ):
             _assert_parity(spark, name, sf, "documents")
         _assert_parity(spark, "text_pii_scrub", sf, ("documents", "customer"))
@@ -767,11 +773,17 @@ class TestStreamingTwinFuzz:
         from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
 
         def art(i, off, author, content, drop_content):
+            # full h:m:s split — off=3600 as "00:60:00" is malformed and
+            # the pipeline's ANSI to_timestamp throws (by design, in both
+            # batch and streaming: the reference asserts a known-format
+            # producer; try_to_timestamp is the documented tolerant path)
             a = {
                 "article_id": f"a{i}",
                 "title": f"t{i}",
                 "author": author,
-                "publish_date": f"2024-01-01 00:{off // 60:02d}:{off % 60:02d}",
+                "publish_date": (
+                    f"2024-01-01 {off // 3600:02d}:{off % 3600 // 60:02d}:{off % 60:02d}"
+                ),
             }
             if not drop_content:
                 a["content"] = content
