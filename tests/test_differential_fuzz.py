@@ -344,6 +344,9 @@ class TestEmbeddingFuzz:
             "sim_quantized_topk",
             "embed_centroid_per_label",
             "udf_pandas_vector_norm",
+            # head of the round-5 verdict window: the r4 capped-LSH-block
+            # rewrite, exercised on NULL/zero/extreme vectors
+            "dedup_embedding_cosine",
         ):
             _assert_parity(spark, name, str(d), "embeddings")
 
