@@ -32,14 +32,20 @@ from spark_kinesis_article_analysis_spark.registry import register
 @register(
     "time_window_tumbling",
     oracle="""
-SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
-       make_timestamp((epoch_us(ts) // 300000000) * 300000000) + INTERVAL 5 MINUTE AS window_end,
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL 5 MINUTE AS window_end,
        event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS total_value
 FROM events
 WHERE ts IS NOT NULL
 GROUP BY window_start, window_end, event_type
+-- time_bucket, NOT (epoch_us // N) * N: DuckDB's integer // truncates
+-- toward zero, so a pre-1970 (negative-epoch) event rounded UP into the
+-- wrong bucket while Spark's window() floors (fuzz-found on an
+-- epoch-straddling fixture); time_bucket floors and its default origin
+-- (2000-01-03, epoch-multiple of every bucket width used here) keeps
+-- the epoch alignment window() uses
 """,
     tags=("time-window", "tumbling", "G2"),
     doc="5-minute tumbling window x event_type: count + sum.",
@@ -64,7 +70,7 @@ def time_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
     SELECT user_id, value,
-           make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS fl
+           time_bucket(INTERVAL '5 minutes', ts) AS fl  -- floors pre-1970 (// truncates)
     FROM events
 )
 SELECT ws AS window_start,
@@ -142,7 +148,7 @@ def time_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "time_window_json_events",
     oracle="""
-SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,  -- floors pre-1970 (// truncates)
        event_type,
        round(avg(CASE WHEN json_valid(props)
                        AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')

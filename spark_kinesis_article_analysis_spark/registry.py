@@ -198,6 +198,12 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # r5 fuzz find: DuckDB arg_min skips NULL args — first-occurrence
         # oracle rewritten as a row_number window
         "dedup_incremental_batch",
+        # r5 fuzz find: DuckDB integer // truncates toward zero, so
+        # pre-1970 events bucketed UP vs Spark window()'s floor —
+        # oracles rewritten with time_bucket
+        "time_window_tumbling",
+        "time_window_sliding",
+        "time_window_json_events",
     }
 )
 

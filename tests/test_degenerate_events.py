@@ -193,3 +193,54 @@ def null_ts_events_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", _events_only_specs())
 def test_event_parity_null_ts(spark, name, null_ts_events_dir):
     _compare(spark, name, null_ts_events_dir)
+
+
+class TestEpochStraddle:
+    def test_window_floors_match_on_pre_1970_events(self, spark, tmp_path):
+        """Pre-1970 event times have NEGATIVE epoch micros: Spark's
+        window() floors, but DuckDB's integer // truncates toward zero,
+        which bucketed 1969 rows UP into the epoch-zero window
+        (fuzz-found; oracles now use time_bucket). Pinned on a fixture
+        straddling the epoch."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+        from tests.oracle_harness import _normalize
+
+        ts = [-120_000_000, -30_000_000, 60_000_000, 3_600_000_000]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(4), pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+                    "event_type": pa.array(["view"] * 4),
+                    "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+                    "props": pa.array(['{"k": 7}'] * 4),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        for name in (
+            "time_window_tumbling",
+            "time_window_sliding",
+            "time_window_json_events",
+            "time_window_session",
+            "time_bucket_gapfill",
+            "time_rolling_interval_stats",
+            "window_cumulative_distinct",
+        ):
+            spec = all_specs()[name]
+            got = _normalize(spec.build(spark, str(tmp_path)).toPandas())
+            con = duckdb.connect()
+            con.sql(
+                f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+            )
+            want = _normalize(con.sql(spec.oracle).df())
+            assert len(got) == len(want), (name, len(got), len(want))
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False, check_exact=True, obj=name
+            )

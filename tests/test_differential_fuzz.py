@@ -41,7 +41,14 @@ _doc_rows = st.lists(
 )
 _event_rows = st.lists(
     st.tuples(
-        st.one_of(st.none(), st.integers(0, 86_400)),  # ts offset seconds
+        # ts offset seconds; the second band straddles the Unix epoch
+        # (ts in [-120 s, +120 s]) — negative epoch_us is where DuckDB's
+        # truncating // diverged from Spark window()'s floor (kill #11)
+        st.one_of(
+            st.none(),
+            st.integers(0, 86_400),
+            st.integers(-1_704_067_320, -1_704_067_080),
+        ),
         st.one_of(st.none(), st.integers(0, 5)),       # user_id
         st.sampled_from(["view", "click", None]),      # event_type
         st.floats(-10, 10, allow_nan=False),           # value
