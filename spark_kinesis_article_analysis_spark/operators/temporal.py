@@ -475,6 +475,7 @@ def densify_locf(
     step: str,
     zero_fill: dict | None = None,
     locf_cols: list[str] | None = None,
+    max_buckets: int = 2_000_000,
 ) -> DataFrame:
     """Densify a bucket-grain aggregate: emit EVERY ``step``-spaced
     bucket between each key's first and last observed bucket, zero-fill
@@ -498,13 +499,44 @@ def densify_locf(
     if not zero_fill and not locf_cols:
         raise ValueError("densify_locf needs at least one zero_fill or locf column")
     marked = agg.withColumn("__present", F.lit(True))
+    # Span guard: ONE corrupt far-future/past timestamp inflates a key's
+    # [lo, hi] range until the per-key sequence is no longer bucket-grain
+    # (a year-9999 event -> ~281M 15-min buckets) and the job dies inside
+    # sequence() with an anonymous UnsupportedOperationException. Fail
+    # loudly and name the key/span/knob instead. assert_true is threaded
+    # through the sequence's hi bound (when(guard.isNull(), hi)) so
+    # column pruning cannot optimize the check away; it costs nothing —
+    # it runs where the bounds are already computed, no extra job.
+    step_us = F.expr(f"unix_micros(timestamp_micros(0) + INTERVAL {step})")
+    n_buckets = (F.unix_micros(F.col("__hi")) - F.unix_micros(F.col("__lo"))) / step_us
+    guard = F.assert_true(
+        n_buckets < F.lit(max_buckets),
+        F.concat_ws(
+            " ",
+            F.lit(f"densify_locf: series span exceeds max_buckets={max_buckets};"),
+            F.lit("key="),
+            *[F.col(k).cast("string") for k in key_cols],
+            F.lit("lo="),
+            F.col("__lo").cast("string"),
+            F.lit("hi="),
+            F.col("__hi").cast("string"),
+            F.lit(
+                "— a corrupt timestamp inflates the densification range; "
+                "filter the feed or raise max_buckets"
+            ),
+        ),
+    )
     series = (
         agg.groupBy(*key_cols)
         .agg(F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi"))
         .select(
             *key_cols,
             F.explode(
-                F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+                F.sequence(
+                    "__lo",
+                    F.when(guard.isNull(), F.col("__hi")),
+                    F.expr(f"INTERVAL {step}"),
+                )
             ).alias(bucket_col),
         )
         .alias("s")

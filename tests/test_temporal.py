@@ -342,3 +342,43 @@ class TestDensifyLocf:
             # pid 1: backward -> nothing at-or-before; forward -> 12:00 row
             expect1 = None if direction == "backward" else 2.0
             assert out == {1: expect1, 2: None}, (direction, out)
+
+
+class TestDensifySpanGuard:
+    def test_corrupt_far_future_timestamp_fails_loudly(self, spark, tmp_path):
+        """One year-9999 event inflates the densification span to ~281M
+        15-minute buckets; instead of dying inside sequence() with an
+        anonymous UnsupportedOperationException, the span guard raises a
+        named error carrying the key, bounds, and the max_buckets knob."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+
+        ts = [60_000_000, 3_600_000_000, 253_402_300_799_000_000]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(3), pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array([1, 1, 2], pa.int64()),
+                    "event_type": pa.array(["view"] * 3),
+                    "value": pa.array([1.0, 2.0, 3.0]),
+                    "props": pa.array(["{}"] * 3),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        df = all_specs()["time_bucket_gapfill"].build(spark, str(tmp_path))
+        with _pytest.raises(Exception, match="max_buckets"):
+            df.write.format("noop").mode("overwrite").save()
+
+    def test_normal_span_passes_through_guard(self, spark):
+        """The guard must be invisible on sane data: the registered
+        gapfill still densifies the fixture corpus."""
+        from tests.conftest import SF_SMOKE
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+
+        n = all_specs()["time_bucket_gapfill"].build(spark, SF_SMOKE).count()
+        assert n > 0
