@@ -449,17 +449,33 @@ def interval_overlap_join(
     # explode a bin row per bin across the whole backwards span (correct
     # after the residual filter, but a job-killing blowup first).
     intervals = intervals.filter(F.col(end_ts) > F.col(start_ts))
+    start_bin = (F.unix_micros(F.col(start_ts)) / F.lit(width_us)).cast("long")
+    # last bin a half-open interval can touch: floor((end-1)/w)
+    end_bin = ((F.unix_micros(F.col(end_ts)) - F.lit(1)) / F.lit(width_us)).cast("long")
+    # Span guard (same class as densify_locf's): ONE corrupt far-future
+    # interval end explodes that row onto millions of bins — a silent
+    # straggler, worse than a crash. Fail loudly with the bounds and the
+    # knob; assert_true threads through the sequence's end bound so the
+    # check cannot be pruned and costs no extra job.
+    max_bins = 100_000
+    guard = F.assert_true(
+        end_bin - start_bin < F.lit(max_bins),
+        F.concat_ws(
+            " ",
+            F.lit(f"interval_overlap_join: interval spans more than {max_bins} bins;"),
+            F.lit("start="),
+            F.col(start_ts).cast("string"),
+            F.lit("end="),
+            F.col(end_ts).cast("string"),
+            F.lit(
+                "— a corrupt timestamp inflates the bin explode; filter "
+                "the feed or widen bin_width_secs"
+            ),
+        ),
+    )
     iv = intervals.withColumn(
         "__bin",
-        F.explode(
-            F.sequence(
-                (F.unix_micros(F.col(start_ts)) / F.lit(width_us)).cast("long"),
-                # last bin a half-open interval can touch: floor((end-1)/w)
-                (
-                    (F.unix_micros(F.col(end_ts)) - F.lit(1)) / F.lit(width_us)
-                ).cast("long"),
-            )
-        ),
+        F.explode(F.sequence(start_bin, F.when(guard.isNull(), end_bin))),
     )
     p = probe.withColumn(
         "__bin", (F.unix_micros(F.col(probe_ts)) / F.lit(width_us)).cast("long")

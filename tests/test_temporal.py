@@ -382,3 +382,29 @@ class TestDensifySpanGuard:
 
         n = all_specs()["time_bucket_gapfill"].build(spark, SF_SMOKE).count()
         assert n > 0
+
+    def test_interval_overlap_span_guard_fails_loudly(self, spark):
+        """A corrupt far-future interval end would explode one row onto
+        millions of bins (silent straggler); the span guard raises a
+        named error instead."""
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from spark_kinesis_article_analysis_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        probe = spark.createDataFrame([(1, 1_000_000)], "pid long, t long").select(
+            "pid", F.timestamp_micros("t").alias("ts")
+        )
+        iv = spark.createDataFrame(
+            [(1, 0, 253_402_300_799_000_000)], "iid long, s long, e long"
+        ).select(
+            "iid",
+            F.timestamp_micros("s").alias("start_ts"),
+            F.timestamp_micros("e").alias("end_ts"),
+        )
+        df = interval_overlap_join(probe, iv, "ts", "start_ts", "end_ts", 60.0)
+        with _pytest.raises(Exception, match="more than 100000 bins"):
+            df.write.format("noop").mode("overwrite").save()
