@@ -39,6 +39,10 @@ from pyspark.sql import functions as F
 from spark_kinesis_article_analysis_spark.catalog import load
 from spark_kinesis_article_analysis_spark.operators.skew import salted_join, two_phase_agg
 from spark_kinesis_article_analysis_spark.registry import register
+from spark_kinesis_article_analysis_spark.functions.similarity import (
+    VALID_OR_NULL_SQL,
+    valid_dim_or_null,
+)
 
 #: Segment-dedup geometry: words per segment. 3 gives a realistic
 #: duplicate rate (~19%) on the synthetic corpus's small vocabulary.
@@ -191,10 +195,11 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_quantize_int8",
-    oracle="""
+    oracle=f"""
 WITH b AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
     FROM embeddings
+    WHERE {VALID_OR_NULL_SQL}
 ),
 s AS (
     SELECT vec_id, e,
@@ -223,7 +228,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All arithmetic is Catalyst higher-order expressions over doubles
     (float→double widening is exact, fold order matches the oracle's
     list_transform/list_sum left-to-right order); zero shuffles."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(valid_dim_or_null())
     e = F.transform("embedding", lambda x: x.cast("double"))
     b = emb.select("vec_id", e.alias("e"))
     scale = (
@@ -265,6 +270,7 @@ QTOPK_K = 5
 WITH b AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
     FROM embeddings
+    WHERE {VALID_OR_NULL_SQL}
 ),
 qz AS (
     SELECT vec_id,
@@ -301,7 +307,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same plan shape as sim_cosine_topk (broadcast bounded query set,
     JVM higher-order dot, row_number top-k); the quantized form is what
     you'd actually ship to 100 TB ANN serving."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(valid_dim_or_null())
     e = F.transform("embedding", lambda x: x.cast("double"))
     b = emb.select("vec_id", e.alias("e"))
     scale = (

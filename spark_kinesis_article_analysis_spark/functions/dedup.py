@@ -586,9 +586,14 @@ def _embedding_cosine_pairs(emb_df: DataFrame) -> DataFrame:
     # short-circuits; a filter on nrm itself would re-inline the fold):
     # cosine is undefined for them and one all-zero embedding would
     # otherwise kill the job under ANSI mode. Oracle twin: NONZERO_SQL.
+    from spark_kinesis_article_analysis_spark.functions.similarity import EMB_DIM
+
     e = (
         emb_df.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-        .filter(F.exists("emb", lambda x: x != 0.0))
+        # schema-validity + zero-norm guard, mirroring NONZERO_SQL: a
+        # wrong-dim row would zip_with-truncate into a garbage cosine
+        # here and crash DuckDB's list_cosine_similarity in the oracle
+        .filter((F.size("emb") == EMB_DIM) & F.exists("emb", lambda x: x != 0.0))
         .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
     )
 

@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 from spark_kinesis_article_analysis_spark.catalog import load
 from spark_kinesis_article_analysis_spark.functions.similarity import EMB_DIM
 from spark_kinesis_article_analysis_spark.registry import register
+from spark_kinesis_article_analysis_spark.functions.similarity import (
+    VALID_DIM_SQL,
+    VALID_OR_NULL_SQL,
+    valid_dim_or_null,
+)
 
 # --------------------------------------------------------------------------
 # sample_hash_portable — reproducible content-addressed Bernoulli sampling
@@ -278,7 +283,7 @@ def _proj_oracle() -> str:
         + f", 6) AS proj_{k}"
         for k in range(PROJ_DIM)
     )
-    return f"SELECT vec_id, {cols} FROM embeddings"
+    return f"SELECT vec_id, {cols} FROM embeddings WHERE {VALID_OR_NULL_SQL}"
 
 
 @register(
@@ -300,7 +305,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     API per-element form was measured at ~2.6 s of driver-side plan
     construction). At 100 TB this is a scan-fused projection that cuts
     downstream ANN shuffle bytes 8x."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(valid_dim_or_null())
     exprs = []
     for k in range(PROJ_DIM):
         row = "array(" + ", ".join(f"{w!r}D" for w in _PROJ[k]) + ")"
@@ -576,7 +581,7 @@ def _kmeans_assign_sql(cents_cte: str, out: str) -> str:
     "cluster_kmeans_portable",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE embedding IS NOT NULL),
+           WHERE embedding IS NOT NULL AND {VALID_DIM_SQL}),
 c0 AS (SELECT vec_id AS cid, v AS cent FROM e WHERE vec_id < {KMEANS_K}),
 {_kmeans_assign_sql("c0", "a1")},
 pts AS (
@@ -621,7 +626,7 @@ def cluster_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posexplode drops it while the oracle's unnest NULLs the mean).
     e = (
         load(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM))
         .select("vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
     )
     cents = e.filter(F.col("vec_id") < KMEANS_K).select(

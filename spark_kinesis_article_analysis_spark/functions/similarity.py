@@ -44,6 +44,17 @@ LSH_BITS = 4
 #: Embedding dimensionality of the corpus (embeddings.parquet).
 EMB_DIM = 64
 
+#: Schema-validity guard (DuckDB twins of the Spark filters below): a
+#: 100 TB feed WILL contain corrupt rows whose array length is not
+#: EMB_DIM — truncated writes, concatenation bugs, empty lists. zip_with
+#: silently folds over the shorter length (garbage cosines, skewed
+#: centroids) and DuckDB's list_cosine_similarity throws outright, so
+#: every vector operator excludes wrong-dim rows up front. NULL
+#: embeddings keep their documented per-spec semantics (propagate or
+#: drop), hence the two flavors.
+VALID_DIM_SQL = f"len(embedding) = {EMB_DIM}"
+VALID_OR_NULL_SQL = f"(embedding IS NULL OR len(embedding) = {EMB_DIM})"
+
 
 def dot(x: Column, y: Column) -> Column:
     return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
@@ -53,14 +64,23 @@ def cosine(x: Column, y: Column) -> Column:
     return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
 
 
+def valid_dim_or_null() -> Column:
+    """Spark twin of :data:`VALID_OR_NULL_SQL` over the raw ``embedding``
+    column (before any cast/rename)."""
+    return F.col("embedding").isNull() | (F.size("embedding") == EMB_DIM)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(valid_dim_or_null())
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
     )
 
 
-#: DuckDB twin of the zero-vector guard below (raw `embedding` column).
-NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
+#: DuckDB twin of the zero-vector guard below (raw `embedding` column):
+#: cosine consumers additionally require schema-valid dimensionality.
+NONZERO_SQL = f"({VALID_DIM_SQL} AND len(list_filter(embedding, x -> x <> 0)) > 0)"
 
 
 def _emb_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,7 +399,8 @@ def _lsh_oracle_sql() -> str:
         for bit in range(LSH_BITS)
     )
     return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE {VALID_OR_NULL_SQL}),
 planes(table_id, bit, wts) AS (
     VALUES {rows}
 )
@@ -483,6 +504,7 @@ def portable_bucket(table: int, bits: int) -> Column:
     oracle=f"""
 WITH e AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    WHERE {VALID_OR_NULL_SQL}
 ),
 tb AS (SELECT unnest(generate_series(0, {LSH_TABLES - 1})) AS table_id)
 SELECT vec_id, label, CAST(table_id AS INT) AS table_id,
@@ -521,10 +543,11 @@ def sim_lsh_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_centroid_per_label",
-    oracle="""
+    oracle=f"""
 WITH p AS (
     SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS v
     FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+    WHERE {VALID_OR_NULL_SQL}
 )
 SELECT label, pos, round(avg(v), 6) AS c
 FROM p GROUP BY label, pos
@@ -548,12 +571,13 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_norm_stats",
-    oracle="""
+    oracle=f"""
 SELECT vec_id,
        round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
        round(list_min(embedding::DOUBLE[]), 6) AS min_c,
        round(list_max(embedding::DOUBLE[]), 6) AS max_c
 FROM embeddings
+WHERE {VALID_OR_NULL_SQL}
 """,
     tags=("similarity", "norm", "north-star"),
     doc=(

@@ -21,6 +21,10 @@ from pyspark.sql.functions import pandas_udf
 
 from spark_kinesis_article_analysis_spark.catalog import load
 from spark_kinesis_article_analysis_spark.registry import register
+from spark_kinesis_article_analysis_spark.functions.similarity import (
+    VALID_OR_NULL_SQL,
+    valid_dim_or_null,
+)
 
 
 @register(
@@ -69,10 +73,11 @@ def udtf_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf_pandas_vector_norm",
-    oracle="""
+    oracle=f"""
 SELECT vec_id,
        round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm
 FROM embeddings
+WHERE {VALID_OR_NULL_SQL}
 """,
     tags=("udf", "pandas", "similarity"),
     doc=(
@@ -91,8 +96,10 @@ def udf_pandas_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would kill the whole Arrow batch instead of one row).
         return emb.map(lambda v: None if v is None else float(np.sqrt(np.dot(v, v))))
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(valid_dim_or_null())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     return e.select("vec_id", F.round(l2_norm("emb"), 6).alias("l2_norm"))
 

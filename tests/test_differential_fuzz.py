@@ -299,6 +299,8 @@ _emb_rows = st.lists(
         st.one_of(
             st.none(),                                    # NULL embedding
             st.just("zero"),                              # zero vector
+            st.just("short"),                             # corrupt: wrong dim
+            st.just("empty"),                             # corrupt: empty list
             st.lists(_vec_values, min_size=64, max_size=64),
         ),
         st.integers(0, 2),                                # label
@@ -319,8 +321,9 @@ class TestEmbeddingFuzz:
         the portable k-means round — the float-fold parity discipline
         (ordered folds, 0.0 seeds, round-before-rank) under generative
         attack rather than fixture-picked values."""
+        corrupt = {"zero": [0.0] * 64, "short": [1.0, -2.0, 0.5], "empty": []}
         vecs = [
-            (i, [0.0] * 64 if v == "zero" else v, lab)
+            (i, corrupt.get(v, v) if isinstance(v, str) else v, lab)
             for i, (v, lab) in enumerate(rows)
         ]
         d = tmp_path_factory.mktemp("fuzz_emb")
