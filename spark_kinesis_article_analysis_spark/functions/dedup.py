@@ -185,14 +185,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_expr_spark():
-    """Portable 32-bit SimHash: per distinct token, hash = first 8 hex chars
-    of md5 parsed as int; per bit, vote +1/-1; signature bit b set iff the
-    vote sum is positive."""
-    # token hash as a BIGINT from md5 hex (portable to DuckDB's hex cast)
-    return F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
-
-
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -217,27 +209,39 @@ FROM votes
     tags=("dedup", "simhash", "north-star"),
     doc=(
         "32-bit SimHash signature per document from md5-derived token-hash bit "
-        "votes. One explode + one aggregation — linear in corpus size; near-dup "
-        "candidates then come from signature (or banded-signature) equality."
+        "votes, computed entirely map-side: the distinct-token array is hashed "
+        "once per document (transform), then each signature bit is a fold over "
+        "that hash array — zero exchanges, zero row explosion. The signature is "
+        "produced in the same scan that reads the document, which is the shape "
+        "that matters at 100 TB (the prior explode + groupBy form shuffled a "
+        "32-vote partial row per document for no reason: doc_id is already the "
+        "row grain). Near-dup candidates then come from signature (or "
+        "banded-signature) equality."
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("token")
+    # NULL text has no tokens: dropped here exactly as the previous
+    # explode(NULL array) form and the oracle's LATERAL unnest drop it.
+    hashes = F.expr(
+        "transform(array_distinct(split(text, '\\\\s+')), "
+        "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
     )
-    hashed = tok.select("doc_id", _simhash_expr_spark().alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+    vote = lambda b: F.aggregate(  # noqa: E731
+        "h",
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(F.shiftright(x, b).bitwiseAND(1) == 1, 1).otherwise(-1),
     )
     sig = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
+        term = F.when(vote(b) > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
         sig = term if sig is None else sig + term
-    return votes.select("doc_id", sig.alias("simhash"))
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", hashes.alias("h"))
+        .select("doc_id", sig.alias("simhash"))
+    )
 
 
 @register(

@@ -603,13 +603,17 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "clustering", "iterative", "north-star"),
     doc=(
         "K-means (Lloyd, k=8, 3 rounds, deterministic lowest-vec_id init): "
-        "assignment is a broadcast of 8 centroids against the corpus with a "
-        "zip_with squared-distance fold and min_by argmin (ties broken by "
-        "centroid id); re-centering is a posexplode (cluster, dim) mean. Per "
-        "round: one broadcast (no pairwise shuffle) + one hash agg — the "
+        "the 8 centroids fold to ONE broadcast array row and every vector "
+        "picks its cluster inside a single map-side array_min(transform(...)) "
+        "expression over struct(d2, cid) — ties broken by centroid id; "
+        "re-centering is a posexplode (cluster, dim) mean fed straight from "
+        "the assignment (emb rides through the map stage, so there is no "
+        "join back to the corpus). Per round: one broadcast map pass + one "
+        "hash agg whose combine output is at most K x dims rows — the "
         "iterative-refinement template at 100 TB, where k centroids always "
-        "fit in a broadcast and the corpus never self-joins. Centroids are "
-        "localCheckpoint-ed per round so plan size stays flat in ROUNDS."
+        "fit in a broadcast and the corpus never self-joins or re-shuffles. "
+        "Centroids are localCheckpoint-ed per round so plan size stays flat "
+        "in ROUNDS."
     ),
 )
 def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,25 +628,31 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
         .limit(K)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cent"))
     )
-    d2 = F.aggregate(
-        F.zip_with("emb", "cent", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Map-side argmin over the folded centroid array: struct(d2, cid)
+    # ordering is the same (distance, centroid-id) lexicographic tie-break
+    # the previous min_by form used, but with zero pair-grain rows — the
+    # corpus is scanned once per round with no exchange on the assignment.
+    best = F.expr(
+        """array_min(transform(cents, c -> struct(
+               aggregate(zip_with(emb, c.cent, (p, q) -> (p - q) * (p - q)),
+                         cast(0.0 as double), (a, x) -> a + x) AS d2,
+               c.cid AS cid)))"""
     )
     assign = None
     for _ in range(ROUNDS):
+        folded = cents.agg(F.collect_list(F.struct("cid", "cent")).alias("cents"))
         assign = (
-            e.crossJoin(F.broadcast(cents))
-            .select("vec_id", "emb", "cid", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by("cid", F.struct("d2", "cid")).alias("cluster"),
-                F.min("d2").alias("d2"),
+            e.join(F.broadcast(folded))
+            .withColumn("b", best)
+            .select(
+                "vec_id",
+                "emb",
+                F.col("b.cid").alias("cluster"),
+                F.col("b.d2").alias("d2"),
             )
         )
         cents = (
-            assign.join(e, "vec_id")
-            .select("cluster", F.posexplode("emb").alias("pos", "v"))
+            assign.select("cluster", F.posexplode("emb").alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.avg("v").alias("m"))
             .groupBy("cluster")

@@ -378,6 +378,35 @@ class TestScaleOpsPlanShape:
         assert "Window" not in plan, plan
         assert inspect.has_broadcast_join(df), plan
 
+    def test_simhash_is_map_only(self, spark):
+        """r5 rewrite: the signature is computed in the scan that reads the
+        document (per-bit folds over the hashed distinct-token array) —
+        the plan must contain NO exchange at all. The prior explode +
+        groupBy(doc_id) form shuffled a 32-vote partial row per document
+        even though doc_id is already the row grain."""
+        df = SPECS["dedup_simhash"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan, plan  # no explode either
+
+    def test_kmeans_lloyd_assignment_has_no_shuffle(self, spark):
+        """r5 rewrite: per-round assignment folds the broadcast centroid
+        array map-side and carries emb through, so the FINAL plan (the
+        last assignment) holds exactly one broadcast join and zero
+        shuffle exchanges — the recenter aggs live behind per-round
+        localCheckpoints, and there is no join back to the corpus."""
+        from spark_kinesis_article_analysis_spark.functions.similarity import kmeans_lloyd
+
+        df = kmeans_lloyd(spark, SF_CORRECTNESS, rounds=2)
+        plan = inspect.explain_str(df)
+        assert inspect.has_broadcast_join(df), plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # exactly one corpus read: no join back to the embeddings table
+        # (formatted mode prints each node twice — tree + detail — so
+        # count FileScans in the executed plan string instead)
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert executed.count("FileScan parquet") == 1, executed
+
     def test_sharded_topk_local_phase_partitions_on_salt(self, spark):
         """Phase 1's window must partition on (segment, salt) — the
         straggler-free exchange — before the bounded final rank."""
