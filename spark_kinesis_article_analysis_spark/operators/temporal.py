@@ -364,6 +364,7 @@ WITH ordered AS (
     SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
            lag(o_orderstatus) OVER w AS prev_status
     FROM orders
+    WHERE o_orderdate IS NOT NULL
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ),
 changes AS (
@@ -396,7 +397,14 @@ FROM changes
     ),
 )
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    # A change record with no timestamp cannot be placed in a validity
+    # chain — excluded on BOTH engine sides (the temporal NULL-event-time
+    # rule). Without the filter the two engines even disagree on WHICH
+    # rows are transitions: Spark windows sort NULLS FIRST by default,
+    # DuckDB NULLS LAST, so a NULL-date row heads the Spark partition
+    # (its successor keeps prev_status IS NULL) but tails DuckDB's —
+    # fuzz-found on a dirty-FK graph (round 5, find #13).
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     changes = (
         o.withColumn("prev_status", F.lag("o_orderstatus").over(w))

@@ -204,6 +204,10 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         "time_window_tumbling",
         "time_window_sliding",
         "time_window_json_events",
+        # r5 fuzz find #13: NULL-date change records sorted NULLS FIRST
+        # in Spark windows vs NULLS LAST in DuckDB, flipping which rows
+        # count as SCD2 transitions — both sides now exclude them
+        "scd2_history",
     }
 )
 

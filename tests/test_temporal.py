@@ -408,3 +408,45 @@ class TestDensifySpanGuard:
         df = interval_overlap_join(probe, iv, "ts", "start_ts", "end_ts", 60.0)
         with _pytest.raises(Exception, match="more than 100000 bins"):
             df.write.format("noop").mode("overwrite").save()
+
+
+class TestScd2NullDates:
+    def test_null_date_changes_are_excluded(self, spark, tmp_path):
+        """Fuzz find #13 (round 5): a NULL-date change record heads the
+        Spark partition (NULLS FIRST) but tails DuckDB's (NULLS LAST),
+        flipping WHICH rows count as transitions. The spec excludes
+        NULL o_orderdate on both sides; this pins the Spark half on the
+        found example's shape: NULL-date rows must not appear AND must
+        not influence any survivor's validity interval."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = 1_704_067_200_000_000  # 2024-01-01 in us
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                    "o_custkey": pa.array([None, None, None, 2, None], pa.int64()),
+                    "o_orderstatus": pa.array([None, None, "O", "O", "O"], pa.string()),
+                    "o_totalprice": pa.array([None, None, 150000.0, None, 0.0], pa.float64()),
+                    "o_orderdate": pa.array(
+                        [None, None, base + 3 * 86_400_000_000, None, base],
+                        pa.timestamp("us"),
+                    ),
+                    "o_orderpriority": pa.array(["1-URGENT"] * 5, pa.string()),
+                }
+            ),
+            tmp_path / "orders.parquet",
+        )
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+
+        rows = all_specs()["scd2_history"].build(spark, str(tmp_path)).collect()
+        got = {(r.o_custkey, r.change_orderkey): (r.status, r.valid_from, r.valid_to, r.is_current) for r in rows}
+        # Only orderkeys 12 and 14 have a date; both are status 'O' in
+        # the NULL-custkey group, so 14 (2024-01-01, the earliest) is the
+        # single transition and 12 collapses into its open interval.
+        # Under the old NULLS FIRST ordering the NULL-date rows headed
+        # the partition instead, making 10 the "first" row and 12/14
+        # non-heads — a different survivor set than DuckDB's NULLS LAST.
+        assert set(got) == {(None, 14)}, got
+        assert got[(None, 14)] == ("O", dt.datetime(2024, 1, 1), None, True)
