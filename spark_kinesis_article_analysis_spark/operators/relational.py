@@ -286,19 +286,28 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "funnel_user_stages",
     oracle="""
-WITH su AS (
-    SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id
+WITH ev AS (
+    -- funnel hygiene (fuzz find #14): an event with no timestamp cannot
+    -- be ordered in a funnel, and an event with no user cannot be
+    -- attributed to one. Without this, Spark's ts-sorted array form
+    -- surfaces NULL-ts signups first (min(ts) skips them here) and its
+    -- single groupBy chains stages inside the NULL-user group (the
+    -- equi-join cascade below never matches NULL = NULL).
+    SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+su AS (
+    SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY user_id
 ),
 vw AS (
-    SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN su ON e.user_id = su.user_id
+    SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN su ON e.user_id = su.user_id
     WHERE e.event_type = 'view' AND e.ts >= su.t0 GROUP BY e.user_id
 ),
 ck AS (
-    SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN vw ON e.user_id = vw.user_id
+    SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN vw ON e.user_id = vw.user_id
     WHERE e.event_type = 'click' AND e.ts >= vw.t1 GROUP BY e.user_id
 ),
 pu AS (
-    SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN ck ON e.user_id = ck.user_id
+    SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN ck ON e.user_id = ck.user_id
     WHERE e.event_type = 'purchase' AND e.ts >= ck.t2 GROUP BY e.user_id
 )
 SELECT su.user_id,
@@ -327,7 +336,11 @@ LEFT JOIN pu ON su.user_id = pu.user_id
     ),
 )
 def funnel_user_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # NULL ts / NULL user excluded on both engine sides (fuzz find #14,
+    # rationale in the oracle's ev CTE)
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     stages = ["signup", "view", "click", "purchase"]
     evs = (
         ev.filter(F.col("event_type").isin(stages))

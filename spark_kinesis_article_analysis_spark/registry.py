@@ -208,6 +208,11 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # in Spark windows vs NULLS LAST in DuckDB, flipping which rows
         # count as SCD2 transitions — both sides now exclude them
         "scd2_history",
+        # r5 fuzz find #14: NULL-ts signups surface first in the
+        # ts-sorted array form (min(ts) skips them) and NULL users chain
+        # stages in-group vs never matching the equi-join cascade —
+        # both sides now exclude timestamp-less and unattributed events
+        "funnel_user_stages",
     }
 )
 

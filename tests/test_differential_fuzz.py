@@ -50,7 +50,8 @@ _event_rows = st.lists(
             st.integers(-1_704_067_320, -1_704_067_080),
         ),
         st.one_of(st.none(), st.integers(0, 5)),       # user_id
-        st.sampled_from(["view", "click", None]),      # event_type
+        # full funnel vocabulary so funnel_user_stages is non-vacuous
+        st.sampled_from(["view", "click", "signup", "purchase", None]),  # event_type
         st.floats(-10, 10, allow_nan=False),           # value
     ),
     min_size=1,
@@ -161,7 +162,18 @@ _props_rows = st.lists(
     st.tuples(st.integers(0, 86_400), _props), min_size=1, max_size=20
 )
 
-_DOC_SPECS = ["text_token_count", "agg_heavy_hitters", "dedup_exact", "text_langid"]
+_DOC_SPECS = [
+    "text_token_count",
+    "agg_heavy_hitters",
+    "dedup_exact",
+    "text_langid",
+    # r5b additions: LSH-candidate + edit-distance verify (the fuzzy
+    # pipeline end-to-end), md5-bucket sampling, epoch-salted shuffle —
+    # all hand-rolled portable arithmetic worth hunting
+    "dedup_fuzzy_levenshtein",
+    "sample_hash_portable",
+    "corpus_shuffle_deterministic",
+]
 _EVENT_SPECS = [
     "time_window_tumbling",
     "window_cumulative_distinct",
@@ -172,6 +184,13 @@ _EVENT_SPECS = [
     "join_asof_last_purchase",
     "join_range_interval",
     "time_bucket_gapfill",
+    # r5b additions: session windows (fixed + dynamic gap), hourly
+    # cohorts, 4-stage funnel — gap/ordering semantics over NULL ts,
+    # NULL users, duplicate timestamps
+    "time_window_session",
+    "window_session_dynamic_gap",
+    "cohort_retention_hourly",
+    "funnel_user_stages",
 ]
 
 
@@ -471,6 +490,10 @@ class TestLineitemFuzz:
             "agg_exact_percentile",
             "agg_stats_corr_regr",
             "filter_predicates",
+            # r5b additions: multi-dim grouping NULL indicators vs real
+            # NULL group keys (rollup), distinct-count NULL handling
+            "agg_rollup",
+            "agg_count_distinct",
         ):
             _assert_parity(spark, name, sf, "lineitem")
 
@@ -623,6 +646,12 @@ class TestJoinSubqueryFuzz:
             # NULL o_orderdate stresses the SCD2 window sort order.
             "cdc_merge_upsert",
             "scd2_history",
+            # set ops over the same generated customer/supplier pair:
+            # NULL keys and duplicate multiplicities through INTERSECT
+            # (distinct) and EXCEPT ALL (bag) semantics
+            "setop_union_all",
+            "setop_intersect",
+            "setop_except_all",
         ):
             spec = all_specs()[name]
             got = _normalize(spec.build(spark, sf).toPandas())
