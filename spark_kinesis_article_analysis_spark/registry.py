@@ -328,8 +328,20 @@ def all_specs() -> dict[str, QuerySpec]:
         except ValueError:
             return len(_MODULE_ORDER)
 
+    def verdict_age(name: str) -> float:
+        # Within the changed-since-verified class, the OLDEST evidence
+        # re-verifies first: a spec riding an r1 verdict outranks one
+        # whose module was merely re-touched after a fresh r4 verdict.
+        # (Without this, one correctness fix in an early-_MODULE_ORDER
+        # module displaces the long-stale specs the budget was queued
+        # for.) Classes 0/1/3 don't need the key: never-verified and
+        # rewritten-oracle specs re-verify regardless, and class 3 is
+        # outside the window.
+        return verified.get(name, 0.0)
+
     order = sorted(
-        _REGISTRY, key=lambda n: (rank(n), module_pos(n), _REGISTRY[n].src_line)
+        _REGISTRY,
+        key=lambda n: (rank(n), verdict_age(n), module_pos(n), _REGISTRY[n].src_line),
     )
     return {name: _REGISTRY[name] for name in order}
 
