@@ -71,7 +71,13 @@ SELECT o_orderkey,
        dayofmonth(o_orderdate)                          AS order_day,
        hour(o_orderdate)                                AS order_hour,
        dayofweek(o_orderdate) + 1                       AS order_dow,
-       epoch(o_orderdate)::BIGINT                       AS order_epoch,
+       -- Spark unix_timestamp() = floorDiv(micros, 1e6). epoch()::BIGINT
+       -- ROUNDS (off by one at sub-second tails, fuzz find #15) and
+       -- integer // truncates toward zero (wrong pre-1970, kill #11):
+       -- exact floor via subtract-positive-mod, then exact division.
+       (epoch_us(o_orderdate)
+        - ((epoch_us(o_orderdate) % 1000000) + 1000000) % 1000000)
+           // 1000000                                    AS order_epoch,
        date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
 FROM orders
 """,
@@ -347,15 +353,28 @@ def scalar_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey,
        round((1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
-             + (1 - dayofmonth(o_orderdate)) / 31.0, 8) AS months_to_98
+             + CASE WHEN dayofmonth(o_orderdate) = 1 THEN 0.0
+                    -- Spark's 31-day-month fraction INCLUDES time of
+                    -- day: (dayDiff*86400 - secondsIntoDay2)/(31*86400).
+                    -- seconds-into-day via epoch arithmetic so
+                    -- sub-second components mirror too (second()
+                    -- truncates them).
+                    ELSE ((1 - dayofmonth(o_orderdate)) * 86400.0
+                          - (epoch_us(o_orderdate)
+                             - epoch_us(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))) / 1e6)
+                         / (31.0 * 86400.0)
+               END, 8) AS months_to_98
 FROM orders
 """,
     tags=("scalar", "datetime", "months-between"),
     doc=(
-        "months_between against 1998-01-01. Spark's 31-day-month fraction rule "
-        "reduces to a closed formula here because the target day-of-month is 1 "
-        "and o_orderdate has no time component — which is what makes it "
-        "oracle-expressible."
+        "months_between against 1998-01-01. Spark's rule: same day-of-month "
+        "(or both last-of-month) -> integer months, time ignored; otherwise "
+        "the fraction is (dayDiff*86400 - secondsIntoDay)/(31*86400). With "
+        "target day 1 (never a last day) that collapses to the day2=1 branch "
+        "plus the time-aware fraction — spelled in full in the oracle so "
+        "timestamps WITH time components mirror (the previous closed formula "
+        "assumed midnight orderdates; fuzz-hardened round 5)."
     ),
 )
 def scalar_months_between(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -213,6 +213,11 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # stages in-group vs never matching the equi-join cascade —
         # both sides now exclude timestamp-less and unattributed events
         "funnel_user_stages",
+        # r5 fuzz find #15: epoch()::BIGINT rounds where unix_timestamp
+        # floors — oracle rewritten with exact positive-mod floor div;
+        # months_between oracle gains the time-of-day fraction term
+        "scalar_date_functions",
+        "scalar_months_between",
     }
 )
 

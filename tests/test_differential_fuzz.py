@@ -881,3 +881,68 @@ class TestStreamingTwinFuzz:
         # windows, with identical aggregates.
         expect = {k: v for k, v in batch.items() if k[1] != "zz_closer"}
         assert streamed == expect
+
+
+# -- date/time scalar fuzz: wide-range timestamps WITH time components ------
+# The date family's fixture orderdates are midnight-only and 1995-1998;
+# this band covers 1700-2250 (pandas-safe), pinned end-of-month / leap
+# days with random times of day, and microsecond tails — the inputs
+# where months_between's 31-day fraction, dayofweek, and epoch
+# round-vs-truncate can silently diverge.
+
+def _dt_us(y, m, d):
+    import datetime as _dt
+
+    return int(
+        (_dt.datetime(y, m, d, tzinfo=_dt.timezone.utc)
+         - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)).total_seconds()
+    ) * 1_000_000
+
+
+_EOM_PINS = [
+    _dt_us(2024, 2, 29),   # leap day
+    _dt_us(2023, 2, 28),   # non-leap EOM
+    _dt_us(1900, 2, 28),   # century non-leap
+    _dt_us(2000, 2, 29),   # century leap
+    _dt_us(1999, 12, 31),
+    _dt_us(2024, 1, 31),
+    _dt_us(1969, 12, 31),  # pre-epoch EOM
+]
+_date_ts_us = st.one_of(
+    st.none(),
+    # wide band at second resolution (~1700..2250)
+    st.integers(-8_520_336_000, 8_836_128_000).map(lambda s: s * 1_000_000),
+    # EOM/leap pins + random time of day
+    st.tuples(st.sampled_from(_EOM_PINS), st.integers(0, 86_399)).map(
+        lambda t: t[0] + t[1] * 1_000_000
+    ),
+    # microsecond tails (sub-second seconds-into-day)
+    st.integers(0, 86_399_999_999).map(lambda u: _BASE_US + u),
+)
+_date_rows = st.lists(_date_ts_us, min_size=1, max_size=20)
+
+
+class TestDateFuzz:
+    @settings(
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_date_rows)
+    def test_date_family_parity_on_extreme_timestamps(
+        self, spark, tmp_path_factory, stamps
+    ):
+        d = tmp_path_factory.mktemp("fuzz_dates")
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(10, 10 + len(stamps)), pa.int64()),
+                    "o_custkey": pa.array([1] * len(stamps), pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * len(stamps), pa.string()),
+                    "o_totalprice": pa.array([1.0] * len(stamps), pa.float64()),
+                    "o_orderdate": pa.array(stamps, pa.timestamp("us")),
+                    "o_orderpriority": pa.array(["1-URGENT"] * len(stamps), pa.string()),
+                }
+            ),
+            d / "orders.parquet",
+        )
+        for name in ("scalar_date_functions", "scalar_months_between"):
+            _assert_parity(spark, name, str(d), "orders")
