@@ -946,3 +946,48 @@ class TestDateFuzz:
         )
         for name in ("scalar_date_functions", "scalar_months_between"):
             _assert_parity(spark, name, str(d), "orders")
+
+
+# -- part fuzz: RANGE frames over tied/NULL sizes, LIKE/regex predicates ----
+
+_part_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(
+            ["azure anchor", "Brand#41 thing", "", "a%b_c", "ANCHOR", "änchor a"]
+        )),                                              # p_name (LIKE targets)
+        st.one_of(st.none(), st.sampled_from(["Brand#41", "Brand#12", "b#4", ""])),
+        st.one_of(st.none(), st.sampled_from(["STANDARD", "small", "", "9TYPE", "Std"])),
+        st.one_of(st.none(), st.integers(-3, 12)),       # p_size (ties + NULLs)
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+class TestPartFuzz:
+    @settings(
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_part_rows)
+    def test_part_family_parity_on_tied_sizes(self, spark, tmp_path_factory, rows):
+        """RANGE BETWEEN frames over heavily tied and NULL ORDER BY keys
+        (the frame is peer-inclusive: every tie shares a frame; NULL
+        ordering keys are where engine NULLS FIRST/LAST defaults bite),
+        plus LIKE / NOT LIKE / regex predicates over names containing
+        LIKE metacharacters and non-ASCII."""
+        d = tmp_path_factory.mktemp("fuzz_part")
+        pq.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array(range(1, 1 + len(rows)), pa.int64()),
+                    "p_name": pa.array([n for n, *_ in rows], pa.string()),
+                    "p_brand": pa.array([b for _, b, *_ in rows], pa.string()),
+                    "p_type": pa.array([t for _, _, t, _ in rows], pa.string()),
+                    "p_size": pa.array([s for *_, s in rows], pa.int32()),
+                    "p_retailprice": pa.array([1.0] * len(rows), pa.float64()),
+                }
+            ),
+            d / "part.parquet",
+        )
+        for name in ("filter_like_rlike", "window_range_frame"):
+            _assert_parity(spark, name, str(d), "part")
