@@ -991,3 +991,138 @@ class TestPartFuzz:
         )
         for name in ("filter_like_rlike", "window_range_frame"):
             _assert_parity(spark, name, str(d), "part")
+
+
+# -- TPC-H shape fuzz: dirty graphs with dates straddling the predicates ----
+# The join-family harness's 2024-era dates make every TPC-H date window
+# vacuously empty; this harness bases dates at 1995-12-01 with offsets
+# straddling each query's cut (1996-01-01 / -04-01 / -06-01, the +30-day
+# late rule, the 2000-01-01 dormancy cut) so the EXISTS / NOT EXISTS /
+# HAVING branches all populate. Money stays dyadic-exact (0.25 steps) so
+# round() parity is never a float-order artifact.
+
+_TPCH_BASE_US = 818_380_800_000_000  # 1995-12-01 UTC
+
+
+def _write_tpch_orders(d, rows) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(10, 10 + len(rows)), pa.int64()),
+                "o_custkey": pa.array([c for c, *_ in rows], pa.int64()),
+                "o_orderstatus": pa.array([s for _, s, *_ in rows], pa.string()),
+                "o_totalprice": pa.array([p for _, _, p, _ in rows], pa.float64()),
+                "o_orderdate": pa.array(
+                    [
+                        None if o is None else _TPCH_BASE_US + o * 86_400_000_000
+                        for *_, o in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT" if (p or 0) != 0.0 else "3-MEDIUM" for _, _, p, _ in rows],
+                    pa.string(),
+                ),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    return str(d)
+
+
+def _write_tpch_lineitem(d, rows) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([i % 4 + 1 for i in range(len(rows))], pa.int64()),
+                "l_suppkey": pa.array([r[4] for r in rows], pa.int64()),
+                "l_linenumber": pa.array(range(1, len(rows) + 1), pa.int32()),
+                "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
+                "l_extendedprice": pa.array([r[2] for r in rows], pa.float64()),
+                "l_discount": pa.array([r[3] for r in rows], pa.float64()),
+                "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+                "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+                "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+                "l_shipdate": pa.array(
+                    [
+                        None if r[5] is None else _TPCH_BASE_US + r[5] * 86_400_000_000
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+
+
+_tpch_order_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),            # o_custkey (0 dangles)
+        st.sampled_from(["O", "F", None]),                  # status ('F' gates q21)
+        st.one_of(st.none(), st.sampled_from([0.0, 7.25, 150000.0])),
+        # orderdate day offset from 1995-12-01: straddles 96-01-01,
+        # 96-04-01, 96-06-01; the 1900-band lands in 2001 (q22 cut)
+        st.one_of(st.none(), st.integers(0, 250), st.integers(1860, 1880)),
+    ),
+    min_size=0,
+    max_size=12,
+)
+_tpch_li_rows = st.lists(
+    st.tuples(
+        st.sampled_from([10, 11, 12, 13, 14, 99]),          # orderkey (99 dangles)
+        st.one_of(st.none(), st.sampled_from([0.0, 7.25, 120.0, 160.25])),  # qty (sums past 300)
+        st.one_of(st.none(), st.sampled_from([0.0, 1.5, 7.25, 100.25])),    # extendedprice
+        st.sampled_from([0.0, 0.25, 0.5]),                  # discount (dyadic)
+        st.integers(1, 3),                                  # suppkey
+        # shipdate offset: straddles orderdate+30 and 96-06-01
+        st.one_of(st.none(), st.integers(0, 300)),
+    ),
+    min_size=0,
+    max_size=18,
+)
+
+
+class TestTpchShapeFuzz:
+    @settings(
+        max_examples=_ex(6), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_cust_rows, _tpch_order_rows, _supp_rows, _tpch_li_rows)
+    def test_tpch_shapes_parity_on_dirty_graphs(
+        self, spark, tmp_path_factory, cust, orders, supp, li
+    ):
+        """Q3 (join + date window + top-k), Q4 (EXISTS with correlated
+        date compare), Q5 (6-way star), Q18 (HAVING-gated IN), Q21
+        (EXISTS + NOT EXISTS self-anti on the late set), Q22 (scalar
+        subquery cut + NOT EXISTS) — the anti/semi-join and correlated-
+        subquery semantics over dangling keys, NULL dates, and NULL
+        statuses."""
+        d = tmp_path_factory.mktemp("fuzz_tpch")
+        _write_customers(d, cust)
+        _write_tpch_orders(d, orders)
+        _write_supplier(d, supp)
+        _write_tpch_lineitem(d, li)
+        _write_dims(d)
+        sf = str(d)
+        con = duckdb.connect()
+        for t in ("customer", "orders", "supplier", "lineitem", "nation", "region"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        for name in (
+            "tpch_q3_shipping_priority",
+            "tpch_q4_priority_exists",
+            "tpch_q5_local_supplier_volume",
+            "tpch_q18_large_orders",
+            "tpch_q21_waiting_suppliers",
+            "tpch_q22_dormant_customers",
+        ):
+            spec = all_specs()[name]
+            got = _normalize(spec.build(spark, sf).toPandas())
+            want = _normalize(con.sql(spec.oracle).df())
+            assert list(got.columns) == list(want.columns), name
+            assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False, check_exact=True, obj=name
+            )
