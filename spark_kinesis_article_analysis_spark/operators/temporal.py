@@ -145,20 +145,33 @@ WITH p AS (
     SELECT event_id, user_id, ts, value
     FROM events WHERE event_type = 'purchase'
 ),
+-- The engine rule is "a NULL timestamp satisfies no bound" (probe OR
+-- build) — but DuckDB's native ASOF matches NULL-ts build rows (fuzz
+-- find #16: a NULL-ts click paired with a NULL-ts purchase), so the
+-- NULL-ts carve-outs are explicit: clicks drop NULL ts, NULL-ts
+-- purchases bypass the ASOF and emit unmatched.
 c AS (
     SELECT user_id, ts, max(value) AS click_value
-    FROM events WHERE event_type = 'click'
+    FROM events WHERE event_type = 'click' AND ts IS NOT NULL
     GROUP BY user_id, ts
+),
+j AS (
+    SELECT p.event_id, p.user_id, p.ts AS pts, p.value, c.ts AS cts, c.click_value
+    FROM (SELECT * FROM p WHERE ts IS NOT NULL) p
+    ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    UNION ALL
+    SELECT event_id, user_id, ts, value,
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
+    FROM p WHERE ts IS NULL
 )
-SELECT p.event_id,
-       p.user_id,
-       make_timestamp(epoch_us(p.ts))          AS purchase_ts,
-       p.value                                 AS purchase_value,
-       make_timestamp(epoch_us(c.ts))          AS click_ts,
-       c.click_value,
-       round(date_diff('microsecond', c.ts, p.ts) / 1000000.0, 6) AS wait_secs
-FROM p ASOF LEFT JOIN c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+SELECT event_id,
+       user_id,
+       make_timestamp(epoch_us(pts))           AS purchase_ts,
+       value                                   AS purchase_value,
+       make_timestamp(epoch_us(cts))           AS click_ts,
+       click_value,
+       round(date_diff('microsecond', cts, pts) / 1000000.0, 6) AS wait_secs
+FROM j
 """,
     tags=("join", "asof", "temporal", "events"),
     doc=(

@@ -218,6 +218,9 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # months_between oracle gains the time-of-day fraction term
         "scalar_date_functions",
         "scalar_months_between",
+        # r5 fuzz find #16: DuckDB native ASOF matches NULL-ts build
+        # rows; oracle now carves NULL-ts clicks/purchases out explicitly
+        "join_asof",
     }
 )
 

@@ -173,6 +173,9 @@ _DOC_SPECS = [
     "dedup_fuzzy_levenshtein",
     "sample_hash_portable",
     "corpus_shuffle_deterministic",
+    # array set-operation ordering + unigram logprob float chain
+    "scalar_array_setops",
+    "text_unigram_logprob",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
@@ -306,6 +309,9 @@ class TestRelationalFuzz:
             "window_lag_lead",
             "window_frames_running",
             "window_first_last_nth",
+            # r5b: fixed-width range-bin self join, width_bucket edges
+            "join_range_binned",
+            "agg_histogram_width_bucket",
         ):
             _assert_parity(spark, name, sf, "orders")
 
@@ -491,9 +497,15 @@ class TestLineitemFuzz:
             "agg_stats_corr_regr",
             "filter_predicates",
             # r5b additions: multi-dim grouping NULL indicators vs real
-            # NULL group keys (rollup), distinct-count NULL handling
+            # NULL group keys (rollup), distinct-count NULL handling,
+            # pivot/unpivot NULL cells, higher-moment stats on constant
+            # series, bitmap distinct
             "agg_rollup",
             "agg_count_distinct",
+            "agg_pivot",
+            "agg_unpivot",
+            "agg_stats_moments",
+            "agg_bitmap_distinct",
         ):
             _assert_parity(spark, name, sf, "lineitem")
 
@@ -989,7 +1001,7 @@ class TestPartFuzz:
             ),
             d / "part.parquet",
         )
-        for name in ("filter_like_rlike", "window_range_frame"):
+        for name in ("filter_like_rlike", "window_range_frame", "join_range_theta"):
             _assert_parity(spark, name, str(d), "part")
 
 
@@ -1117,6 +1129,7 @@ class TestTpchShapeFuzz:
             "tpch_q18_large_orders",
             "tpch_q21_waiting_suppliers",
             "tpch_q22_dormant_customers",
+            "join_interval_range",
         ):
             spec = all_specs()[name]
             got = _normalize(spec.build(spark, sf).toPandas())

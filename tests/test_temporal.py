@@ -450,3 +450,36 @@ class TestScd2NullDates:
         # non-heads — a different survivor set than DuckDB's NULLS LAST.
         assert set(got) == {(None, 14)}, got
         assert got[(None, 14)] == ("O", dt.datetime(2024, 1, 1), None, True)
+
+
+class TestAsofNullTsOracleParity:
+    def test_null_ts_click_never_matches_registered_spec(self, spark, tmp_path):
+        """Fuzz find #16 (round 5): DuckDB's native ASOF JOIN pairs a
+        NULL-ts click with a NULL-ts purchase; the engine rule is that a
+        NULL timestamp satisfies no bound on either side. Pins the
+        Spark half of the registered join_asof spec on the found shape:
+        the NULL-ts purchase row survives (LEFT semantics) with every
+        asof column NULL."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([0, 1, 2], pa.int64()),
+                    "ts": pa.array([None, None, None], pa.timestamp("us")),
+                    "user_id": pa.array([3, 3, None], pa.int64()),
+                    "event_type": pa.array(["purchase", "click", "view"], pa.string()),
+                    "value": pa.array([0.0, 0.0, 0.0], pa.float64()),
+                    "props": pa.array(["{}"] * 3, pa.string()),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+
+        rows = all_specs()["join_asof"].build(spark, str(tmp_path)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.event_id == 0 and r.user_id == 3
+        assert r.click_ts is None and r.click_value is None and r.wait_secs is None
