@@ -749,16 +749,28 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("ntb"))
     lev = F.levenshtein("nta", "ntb")
     longer = F.greatest(F.length("nta"), F.length("ntb"))
-    return (
+    # Materialize the O(len^2) edit distance ONCE behind a cache barrier:
+    # a plain filter + projection re-inlines the deterministic expression
+    # on both sides (3 levenshtein evaluations per candidate pair in the
+    # executed plan — the documented filter-re-inline trap). The cached
+    # frame is candidate-pair grain, bounded by the LSH banding, so the
+    # barrier costs a small in-memory frame, not a corpus materialization.
+    pairs = (
         candidates.join(na, "doc_a")
         .join(nb, "doc_b")
-        .filter(lev <= 0.25 * longer)
         .select(
             "doc_a",
             "doc_b",
             lev.alias("edit_distance"),
-            F.round(1.0 - lev / F.greatest(longer, F.lit(1)), 6).alias(
-                "edit_similarity"
-            ),
+            longer.alias("__longer"),
         )
+        .persist()
+    )
+    return pairs.filter(F.col("edit_distance") <= 0.25 * F.col("__longer")).select(
+        "doc_a",
+        "doc_b",
+        "edit_distance",
+        F.round(
+            1.0 - F.col("edit_distance") / F.greatest(F.col("__longer"), F.lit(1)), 6
+        ).alias("edit_similarity"),
     )

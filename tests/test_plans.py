@@ -407,6 +407,16 @@ class TestScaleOpsPlanShape:
         executed = df._jdf.queryExecution().executedPlan().toString()
         assert executed.count("FileScan parquet") == 1, executed
 
+    def test_fuzzy_levenshtein_single_evaluation(self, spark):
+        """r5: the O(len^2) edit distance must appear ONCE in the
+        executed plan — the filter + two projections otherwise re-inline
+        the deterministic expression (3 evaluations per candidate pair;
+        the documented filter-re-inline trap), fixed by the candidate-
+        grain cache barrier."""
+        df = SPECS["dedup_fuzzy_levenshtein"].build(spark, SF_CORRECTNESS)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("levenshtein") == 1, plan
+
     def test_sharded_topk_local_phase_partitions_on_salt(self, spark):
         """Phase 1's window must partition on (segment, salt) — the
         straggler-free exchange — before the bounded final rank."""
