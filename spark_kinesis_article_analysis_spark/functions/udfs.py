@@ -123,7 +123,13 @@ GROUP BY l_returnflag
 def udaf_pandas_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def wmean(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
+        # min_count=1 mirrors SQL aggregate NULL semantics: pandas'
+        # default skipna sum turns an all-NULL numerator into 0.0 where
+        # sum(price*qty) is NULL — fuzz find #17 (a group whose every
+        # price is NULL returned 0.0 instead of NULL). With min_count=1
+        # both sums go NaN when no valid value exists and the division
+        # propagates it, exactly like the zero-Python twin.
+        return float((price * qty).sum(min_count=1) / qty.sum(min_count=1))
 
     li = load(spark, sf_dir, "lineitem")
     return (

@@ -176,6 +176,10 @@ _DOC_SPECS = [
     # array set-operation ordering + unigram logprob float chain
     "scalar_array_setops",
     "text_unigram_logprob",
+    # map construction / positional + outer explode over hostile text
+    "scalar_map_functions",
+    "scalar_posexplode",
+    "scalar_explode_outer",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
@@ -250,7 +254,7 @@ class TestDifferentialFuzz:
             ),
             d / "events.parquet",
         )
-        for name in ("scalar_json_functions", "scalar_variant_json", "time_window_json_events"):
+        for name in ("scalar_json_functions", "scalar_variant_json", "time_window_json_events", "scalar_json_extended"):
             _assert_parity(spark, name, str(d), "events")
 
 
@@ -309,9 +313,11 @@ class TestRelationalFuzz:
             "window_lag_lead",
             "window_frames_running",
             "window_first_last_nth",
-            # r5b: fixed-width range-bin self join, width_bucket edges
+            # r5b: fixed-width range-bin self join, width_bucket edges,
+            # null-function family over NULL-heavy orders
             "join_range_binned",
             "agg_histogram_width_bucket",
+            "scalar_null_functions",
         ):
             _assert_parity(spark, name, sf, "orders")
 
@@ -506,6 +512,9 @@ class TestLineitemFuzz:
             "agg_unpivot",
             "agg_stats_moments",
             "agg_bitmap_distinct",
+            "scalar_conditional",
+            "udaf_pandas_weighted_mean",
+            "agg_skew_two_phase",
         ):
             _assert_parity(spark, name, sf, "lineitem")
 
@@ -548,6 +557,13 @@ class TestDedupFuzz:
             "text_repetition_stats",
             "text_tfidf_top_terms",
             "corpus_mixture_resample",
+            # r5b: duplicate-graph connected components (chain shapes
+            # from the shared vocabulary), shard packing, ingest form,
+            # contamination flags
+            "dedup_cluster_components",
+            "pack_sequences_sharded",
+            "corpus_ingest_batch_form",
+            "text_contamination_flags",
         ):
             _assert_parity(spark, name, sf, "documents")
 
@@ -664,6 +680,9 @@ class TestJoinSubqueryFuzz:
             "setop_union_all",
             "setop_intersect",
             "setop_except_all",
+            # salted skew join + the SQL front-end 4-table revenue rollup
+            "join_skew_salted",
+            "sql_interface_revenue_by_nation",
         ):
             spec = all_specs()[name]
             got = _normalize(spec.build(spark, sf).toPandas())
