@@ -330,8 +330,13 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey,
        md5(c_name)                       AS name_md5,
        sha256(c_name)                    AS name_sha256,
-       to_base64(c_name::BLOB)           AS name_b64,
-       hex(c_name::BLOB)                 AS name_hex
+       -- encode(), NOT ::BLOB: DuckDB's VARCHAR->BLOB cast interprets
+       -- backslash escapes ('\x41'::BLOB is ONE byte 0x41; a lone '\'
+       -- THROWS), silently hashing different bytes than Spark for any
+       -- text containing '\' (fuzz find #18). encode() is the faithful
+       -- UTF-8-bytes conversion.
+       to_base64(encode(c_name))         AS name_b64,
+       hex(encode(c_name))               AS name_hex
 FROM customer
 """,
     tags=("scalar", "hash", "encode"),

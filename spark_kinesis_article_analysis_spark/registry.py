@@ -221,6 +221,10 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # r5 fuzz find #16: DuckDB native ASOF matches NULL-ts build
         # rows; oracle now carves NULL-ts clicks/purchases out explicitly
         "join_asof",
+        # r5 fuzz find #18: DuckDB VARCHAR->BLOB cast interprets \xHH
+        # escapes (lone '\' throws, '\x41' hashes the wrong byte) —
+        # oracle rewritten with encode(), the faithful UTF-8 conversion
+        "scalar_hash_encode",
     }
 )
 

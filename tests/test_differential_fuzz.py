@@ -1158,3 +1158,113 @@ class TestTpchShapeFuzz:
             pd.testing.assert_frame_equal(
                 got, want, check_dtype=False, check_exact=True, obj=name
             )
+
+
+# -- customer-string fuzz: hostile ASCII through the scalar string specs ----
+# Probed engine boundaries (2026-08, this session) that BOUND the fuzz
+# domain — all three are conventions, not bugs, and cannot be mirrored
+# in SQL without re-implementing the other engine's unicode tables:
+#   - case mapping: Spark upper/lower applies Java's FULL case mapping
+#     (upper('ß')='SS', upper('ﬁ')='FI', lower('İ')='i'+U+0307) while
+#     DuckDB's utf8proc applies SIMPLE mapping ('ẞ', 'ﬁ', 'i');
+#   - levenshtein: Spark counts CODEPOINTS (lev('é','e')=1), DuckDB
+#     counts BYTES (=2);
+#   - slicing: Spark substring counts codepoints; DuckDB's [i:j] string
+#     slice diverges on multi-byte chars (substring('aéiou',1,3)='aéi'
+#     vs [1:3]='aé').
+# Hence: the specs that route text through upper/lower/levenshtein/
+# slice fuzz on FULL-HOSTILE ASCII (whitespace runs, digits, regex/LIKE
+# metachars, '#' split tokens, case mixes, control chars); the
+# byte-exact hash/encode family additionally fuzzes on full unicode
+# (md5/sha256/base64/hex hash UTF-8 bytes identically in both engines).
+
+_ascii_hostile = st.text(
+    alphabet=st.characters(min_codepoint=0x01, max_codepoint=0x7E),
+    min_size=0,
+    max_size=40,
+)
+_cust_name_strs = st.one_of(
+    st.none(),
+    _ascii_hostile,
+    st.sampled_from(
+        [
+            "",
+            " ",
+            "  Customer#000001  ",
+            "Cu5t0mer#22#x",
+            "42",
+            "9#9#9",
+            "a%b_c",
+            "(par)en+q*",
+            "\tlead",
+            "trail\r\n",
+            "ALLCAPS",
+            "no#digits#here",
+            "#",
+            "##",
+        ]
+    ),
+)
+_cust_seg_strs = st.one_of(
+    st.none(),
+    st.sampled_from(
+        ["BUILDING", "", "bu", "BUILDINGX", "building", "B", "aeiouAEIOU", "A E I", " "]
+    ),
+)
+_cust_str_rows = st.lists(
+    st.tuples(_cust_name_strs, _cust_seg_strs, st.one_of(st.none(), st.integers(-2, 40))),
+    min_size=1,
+    max_size=18,
+)
+_uni_name_rows = st.lists(st.one_of(st.none(), _texts), min_size=1, max_size=18)
+
+
+def _write_customer_strs(d, rows) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(1, 1 + len(rows)), pa.int64()),
+                "c_name": pa.array([n for n, *_ in rows], pa.string()),
+                "c_nationkey": pa.array([k for *_, k in rows], pa.int32()),
+                "c_acctbal": pa.array([1.0] * len(rows), pa.float64()),
+                "c_mktsegment": pa.array([s for _, s, _ in rows], pa.string()),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    return str(d)
+
+
+class TestCustomerStringFuzz:
+    @settings(
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_cust_str_rows)
+    def test_string_family_parity_on_hostile_ascii(self, spark, tmp_path_factory, rows):
+        """lower/upper/trim/substring/concat_ws/regexp_extract(+_all)/
+        regexp_replace/levenshtein/lpad/repeat/replace/split_part/
+        reverse/startswith/contains/translate/overlay over names full of
+        whitespace runs, regex metachars, '#' tokens, and control chars
+        — plus NULL and empty segments (split_part NULL pin, repeat of
+        an empty initial, levenshtein vs NULL)."""
+        d = tmp_path_factory.mktemp("fuzz_cust_str")
+        sf = _write_customer_strs(d, rows)
+        for name in (
+            "scalar_string_functions",
+            "scalar_string_extended",
+            "scalar_regexp_misc",
+            "scalar_hash_encode",
+        ):
+            _assert_parity(spark, name, sf, "customer")
+
+    @settings(
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_uni_name_rows)
+    def test_hash_encode_parity_on_full_unicode(self, spark, tmp_path_factory, names):
+        """md5/sha2/base64/hex over arbitrary unicode — both engines
+        hash the UTF-8 byte sequence, so the full _texts band applies
+        (unlike the case/levenshtein/slice specs bounded above)."""
+        d = tmp_path_factory.mktemp("fuzz_cust_uni")
+        sf = _write_customer_strs(d, [(n, "BUILDING", 1) for n in names])
+        _assert_parity(spark, "scalar_hash_encode", sf, "customer")

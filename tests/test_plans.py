@@ -412,7 +412,15 @@ class TestScaleOpsPlanShape:
         executed plan — the filter + two projections otherwise re-inline
         the deterministic expression (3 evaluations per candidate pair;
         the documented filter-re-inline trap), fixed by the candidate-
-        grain cache barrier."""
+        grain cache barrier.
+
+        Count on a cache-free plan: if an earlier test already ran this
+        builder, CacheManager substitutes the MATERIALIZED persisted
+        frame, and a materialized AdaptiveSparkPlan prints the subtree
+        twice (== Final Plan == + == Initial Plan ==), doubling every
+        substring (found as an order-dependent failure in the full
+        suite)."""
+        spark.catalog.clearCache()
         df = SPECS["dedup_fuzzy_levenshtein"].build(spark, SF_CORRECTNESS)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("levenshtein") == 1, plan
