@@ -331,10 +331,10 @@ SELECT c_custkey,
        md5(c_name)                       AS name_md5,
        sha256(c_name)                    AS name_sha256,
        -- encode(), NOT ::BLOB: DuckDB's VARCHAR->BLOB cast interprets
-       -- backslash escapes ('\x41'::BLOB is ONE byte 0x41; a lone '\'
-       -- THROWS), silently hashing different bytes than Spark for any
-       -- text containing '\' (fuzz find #18). encode() is the faithful
-       -- UTF-8-bytes conversion.
+       -- backslash escapes ('\\x41'::BLOB is ONE byte 0x41; a lone
+       -- backslash THROWS), silently hashing different bytes than Spark
+       -- for any text containing a backslash (fuzz find #18). encode()
+       -- is the faithful UTF-8-bytes conversion.
        to_base64(encode(c_name))         AS name_b64,
        hex(encode(c_name))               AS name_hex
 FROM customer

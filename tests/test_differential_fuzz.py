@@ -1216,7 +1216,17 @@ _cust_str_rows = st.lists(
     min_size=1,
     max_size=18,
 )
-_uni_name_rows = st.lists(st.one_of(st.none(), _texts), min_size=1, max_size=18)
+# Hash/encode inputs get the FULL unicode range (astral plane / emoji /
+# 4-byte UTF-8 included): md5/sha256/base64/hex are byte-exact over the
+# UTF-8 encoding, so nothing justifies the 0x2FFF case-mapping ceiling
+# the levenshtein/case-fold specs need. Only Cs (unwritable to parquet)
+# and NUL (DuckDB VARCHAR rejects it) stay out.
+_full_uni_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    min_size=0,
+    max_size=60,
+)
+_uni_name_rows = st.lists(st.one_of(st.none(), _full_uni_texts), min_size=1, max_size=18)
 
 
 def _write_customer_strs(d, rows) -> str:
@@ -1263,8 +1273,9 @@ class TestCustomerStringFuzz:
     @given(_uni_name_rows)
     def test_hash_encode_parity_on_full_unicode(self, spark, tmp_path_factory, names):
         """md5/sha2/base64/hex over arbitrary unicode — both engines
-        hash the UTF-8 byte sequence, so the full _texts band applies
-        (unlike the case/levenshtein/slice specs bounded above)."""
+        hash the UTF-8 byte sequence, so the full codepoint range
+        applies, astral plane / 4-byte UTF-8 included (unlike the
+        case/levenshtein/slice specs bounded at 0x2FFF above)."""
         d = tmp_path_factory.mktemp("fuzz_cust_uni")
         sf = _write_customer_strs(d, [(n, "BUILDING", 1) for n in names])
         _assert_parity(spark, "scalar_hash_encode", sf, "customer")
