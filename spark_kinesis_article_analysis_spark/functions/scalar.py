@@ -694,8 +694,10 @@ def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey, l_linenumber,
        TRY_CAST(o_orderpriority AS BIGINT) AS priority_as_int,
        TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS priority_digit,
-       CASE WHEN CAST(l_quantity AS BIGINT) - 1 = 0 THEN NULL
-            ELSE l_extendedprice / (CAST(l_quantity AS BIGINT) - 1) END
+       -- trunc() first: Spark's double->BIGINT cast truncates toward
+       -- zero, DuckDB's CAST rounds half away (23.5 -> 24) — fuzz-found
+       CASE WHEN CAST(trunc(l_quantity) AS BIGINT) - 1 = 0 THEN NULL
+            ELSE l_extendedprice / (CAST(trunc(l_quantity) AS BIGINT) - 1) END
            AS price_per_extra_unit,
        CASE WHEN len(string_split_regex(o_orderpriority, '-')) >= 3
             THEN string_split_regex(o_orderpriority, '-')[3] ELSE NULL END
@@ -748,27 +750,48 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey,
        o_orderkey   AS xml_id,
-       o_orderpriority AS xml_priority,
+       -- from_xml (StaxXML, ignoreSurroundingSpaces) TRIMS the ASCII
+       -- spaces around element text — '  sp  aces ' parses as
+       -- 'sp  aces' (inner runs and NBSP survive; probed, fuzz-found).
+       -- The xpath_* path below preserves text exactly, so only this
+       -- column trims.
+       trim(o_orderpriority) AS xml_priority,
        o_orderstatus   AS xml_status
 FROM orders WHERE o_orderkey % 7 = 0
 """,
     tags=("scalar", "xml"),
     doc=(
-        "XML surface (Spark 4 built-ins): rows serialized to an XML string, "
-        "then re-extracted via xpath_long on an attribute, xpath_string on "
+        "XML surface (Spark 4 built-ins): rows serialized to an XML string "
+        "(entity-escaped, so markup characters in the data survive), then "
+        "re-extracted via xpath_long on an attribute, xpath_string on "
         "elements, and a from_xml struct field. The oracle is the round-trip "
-        "identity — Spark must actually parse the XML to reproduce it."
+        "identity — Spark must actually parse the XML to reproduce it — "
+        "except the from_xml column, which trims surrounding ASCII spaces "
+        "(StaxXML's ignoreSurroundingSpaces default), mirrored with trim(). "
+        "Domain: control chars are illegal in XML 1.0 even escaped; NULL "
+        "fields null the whole serialized row (concat semantics)."
     ),
 )
 def scalar_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+
+    def esc(col: str):
+        # Serialize-side XML escaping ('&' FIRST, then the brackets) so
+        # text containing markup characters survives the round trip —
+        # xpath/from_xml resolve the entities back, keeping the oracle
+        # an identity projection. Control chars (< 0x20) remain outside
+        # the domain: they are illegal in XML 1.0 even escaped.
+        c = F.replace(F.col(col), F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
     xml = F.concat(
         F.lit('<order id="'),
         F.col("o_orderkey").cast("string"),
         F.lit('"><priority>'),
-        F.col("o_orderpriority"),
+        esc("o_orderpriority"),
         F.lit("</priority><status>"),
-        F.col("o_orderstatus"),
+        esc("o_orderstatus"),
         F.lit("</status></order>"),
     )
     w = o.select("o_orderkey", xml.alias("xml"))

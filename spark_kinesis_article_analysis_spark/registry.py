@@ -225,6 +225,15 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # escapes (lone '\' throws, '\x41' hashes the wrong byte) —
         # oracle rewritten with encode(), the faithful UTF-8 conversion
         "scalar_hash_encode",
+        # r6 fuzz find: from_xml (StaxXML ignoreSurroundingSpaces) trims
+        # ASCII spaces around element text where xpath_string preserves
+        # them — the from_xml-sourced oracle column now mirrors with
+        # trim(); the builder also entity-escapes markup chars
+        "scalar_xml_functions",
+        # r6 fuzz find: Spark's double->BIGINT cast truncates toward
+        # zero, DuckDB's CAST rounds half away (23.5 -> 24) — the
+        # price_per_extra_unit denominator now truncs before casting
+        "scalar_try_functions",
     }
 )
 

@@ -180,6 +180,9 @@ _DOC_SPECS = [
     "scalar_map_functions",
     "scalar_posexplode",
     "scalar_explode_outer",
+    # r6: the whole-array lambda family (filter/transform/list_sum,
+    # first/last element, sorted-distinct prefix) over hostile tokens
+    "scalar_array_functions",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
@@ -198,6 +201,9 @@ _EVENT_SPECS = [
     "window_session_dynamic_gap",
     "cohort_retention_hourly",
     "funnel_user_stages",
+    # r6: the 5m/1m-style overlapping window (generate_series oracle) on
+    # the same NULL-ts / pre-epoch corpus that killed tumbling (#11)
+    "time_window_sliding",
 ]
 
 
@@ -318,6 +324,9 @@ class TestRelationalFuzz:
             "join_range_binned",
             "agg_histogram_width_bucket",
             "scalar_null_functions",
+            # r6: ORDER BY DESC + LIMIT over tied/NULL totalprice — the
+            # NULLS-placement and tie-cut determinism of top-k
+            "sort_limit_topk",
         ):
             _assert_parity(spark, name, sf, "orders")
 
@@ -446,7 +455,8 @@ class TestWindowFuzz:
 _li_rows = st.lists(
     st.tuples(
         st.integers(10, 13),                                  # l_orderkey
-        st.one_of(st.none(), st.sampled_from([0.0, 1.0, 2.0, 30.0])),   # quantity
+        # -4.0 hits the sqrt(neg) NaN-vs-throw guard in scalar_math
+        st.one_of(st.none(), st.sampled_from([-4.0, 0.0, 1.0, 2.0, 30.0])),   # quantity
         st.one_of(st.none(), st.sampled_from([0.0, 10.25, 10.25, 99.5])),  # extendedprice (ties)
         st.one_of(st.none(), st.sampled_from([0.0, 0.25, 0.5])),  # discount
         st.sampled_from(["R", "N", "A", None, ""]),           # returnflag
@@ -515,6 +525,9 @@ class TestLineitemFuzz:
             "scalar_conditional",
             "udaf_pandas_weighted_mean",
             "agg_skew_two_phase",
+            # r6: sqrt/ln/pow/ceil/floor guard parity — negative quantity
+            # hits the sqrt(neg)=NaN-vs-throw mirror
+            "scalar_math_functions",
         ):
             _assert_parity(spark, name, sf, "lineitem")
 
@@ -1279,3 +1292,259 @@ class TestCustomerStringFuzz:
         d = tmp_path_factory.mktemp("fuzz_cust_uni")
         sf = _write_customer_strs(d, [(n, "BUILDING", 1) for n in names])
         _assert_parity(spark, "scalar_hash_encode", sf, "customer")
+
+
+# -- wide TPC-H shape fuzz: the part-joined and order-fact shapes ----------
+# Round 6 extends the shape hunt from the 6 anti/semi queries to the 15
+# remaining TPC-H adaptations. Same discipline as TestTpchShapeFuzz:
+# dates based at 1995-12-01 with offsets straddling every predicate
+# window, money/discounts on dyadic steps (0.0625 lands inside Q6's
+# [0.05, 0.07] band), dangling keys on every FK, NULLs in every
+# nullable slot. The dims are richer than _write_dims: NATION_0..5 over
+# ASIA/EUROPE/AMERICA (Q7's nation pair, Q8's region cut, Q11/Q20's
+# single-nation filters all non-vacuous) plus a NULL-named nation.
+
+_wide_part_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(
+            # straddles LIKE 'small%' (q20), LIKE '%widget%' (q9), case
+            ["", "small widget", "smallish", "big widget", "nut", "WIDGET small", "wid get"]
+        )),
+        st.one_of(st.none(), st.sampled_from(["Brand#1", "Brand#2", "Brand#3", "Brand#9", ""])),
+        st.one_of(st.none(), st.sampled_from(
+            # q2 LARGE, q8 STANDARD, q14 LIKE 'PROMO%' (+ case/near-miss)
+            ["LARGE", "STANDARD", "PROMO ANODIZED", "PROMOX", "promo brushed", ""]
+        )),
+        st.one_of(st.none(), st.integers(-1, 30)),         # p_size (isin/range bands)
+        st.one_of(st.none(), st.sampled_from([0.0, 0.25, 10.5, 100.25])),  # retail (dyadic)
+    ),
+    min_size=0,
+    max_size=6,
+)
+_wide_supp_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["Supplier#1", "", "S#2"])),
+        # bias toward 1/2 so q7's NATION_1<->NATION_2 pair populates
+        st.one_of(st.none(), st.integers(1, 2), st.integers(0, 6)),
+        st.one_of(st.none(), st.sampled_from([-5.5, 0.0, 7.25])),  # acctbal (q16 bad set)
+    ),
+    min_size=0,
+    max_size=6,
+)
+_wide_order_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),            # o_custkey (0 dangles)
+        st.sampled_from(["O", "F", None]),                  # status
+        st.one_of(st.none(), st.sampled_from([0.0, 7.25, 150000.0])),  # totalprice
+        # orderdate offsets from 1995-12-01 straddle 96-01/04/06/07 and
+        # wrap a year boundary for the q7/q8 per-year grouping
+        st.one_of(st.none(), st.integers(0, 450)),
+        st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM", "42", "9-A-B-C", " 7 ", None]),
+    ),
+    min_size=0,
+    max_size=10,
+)
+_wide_li_rows = st.lists(
+    st.tuples(
+        st.sampled_from([10, 11, 12, 13, 14, 99]),          # orderkey (99 dangles)
+        st.one_of(st.none(), st.integers(1, 5), st.just(99)),  # partkey (99 dangles)
+        st.one_of(st.none(), st.integers(1, 3), st.just(99)),  # suppkey
+        st.one_of(st.none(), st.sampled_from([0.0, 1.0, 7.25, 23.5, 120.0])),  # qty (q6 <24, q19 bands)
+        st.one_of(st.none(), st.sampled_from([0.0, 1.5, 7.25, 100.25])),       # extendedprice
+        st.one_of(st.none(), st.sampled_from([0.0, 0.0625, 0.25, 0.5])),       # discount (0.0625 in q6 band)
+        st.sampled_from(["R", "N", "A", None]),             # returnflag (q10)
+        st.sampled_from(["O", "F", None]),                  # linestatus (q12)
+        st.one_of(st.none(), st.integers(0, 800)),          # shipdate offset (straddles 96..98)
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+def _write_wide_world(d, cust, orders, supp, li, part) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(1, 1 + len(cust)), pa.int64()),
+                "c_name": pa.array([n for n, *_ in cust], pa.string()),
+                "c_nationkey": pa.array([k for *_, k in cust], pa.int32()),
+                "c_acctbal": pa.array([b for _, _, b, _ in cust], pa.float64()),
+                "c_mktsegment": pa.array([s for _, s, *_ in cust], pa.string()),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(10, 10 + len(orders)), pa.int64()),
+                "o_custkey": pa.array([c for c, *_ in orders], pa.int64()),
+                "o_orderstatus": pa.array([s for _, s, *_ in orders], pa.string()),
+                "o_totalprice": pa.array([p for _, _, p, _, _ in orders], pa.float64()),
+                "o_orderdate": pa.array(
+                    [
+                        None if o is None else _TPCH_BASE_US + o * 86_400_000_000
+                        for _, _, _, o, _ in orders
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array([pr for *_, pr in orders], pa.string()),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(1, 1 + len(supp)), pa.int64()),
+                "s_name": pa.array([n for n, *_ in supp], pa.string()),
+                "s_nationkey": pa.array([k for _, k, _ in supp], pa.int32()),
+                "s_acctbal": pa.array([b for *_, b in supp], pa.float64()),
+            }
+        ),
+        d / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in li], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in li], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in li], pa.int64()),
+                "l_linenumber": pa.array(range(1, len(li) + 1), pa.int32()),
+                "l_quantity": pa.array([r[3] for r in li], pa.float64()),
+                "l_extendedprice": pa.array([r[4] for r in li], pa.float64()),
+                "l_discount": pa.array([r[5] for r in li], pa.float64()),
+                "l_tax": pa.array([0.0] * len(li), pa.float64()),
+                "l_returnflag": pa.array([r[6] for r in li], pa.string()),
+                "l_linestatus": pa.array([r[7] for r in li], pa.string()),
+                "l_shipdate": pa.array(
+                    [
+                        None if r[8] is None else _TPCH_BASE_US + r[8] * 86_400_000_000
+                        for r in li
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(1, 1 + len(part)), pa.int64()),
+                "p_name": pa.array([n for n, *_ in part], pa.string()),
+                "p_brand": pa.array([b for _, b, *_ in part], pa.string()),
+                "p_type": pa.array([t for _, _, t, _, _ in part], pa.string()),
+                "p_size": pa.array([s for _, _, _, s, _ in part], pa.int32()),
+                "p_retailprice": pa.array([r for *_, r in part], pa.float64()),
+            }
+        ),
+        d / "part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int32()),
+                "n_name": pa.array(
+                    ["NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5", None],
+                    pa.string(),
+                ),
+                "n_regionkey": pa.array([2, 0, 2, 1, 2, 0, None], pa.int32()),
+            }
+        ),
+        d / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1, 2], pa.int32()),
+                "r_name": pa.array(["ASIA", "EUROPE", "AMERICA"], pa.string()),
+            }
+        ),
+        d / "region.parquet",
+    )
+    return str(d)
+
+
+_WIDE_TABLES = ("customer", "orders", "supplier", "lineitem", "part", "nation", "region")
+
+
+class TestTpchWideShapeFuzz:
+    @settings(
+        max_examples=_ex(5), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_cust_rows, _wide_order_rows, _wide_supp_rows, _wide_li_rows, _wide_part_rows)
+    def test_part_shapes_parity_on_dirty_graphs(
+        self, spark, tmp_path_factory, cust, orders, supp, li, part
+    ):
+        """Q2 (min join-back), Q8 (market-share fraction), Q9 (contains-
+        LIKE profit), Q14 (promo fraction), Q16 (NOT IN + count
+        distinct), Q17 (correlated scalar avg), Q19 (OR-of-ANDs), Q20
+        (nested IN chain) — the part-joined shapes over dangling part
+        keys, NULL attributes, and fractions whose denominators can
+        vanish."""
+        d = tmp_path_factory.mktemp("fuzz_tpch_part")
+        sf = _write_wide_world(d, cust, orders, supp, li, part)
+        for name in (
+            "tpch_q2_min_cost_supplier",
+            "tpch_q8_market_share",
+            "tpch_q9_product_profit",
+            "tpch_q14_promo_revenue",
+            "tpch_q16_supplier_part_counts",
+            "tpch_q17_small_quantity_revenue",
+            "tpch_q19_discounted_revenue",
+            "tpch_q20_promotion_suppliers",
+        ):
+            _assert_parity(spark, name, sf, _WIDE_TABLES)
+
+    @settings(
+        max_examples=_ex(5), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_cust_rows, _wide_order_rows, _wide_supp_rows, _wide_li_rows, _wide_part_rows)
+    def test_order_fact_shapes_parity_on_dirty_graphs(
+        self, spark, tmp_path_factory, cust, orders, supp, li, part
+    ):
+        """Q6 (band-predicate scan: 0.0625 sits inside [0.05, 0.07]), Q7
+        (nation-pair disjunction by year), Q10 (returned-items top-20),
+        Q11 (global-fraction HAVING), Q12 (CASE counts), Q13 (outer-join
+        histogram), Q15 (argmax probe), plus the try_cast family over
+        castable/garbage priorities."""
+        d = tmp_path_factory.mktemp("fuzz_tpch_fact")
+        sf = _write_wide_world(d, cust, orders, supp, li, part)
+        for name in (
+            "tpch_q6_forecast_revenue",
+            "tpch_q7_volume_shipping",
+            "tpch_q10_returned_items",
+            "tpch_q11_important_parts",
+            "tpch_q12_shipmode_priority",
+            "tpch_q13_order_distribution",
+            "tpch_q15_top_supplier",
+            "scalar_try_functions",
+        ):
+            _assert_parity(spark, name, sf, _WIDE_TABLES)
+
+    @settings(
+        max_examples=_ex(6), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "a<b&c>d", 'q"uote', "wid&amp;get", "&lt;x",
+                             "tail>", "&", "<", "  sp  aces ", "é🐟", ""]),
+            st.sampled_from(["O", "F", "s<&>t", ""]),
+        ),
+        # orderkeys start at 10 and the spec keeps %7==0 rows — 5+ rows
+        # guarantee key 14 exists so the round trip is never vacuous
+        min_size=5,
+        max_size=14,
+    ))
+    def test_xml_roundtrip_parity_on_markup_text(self, spark, tmp_path_factory, rows):
+        """scalar_xml_functions serializes with entity escaping, so text
+        containing markup characters (including PRE-escaped entity
+        look-alikes, which must double-escape) survives the
+        concat -> xpath/from_xml round trip. Control chars stay out of
+        the domain (illegal in XML 1.0 even escaped); NULLs stay out
+        (concat null-propagates the whole row by design)."""
+        d = tmp_path_factory.mktemp("fuzz_xml")
+        orders = [(1, s, 7.25, 0, p) for p, s in rows]
+        sf = _write_wide_world(d, [], orders, [], [], [])
+        _assert_parity(spark, "scalar_xml_functions", sf, ("orders",))
