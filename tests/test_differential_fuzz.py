@@ -183,6 +183,11 @@ _DOC_SPECS = [
     # r6: the whole-array lambda family (filter/transform/list_sum,
     # first/last element, sorted-distinct prefix) over hostile tokens
     "scalar_array_functions",
+    # r6: the reference Part A pipeline end-to-end — to_json wire
+    # format -> from_json -> tokenize -> sliding/tumbling window avg —
+    # over hostile unicode text and NULL content/lang
+    "article_pipeline_sliding",
+    "article_pipeline_tumbling",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
@@ -1548,3 +1553,41 @@ class TestTpchWideShapeFuzz:
         orders = [(1, s, 7.25, 0, p) for p, s in rows]
         sf = _write_wide_world(d, [], orders, [], [], [])
         _assert_parity(spark, "scalar_xml_functions", sf, ("orders",))
+
+
+# -- nation-dim fuzz: collect_set/list aggregation semantics ---------------
+
+_nation_fuzz_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(
+            ["", "CHINA", "CHINA", "JAPAN", "été", "Ωmega", "a b", " "]
+        )),
+        st.one_of(st.none(), st.integers(0, 2)),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+class TestNationCollectFuzz:
+    @settings(
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_nation_fuzz_rows)
+    def test_collect_set_parity_on_dup_null_names(self, spark, tmp_path_factory, rows):
+        """collect_set semantics under generative attack: duplicate
+        names collapse, NULL elements DROP (all-NULL group -> empty set
+        -> ''), NULL group keys form their own group, and the sorted
+        '|' join must agree on byte-order for non-ASCII names."""
+        d = tmp_path_factory.mktemp("fuzz_nation")
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array(range(len(rows)), pa.int32()),
+                    "n_name": pa.array([n for n, _ in rows], pa.string()),
+                    "n_regionkey": pa.array([k for _, k in rows], pa.int32()),
+                }
+            ),
+            d / "nation.parquet",
+        )
+        _assert_parity(spark, "agg_collect", str(d), "nation")
