@@ -188,6 +188,9 @@ _DOC_SPECS = [
     # over hostile unicode text and NULL content/lang
     "article_pipeline_sliding",
     "article_pipeline_tumbling",
+    # r6: binary payload envelope — UTF-8 byte length + content hash
+    # must agree byte-exact on full-unicode text and NULL payloads
+    "multimodal_binary_metadata",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
