@@ -747,16 +747,19 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_xml_functions",
-    oracle="""
+    oracle=r"""
 SELECT o_orderkey,
        o_orderkey   AS xml_id,
-       -- from_xml (StaxXML, ignoreSurroundingSpaces) TRIMS the ASCII
-       -- spaces around element text — '  sp  aces ' parses as
-       -- 'sp  aces' (inner runs and NBSP survive; probed, fuzz-found).
-       -- The xpath_* path below preserves text exactly, so only this
-       -- column trims.
-       trim(o_orderpriority) AS xml_priority,
-       o_orderstatus   AS xml_status
+       -- Both XML paths newline-normalize element text (\r\n and bare
+       -- \r become \n — XML 1.0 §2.11, probed on tab/LF/CR corpora);
+       -- from_xml (StaxXML, ignoreSurroundingSpaces) additionally TRIMS
+       -- the surrounding whitespace class (Java trim: space/tab/LF/CR)
+       -- — '  sp  aces ' parses as 'sp  aces' (inner runs and NBSP
+       -- survive). After normalization no \r remains, so the trim
+       -- class is [\t\n ]. The xpath_* path only normalizes.
+       regexp_replace(regexp_replace(o_orderpriority, '\r\n|\r', chr(10), 'g'),
+                      '^[\t\n ]+|[\t\n ]+$', '', 'g') AS xml_priority,
+       regexp_replace(o_orderstatus, '\r\n|\r', chr(10), 'g') AS xml_status
 FROM orders WHERE o_orderkey % 7 = 0
 """,
     tags=("scalar", "xml"),
@@ -766,10 +769,13 @@ FROM orders WHERE o_orderkey % 7 = 0
         "re-extracted via xpath_long on an attribute, xpath_string on "
         "elements, and a from_xml struct field. The oracle is the round-trip "
         "identity — Spark must actually parse the XML to reproduce it — "
-        "except the from_xml column, which trims surrounding ASCII spaces "
-        "(StaxXML's ignoreSurroundingSpaces default), mirrored with trim(). "
-        "Domain: control chars are illegal in XML 1.0 even escaped; NULL "
-        "fields null the whole serialized row (concat semantics)."
+        "except that both parse paths newline-normalize (\\r(\\n) -> \\n) "
+        "and the from_xml column also trims surrounding whitespace "
+        "(StaxXML's ignoreSurroundingSpaces default = Java trim over "
+        "space/tab/LF/CR), mirrored with regexp_replace. Domain: tab/LF/CR "
+        "are LEGAL XML 1.0 chars (fuzzed); the other controls (< 0x20) are "
+        "illegal even escaped and stay out; NULL fields null the whole "
+        "serialized row (concat semantics)."
     ),
 )
 def scalar_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,8 +785,11 @@ def scalar_xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Serialize-side XML escaping ('&' FIRST, then the brackets) so
         # text containing markup characters survives the round trip —
         # xpath/from_xml resolve the entities back, keeping the oracle
-        # an identity projection. Control chars (< 0x20) remain outside
-        # the domain: they are illegal in XML 1.0 even escaped.
+        # an identity projection modulo the parser's newline
+        # normalization + from_xml trim (mirrored in the oracle).
+        # Tab/LF/CR are legal XML 1.0 text; the OTHER controls (< 0x20)
+        # remain outside the domain — illegal even escaped (probed:
+        # \x0b kills the xpath evaluator with a SAXParseException).
         c = F.replace(F.col(col), F.lit("&"), F.lit("&amp;"))
         c = F.replace(c, F.lit("<"), F.lit("&lt;"))
         return F.replace(c, F.lit(">"), F.lit("&gt;"))

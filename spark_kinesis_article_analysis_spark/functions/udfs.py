@@ -129,7 +129,15 @@ def udaf_pandas_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         # price is NULL returned 0.0 instead of NULL). With min_count=1
         # both sums go NaN when no valid value exists and the division
         # propagates it, exactly like the zero-Python twin.
-        return float((price * qty).sum(min_count=1) / qty.sum(min_count=1))
+        num = (price * qty).sum(min_count=1)
+        den = qty.sum(min_count=1)
+        # Zero/NULL denominator -> NULL, never inf: both Spark's
+        # non-ANSI Divide and DuckDB's double `/` yield NULL when the
+        # divisor is 0 — fuzz find #20 (quantities [1,-4,1,2] sum to
+        # exactly 0 and float division returned inf).
+        if pd.isna(num) or pd.isna(den) or den == 0.0:
+            return None
+        return float(num / den)
 
     li = load(spark, sf_dir, "lineitem")
     return (

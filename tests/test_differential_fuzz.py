@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from spark_kinesis_article_analysis_spark.registry import all_specs
@@ -507,6 +507,17 @@ class TestLineitemFuzz:
         max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_li_rows)
+    # fuzz find #20 pinned: one group's quantities sum to exactly 0.0
+    # with a non-NULL numerator — the weighted-mean UDAF must return
+    # NULL (like Spark/DuckDB double `/ 0`), not inf.
+    @example(
+        [
+            (10, 1.0, 10.25, 0.0, "R", "O", 0),
+            (10, -4.0, None, None, "R", "O", 0),
+            (10, 1.0, None, None, "R", "O", 0),
+            (10, 2.0, None, None, "R", "O", 0),
+        ]
+    )
     def test_aggregate_parity_on_tied_lineitems(self, spark, tmp_path_factory, rows):
         """Pricing summary, exact percentiles (interpolation on ties and
         NULLs), co-moment stats (corr of constant series: NULL-vs-NaN
@@ -1537,8 +1548,12 @@ class TestTpchWideShapeFuzz:
     @given(st.lists(
         st.tuples(
             st.sampled_from(["1-URGENT", "a<b&c>d", 'q"uote', "wid&amp;get", "&lt;x",
-                             "tail>", "&", "<", "  sp  aces ", "é🐟", ""]),
-            st.sampled_from(["O", "F", "s<&>t", ""]),
+                             "tail>", "&", "<", "  sp  aces ", "é🐟", "",
+                             # tab/LF/CR are legal XML 1.0 text: from_xml
+                             # trims them at the ends, the parser
+                             # normalizes \r(\n) -> \n everywhere
+                             "\tT1\t", "a\r\nb", "\rcr\r", " \t mix \n", "\r\n"]),
+            st.sampled_from(["O", "F", "s<&>t", "", "n\nl", "\tF\r"]),
         ),
         # orderkeys start at 10 and the spec keeps %7==0 rows — 5+ rows
         # guarantee key 14 exists so the round trip is never vacuous
@@ -1549,9 +1564,11 @@ class TestTpchWideShapeFuzz:
         """scalar_xml_functions serializes with entity escaping, so text
         containing markup characters (including PRE-escaped entity
         look-alikes, which must double-escape) survives the
-        concat -> xpath/from_xml round trip. Control chars stay out of
-        the domain (illegal in XML 1.0 even escaped); NULLs stay out
-        (concat null-propagates the whole row by design)."""
+        concat -> xpath/from_xml round trip. Tab/LF/CR are in the
+        corpus (legal XML 1.0 text — parser newline-normalizes, from_xml
+        trims); NON-whitespace control chars stay out of the domain
+        (illegal in XML 1.0 even escaped); NULLs stay out (concat
+        null-propagates the whole row by design)."""
         d = tmp_path_factory.mktemp("fuzz_xml")
         orders = [(1, s, 7.25, 0, p) for p, s in rows]
         sf = _write_wide_world(d, [], orders, [], [], [])
@@ -1594,3 +1611,201 @@ class TestNationCollectFuzz:
             d / "nation.parquet",
         )
         _assert_parity(spark, "agg_collect", str(d), "nation")
+
+
+# -- streaming disorder fuzz: random micro-batch splits + late arrivals -----
+# TestStreamingTwinFuzz delivers rows in EVENT order (nothing is ever
+# late), so the watermark's late-drop path across micro-batch
+# boundaries is dark there. This harness fuzzes exactly that: arbitrary
+# arrival order, hypothesis-chosen batch boundaries (one parquet file
+# per micro-batch, maxFilesPerTrigger=1), pre-epoch event times
+# (negative-epoch window floors — batch fuzz find #11 territory), and
+# NULL publish_date. The expectation is not the batch pipeline (batch
+# ignores watermarks) but a row-level mirror of Spark's documented
+# watermark protocol:
+#   wm for micro-batch i = max(event time through batch i-1) - delay
+#   a row's contribution to window w survives iff w.end > wm_i
+#   append mode emits exactly the windows with w.end <= final wm
+# Streamed output must EQUAL the modeled emission map (keys and
+# averages, engine-computed word counts). Second components avoid 10 so
+# no watermark ever ties a minute boundary: the <-vs-<= eviction edge
+# is out of the domain by construction.
+
+_BASE_2024_S = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+_WM_DELAY_S = 10
+_evt_secs = st.sampled_from([0, 3, 11, 29, 47, 59])  # never 10
+_evt_epoch = st.one_of(
+    st.none(),  # missing publish_date -> the window's null filter drops it
+    st.tuples(st.sampled_from([0, 1, 2, 3, 5, 9, 30]), _evt_secs).map(
+        lambda t: _BASE_2024_S + t[0] * 60 + t[1]
+    ),
+    # pre-epoch 1969-12-31 23:4x:xx (epoch in [-1200, -661], sec != 10;
+    # band chosen so no pre-epoch window END lands exactly on epoch 0 —
+    # the initial watermark — keeping the <-vs-<= tie out of the domain)
+    st.tuples(st.sampled_from([0, 2, 5, 8]), _evt_secs).map(
+        lambda t: -1200 + t[0] * 60 + t[1]
+    ),
+)
+_disorder_chunks = st.lists(
+    st.lists(
+        st.tuples(_evt_epoch, _authors, _contents, st.booleans()),
+        min_size=0,  # empty file = a no-new-data micro-batch
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+_disorder_seq = __import__("itertools").count()
+
+
+def _fmt_utc(epoch_s: int) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(epoch_s, tz=_dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
+def _model_disorder_emission(per_chunk, wc, width_s=300, slide_s=60, delay_s=_WM_DELAY_S):
+    """Mirror Spark's per-micro-batch watermark protocol over (article,
+    event-epoch) chunks; returns {(window_start_str, author): avg}.
+
+    PROBED (Spark 4, maxFilesPerTrigger=1 + AvailableNow, progress
+    ``eventTime.watermark`` + ``numRowsDroppedByWatermark``): micro-batch
+    i runs with TWO watermark values — late INPUT is filtered against
+    the previous batch's watermark W_{i-1} (windows with end <= W_{i-1}
+    are dropped), while EVICTION/emission at the end of the batch uses
+    the current W_i = max(event time through batch i-1) - delay. A row
+    late relative to W_i but not W_{i-1} therefore still merges into
+    state and its window emits in that same batch (observed: a late row
+    merging into a pre-existing window's avg before eviction). The
+    filter's one-batch lag is exactly what prevents duplicate emission:
+    any window already evicted in batch j has end <= W_j <= W_{i-1} for
+    every later batch i. A trailing no-data batch advances the final
+    eviction watermark to global-max - delay. The INITIAL watermark is
+    epoch 0 (1970-01-01, shown in batch 0's progress), not -inf — so
+    pre-epoch events are born late and never contribute (probed: their
+    windows are filtered even in the very first batch)."""
+    w_filter = 0  # W_{i-1}: late-input filter for the current batch
+    w_cur = 0  # W_i: eviction watermark (monotone, floored at epoch 0)
+    contrib: dict[tuple[int, object], list] = {}
+    for rows in per_chunk:
+        for a, e in rows:
+            if e is None:
+                continue
+            m = e // slide_s  # floor division — negative-epoch safe
+            for s in range(m - width_s // slide_s + 1, m + 1):
+                w_start, w_end = s * slide_s, s * slide_s + width_s
+                if w_end <= w_filter:
+                    continue  # late beyond the previous watermark: dropped
+                contrib.setdefault((w_start, a["author"]), []).append(
+                    wc[a["article_id"]]
+                )
+        w_filter = w_cur
+        evts = [e for _, e in rows if e is not None]
+        if evts:
+            w_cur = max(w_cur, max(evts) - delay_s)
+    expected = {}
+    for (w_start, author), vals in contrib.items():
+        if w_start + width_s > w_cur:
+            continue  # window never closed -> append mode never emits it
+        good = [v for v in vals if v is not None]
+        avg = float(sum(good)) / len(good) if good else None
+        expected[(_fmt_utc(w_start), author)] = avg
+    return expected
+
+
+class TestStreamingDisorderFuzz:
+    @settings(
+        max_examples=_ex(4), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_disorder_chunks)
+    # pinned shape: an early batch advances the watermark past a later
+    # batch's straggler (cross-boundary late drop), plus a pre-epoch row,
+    # a NULL-date row, and a far-future closer in its own batch
+    @example(
+        [
+            [(_BASE_2024_S + 569, "alice", "w1 w2 w3", False)],
+            [
+                (_BASE_2024_S + 63, "alice", "x", False),   # late, fully dropped
+                (-853, "bob", "y z", False),                # pre-epoch: born late
+                (None, "zoe", "c", False),                  # null event time
+                (_BASE_2024_S + 587, "bob", "a b", False),  # on-time straggler peer
+            ],
+            [(_BASE_2024_S + 1847, "zoe", "c", False)],     # closer
+        ]
+    )
+    def test_stream_matches_watermark_model_under_disorder(
+        self, spark, tmp_path_factory, chunks
+    ):
+        """Append-mode sliding-window aggregation over out-of-order
+        micro-batches must emit EXACTLY the watermark-model emission map:
+        late contributions dropped per-batch-watermark, never-closed
+        windows withheld, pre-epoch windows floored correctly, NULL
+        event times ignored. Runs under Trigger.AvailableNow (drain all
+        files, one per micro-batch, then stop)."""
+        import os
+        import time
+
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        idx = 0
+        per_chunk, arts = [], []
+        for chunk in chunks:
+            rows = []
+            for e, author, content, drop_content in chunk:
+                a = {"article_id": f"a{idx}", "title": f"t{idx}", "author": author}
+                if e is not None:
+                    a["publish_date"] = _fmt_utc(e)
+                if not drop_content:
+                    a["content"] = content
+                rows.append((a, e))
+                arts.append(a)
+                idx += 1
+            per_chunk.append(rows)
+
+        pdir = tmp_path_factory.mktemp("fuzz_disorder") / "payload"
+        pdir.mkdir()
+        t0 = time.time()
+        for i, rows in enumerate(per_chunk):
+            f = pdir / f"chunk{i:03d}.parquet"
+            pq.write_table(
+                pa.table({"data": pa.array([json.dumps(a) for a, _ in rows], pa.string())}),
+                f,
+            )
+            # file-source batch order follows modification time: pin it
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        name = f"disorder_{next(_disorder_seq)}"
+        stream = sp.article_stream(
+            sp.payload_stream(spark, str(pdir)), watermark=f"{_WM_DELAY_S} seconds"
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+        streamed = {
+            (str(r.window_start), r.author): r.average_word_count
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+        # engine-computed word counts (tokenizer is NOT reimplemented here)
+        if arts:
+            parsed = sp.with_word_count(
+                sp.parse_articles(
+                    spark.createDataFrame([(json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA)
+                )
+            )
+            wc = {
+                r.article_id: None if r.word_count is None else int(r.word_count)
+                for r in parsed.select("article_id", "word_count").collect()
+            }
+        else:
+            wc = {}
+
+        assert streamed == _model_disorder_emission(per_chunk, wc)
