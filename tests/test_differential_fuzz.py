@@ -1809,3 +1809,73 @@ class TestStreamingDisorderFuzz:
             wc = {}
 
         assert streamed == _model_disorder_emission(per_chunk, wc)
+
+
+# -- layout/cross fuzz: the two oracle-backed specs no harness reached ------
+
+_zorder_event_rows = st.lists(
+    st.tuples(
+        # ts offset seconds: 2024 band, pre-epoch band (negative minute
+        # indexes — truncate-vs-floor territory), or NULL (excluded by
+        # the spec's NULL-ts rule)
+        st.one_of(
+            st.none(),
+            st.integers(0, 86_400),
+            st.integers(-1_704_067_320, -1_704_067_080),
+        ),
+        # user_id: NULL (NULL zbucket group), negatives (signed domain
+        # lows), and a huge outlier (stretches the quantization domain
+        # so every other row lands in cell 0)
+        st.one_of(st.none(), st.integers(-3, 3), st.just(1_000_000)),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+_region_fuzz_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 3)),  # r_regionkey: dups + NULLs
+        st.one_of(st.none(), st.sampled_from(["ASIA", "EUROPE", "", "ASIA"])),
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+class TestLayoutCrossFuzz:
+    @settings(
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_zorder_event_rows)
+    def test_zorder_bucket_parity_on_hostile_domains(self, spark, tmp_path_factory, rows):
+        """Z-order bucket assignment over NULL/negative/outlier user_ids
+        and NULL/pre-epoch timestamps: the quantization is pure integer
+        arithmetic generated from ONE formula for both engines, so any
+        divergence is an integer-division or NULL-propagation semantic,
+        not a layout choice. Degenerate single-value domains (hi == lo)
+        and the NULL-stat corpus (every ts NULL) are reachable."""
+        d = tmp_path_factory.mktemp("fuzz_zorder")
+        ev = [(off, u, "view", 1.0) for off, u in rows]
+        sf = _write_events(d, ev)
+        _assert_parity(spark, "layout_zorder_cluster", sf, "events")
+
+    @settings(
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_region_fuzz_rows)
+    def test_cross_join_parity_on_dup_null_regions(self, spark, tmp_path_factory, rows):
+        """Bounded cross join over a fuzzed region dim: duplicate keys
+        multiply pair multiplicities, NULL keys fail the <> predicate on
+        both engines (never self-pair, never cross-pair), empty dims
+        give the empty product."""
+        d = tmp_path_factory.mktemp("fuzz_cross")
+        pq.write_table(
+            pa.table(
+                {
+                    "r_regionkey": pa.array([k for k, _ in rows], pa.int32()),
+                    "r_name": pa.array([n for _, n in rows], pa.string()),
+                }
+            ),
+            d / "region.parquet",
+        )
+        _assert_parity(spark, "join_cross_bounded", str(d), "region")
