@@ -551,6 +551,61 @@ class TestLineitemFuzz:
             _assert_parity(spark, name, sf, "lineitem")
 
 
+class TestSketchFuzz:
+    @settings(
+        max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_li_rows)
+    def test_sketches_exact_on_small_corpora(self, spark, tmp_path_factory, rows):
+        """The two rows-only sketch specs, generatively pinned: on a
+        <= 18-row corpus both HLL forms (datasketches hll_sketch_agg +
+        union merge; HLL++ approx_count_distinct at rsd=0.02) operate in
+        their sparse/exact regimes and GK percentile_approx at accuracy
+        10000 returns actual data members — so the 'approximate' answers
+        must be EXACTLY right: distinct counts equal Python-exact
+        counts (per group, NULL-flag groups included, and the ALL row
+        merged from per-group sketches), percentiles are members of the
+        group's non-NULL price set in quartile order, and all-NULL
+        price groups yield NULL percentiles."""
+        from collections import defaultdict
+
+        d = tmp_path_factory.mktemp("fuzz_sketch")
+        sf = _write_lineitem(d, rows)
+        flags = defaultdict(lambda: {"orders": set(), "parts": set(), "prices": []})
+        for i, r in enumerate(rows):
+            g = flags[r[4]]
+            g["orders"].add(r[0])
+            g["parts"].add(i % 4 + 1)  # matches _write_lineitem's l_partkey
+            if r[2] is not None:
+                g["prices"].append(r[2])
+
+        hll = {
+            r["l_returnflag"]: r["approx_orders"]
+            for r in all_specs()["agg_hll_partial_merge"].build(spark, sf).collect()
+        }
+        assert hll.pop("ALL") == len({r[0] for r in rows})
+        assert hll == {f: len(g["orders"]) for f, g in flags.items()}
+
+        sk = {
+            r["l_returnflag"]: r
+            for r in all_specs()["agg_approx_sketches"].build(spark, sf).collect()
+        }
+        assert set(sk) == set(flags)
+        for f, g in flags.items():
+            r = sk[f]
+            assert r["approx_parts"] == len(g["parts"])
+            if not g["prices"]:
+                assert (
+                    r["approx_median_price"] is None
+                    and r["q25"] is None
+                    and r["q75"] is None
+                )
+            else:
+                vs = set(g["prices"])
+                assert {r["q25"], r["approx_median_price"], r["q75"]} <= vs
+                assert r["q25"] <= r["approx_median_price"] <= r["q75"]
+
+
 _vocab_texts = st.one_of(
     st.none(),
     st.just(""),
