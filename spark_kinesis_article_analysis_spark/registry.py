@@ -228,7 +228,10 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # r6 fuzz find: from_xml (StaxXML ignoreSurroundingSpaces) trims
         # ASCII spaces around element text where xpath_string preserves
         # them — the from_xml-sourced oracle column now mirrors with
-        # trim(); the builder also entity-escapes markup chars
+        # trim(); the builder also entity-escapes markup chars.
+        # r7 (ADVICE r6 low): domain extended to tab/LF/CR — the oracle
+        # now mirrors the parser's \r(\n)->\n normalization on BOTH
+        # columns and from_xml's full Java-trim class via regexp_replace
         "scalar_xml_functions",
         # r6 fuzz find: Spark's double->BIGINT cast truncates toward
         # zero, DuckDB's CAST rounds half away (23.5 -> 24) — the
