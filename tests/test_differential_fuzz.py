@@ -1934,3 +1934,122 @@ class TestLayoutCrossFuzz:
             d / "region.parquet",
         )
         _assert_parity(spark, "join_cross_bounded", str(d), "region")
+
+
+# -- session-window split fuzz: cross-batch session merges -------------------
+# TestSessionWindowParity pins ONE fixture; this fuzzes the axis that
+# matters at scale: a session whose events span several micro-batches
+# must merge into the same (start, end, count, avg) the batch engine
+# computes. Arrival is event-ordered (so nothing is ever late and the
+# emission model is exact): streamed output must EQUAL the batch
+# session set restricted to sessions closed by the final watermark
+# (end <= global max event time - delay). Second components come from
+# the no-tie set, and the session end = last_ts + gap adds 300 s
+# (≡ 0 mod 60), so end-vs-watermark ties stay out of the domain
+# (pairwise second differences never ≡ ±10 mod 60).
+
+_session_rows = st.lists(
+    st.tuples(
+        st.tuples(st.sampled_from([0, 1, 2, 3, 4, 6, 9, 20]), _evt_secs).map(
+            lambda t: t[0] * 60 + t[1]
+        ),
+        st.sampled_from(["alice", "bob", None]),
+        _contents,
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+class TestSessionSplitFuzz:
+    @settings(
+        max_examples=_ex(4), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_session_rows, st.lists(st.integers(1, 4), min_size=1, max_size=8))
+    def test_session_merge_across_random_batch_splits(
+        self, spark, tmp_path_factory, rows, sizes
+    ):
+        """Session windows (5-minute gap) merged across hypothesis-chosen
+        micro-batch boundaries equal the batch engine's sessions, keys
+        and aggregates, for every session closed by the final watermark."""
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        ordered = sorted(enumerate(rows), key=lambda x: x[1][0])
+        arts = []
+        for i, (off, author, content) in ordered:
+            a = {"article_id": f"a{i}", "title": f"t{i}", "author": author,
+                 "publish_date": _fmt_utc(_BASE_2024_S + off)}
+            if content is not None:
+                a["content"] = content
+            arts.append(a)
+
+        chunks, pos, si = [], 0, 0
+        while pos < len(arts):
+            n = sizes[si % len(sizes)]
+            chunks.append(arts[pos:pos + n])
+            pos += n
+            si += 1
+
+        pdir = tmp_path_factory.mktemp("fuzz_sess") / "payload"
+        pdir.mkdir()
+        t0 = time.time()
+        for i, chunk in enumerate(chunks):
+            f = pdir / f"chunk{i:03d}.parquet"
+            pq.write_table(
+                pa.table({"data": pa.array([json.dumps(a) for a in chunk], pa.string())}),
+                f,
+            )
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        name = f"sess_split_{next(_disorder_seq)}"
+        q = (
+            sp.article_session_stream(sp.payload_stream(spark, str(pdir)))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+        streamed = {
+            (str(r.session_start), str(r.session_end), r.author): (
+                r.n_articles,
+                r.average_word_count,
+            )
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+        parsed = sp.with_word_count(
+            sp.parse_articles(
+                spark.createDataFrame([(json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA)
+            )
+        )
+        batch = {
+            (str(r.session_start), str(r.session_end), r.author): (
+                r.n_articles,
+                r.average_word_count,
+            )
+            for r in parsed.groupBy(
+                F.session_window("publish_date", "5 minutes"), "author"
+            )
+            .agg(
+                F.count("*").alias("n_articles"),
+                F.avg("word_count").alias("average_word_count"),
+            )
+            .select(
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "author",
+                "n_articles",
+                "average_word_count",
+            )
+            .collect()
+        }
+        final_wm = _fmt_utc(_BASE_2024_S + max(off for off, *_ in rows) - _WM_DELAY_S)
+        expected = {k: v for k, v in batch.items() if k[1] <= final_wm}
+        assert streamed == expected
