@@ -2053,3 +2053,81 @@ class TestSessionSplitFuzz:
         final_wm = _fmt_utc(_BASE_2024_S + max(off for off, *_ in rows) - _WM_DELAY_S)
         expected = {k: v for k, v in batch.items() if k[1] <= final_wm}
         assert streamed == expected
+
+
+# -- streaming dedup split fuzz: duplicates crossing micro-batch state -------
+# dropDuplicatesWithinWatermark guarantees a duplicate key is dropped
+# whenever it arrives within the watermark delay of the first
+# occurrence; beyond that horizon the behavior is implementation-
+# defined (state evicted). The generator therefore keeps every event
+# inside a 5-minute span under a 10-minute watermark, where the
+# guarantee is total: the streamed output must contain EXACTLY the
+# distinct article_ids, once each, no matter how hypothesis slices the
+# arrival into micro-batches. (Which duplicate row's payload survives
+# is engine-arbitrary within a batch, so only keys are asserted.)
+
+_dedup_stream_rows = st.lists(
+    st.tuples(
+        st.integers(0, 7),  # article_id collision space (heavy dups)
+        st.tuples(st.sampled_from([0, 1, 2, 3, 4]), _evt_secs).map(
+            lambda t: t[0] * 60 + t[1]
+        ),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+class TestStreamingDedupSplitFuzz:
+    @settings(
+        max_examples=_ex(4), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_dedup_stream_rows, st.lists(st.integers(1, 4), min_size=1, max_size=8))
+    def test_dedup_keys_exact_within_watermark_horizon(
+        self, spark, tmp_path_factory, rows, sizes
+    ):
+        import os
+        import time
+
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        arts = [
+            {
+                "article_id": f"k{key}",
+                "title": f"t{i}",
+                "author": "a",
+                "publish_date": _fmt_utc(_BASE_2024_S + off),
+                "content": "w",
+            }
+            for i, (key, off) in enumerate(rows)
+        ]
+        chunks, pos, si = [], 0, 0
+        while pos < len(arts):
+            n = sizes[si % len(sizes)]
+            chunks.append(arts[pos:pos + n])
+            pos += n
+            si += 1
+
+        pdir = tmp_path_factory.mktemp("fuzz_dstream") / "payload"
+        pdir.mkdir()
+        t0 = time.time()
+        for i, chunk in enumerate(chunks):
+            f = pdir / f"chunk{i:03d}.parquet"
+            pq.write_table(
+                pa.table({"data": pa.array([json.dumps(a) for a in chunk], pa.string())}),
+                f,
+            )
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        name = f"dstream_{next(_disorder_seq)}"
+        q = (
+            sp.article_dedup_stream(sp.payload_stream(spark, str(pdir)), watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+        kept = [r.article_id for r in spark.sql(f"SELECT article_id FROM {name}").collect()]
+        assert sorted(kept) == sorted({f"k{key}" for key, _ in rows})
