@@ -335,7 +335,15 @@ SELECT c_custkey,
        -- backslash THROWS), silently hashing different bytes than Spark
        -- for any text containing a backslash (fuzz find #18). encode()
        -- is the faithful UTF-8-bytes conversion.
-       to_base64(encode(c_name))         AS name_b64,
+       -- MIME chunking (fuzz find #21): Spark's base64() is Java's
+       -- MIME encoder — a CRLF every 76 output chars, no trailing
+       -- separator, no conf to disable in Spark 4 (probed). Inputs
+       -- >= 57 UTF-8 bytes cross the wrap; mirror by inserting CRLF
+       -- per 76 chars then stripping the trailing one (RE2 has no
+       -- lookahead; base64 text never ends in CR/LF otherwise).
+       rtrim(regexp_replace(to_base64(encode(c_name)),
+                            '(.{76})', '\\1' || chr(13) || chr(10), 'g'),
+             chr(13) || chr(10))          AS name_b64,
        hex(encode(c_name))               AS name_hex
 FROM customer
 """,

@@ -223,7 +223,10 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         "join_asof",
         # r5 fuzz find #18: DuckDB VARCHAR->BLOB cast interprets \xHH
         # escapes (lone '\' throws, '\x41' hashes the wrong byte) —
-        # oracle rewritten with encode(), the faithful UTF-8 conversion
+        # oracle rewritten with encode(), the faithful UTF-8 conversion.
+        # r7 fuzz find #21: Spark's base64() is Java's MIME encoder
+        # (CRLF every 76 chars, unconditional in Spark 4) — oracle now
+        # chunk-mirrors; inputs >= 57 UTF-8 bytes crossed the wrap
         "scalar_hash_encode",
         # r6 fuzz find: from_xml (StaxXML ignoreSurroundingSpaces) trims
         # ASCII spaces around element text where xpath_string preserves

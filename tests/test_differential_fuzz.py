@@ -1358,11 +1358,16 @@ class TestCustomerStringFuzz:
         max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_uni_name_rows)
+    # fuzz find #21 pinned: a 58-UTF-8-byte name crosses base64's
+    # 76-char MIME line wrap — Spark inserts CRLF where DuckDB's
+    # to_base64 is unbroken; the oracle now mirrors the chunking.
+    @example(["000000000000" + "\x80" * 9 + "\U00010000" * 7])
     def test_hash_encode_parity_on_full_unicode(self, spark, tmp_path_factory, names):
         """md5/sha2/base64/hex over arbitrary unicode — both engines
         hash the UTF-8 byte sequence, so the full codepoint range
         applies, astral plane / 4-byte UTF-8 included (unlike the
-        case/levenshtein/slice specs bounded at 0x2FFF above)."""
+        case/levenshtein/slice specs bounded at 0x2FFF above).
+        Long names (>= 57 UTF-8 bytes) cross base64's MIME wrap."""
         d = tmp_path_factory.mktemp("fuzz_cust_uni")
         sf = _write_customer_strs(d, [(n, "BUILDING", 1) for n in names])
         _assert_parity(spark, "scalar_hash_encode", sf, "customer")
