@@ -2136,3 +2136,117 @@ class TestStreamingDedupSplitFuzz:
         assert q.awaitTermination(300), "AvailableNow drain did not terminate"
         kept = [r.article_id for r in spark.sql(f"SELECT article_id FROM {name}").collect()]
         assert sorted(kept) == sorted({f"k{key}" for key, _ in rows})
+
+
+class TestUpdateModeDisorderFuzz:
+    @settings(
+        max_examples=_ex(3), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_disorder_chunks)
+    def test_update_mode_latest_matches_contribution_model(
+        self, spark, tmp_path_factory, chunks
+    ):
+        """UPDATE output mode under the same disorder corpus as the
+        append-mode harness: every window with >= 1 surviving
+        contribution re-emits its current aggregate whenever a batch
+        touches it, so the LATEST emission per (window, author) — taken
+        from a foreachBatch capture keyed by batch_id — must equal the
+        aggregate over ALL contributions that survived the late-input
+        filter, with NO closed-window cutoff (update mode emits open
+        windows too). Exercises the same probed two-watermark protocol
+        from the eviction-free side."""
+        import os
+        import time
+
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        idx = 0
+        per_chunk, arts = [], []
+        for chunk in chunks:
+            rows = []
+            for e, author, content, drop_content in chunk:
+                a = {"article_id": f"a{idx}", "title": f"t{idx}", "author": author}
+                if e is not None:
+                    a["publish_date"] = _fmt_utc(e)
+                if not drop_content:
+                    a["content"] = content
+                rows.append((a, e))
+                arts.append(a)
+                idx += 1
+            per_chunk.append(rows)
+
+        base = tmp_path_factory.mktemp("fuzz_upd")
+        pdir = base / "payload"
+        pdir.mkdir()
+        t0 = time.time()
+        for i, rows in enumerate(per_chunk):
+            f = pdir / f"chunk{i:03d}.parquet"
+            pq.write_table(
+                pa.table({"data": pa.array([json.dumps(a) for a, _ in rows], pa.string())}),
+                f,
+            )
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        emissions: list[tuple[int, str, object, float]] = []
+
+        def capture(batch_df, batch_id):
+            for r in batch_df.collect():
+                emissions.append(
+                    (batch_id, str(r.window_start), r.author, r.average_word_count)
+                )
+
+        stream = sp.article_stream(
+            sp.payload_stream(spark, str(pdir)), watermark=f"{_WM_DELAY_S} seconds"
+        )
+        q = sp.start_foreach_batch_sink(
+            stream,
+            checkpoint=str(base / "ckpt"),
+            handler=capture,
+            output_mode="update",
+            available_now=True,
+        )
+        assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+
+        latest: dict[tuple[str, object], float] = {}
+        for _, ws, author, avg in sorted(emissions, key=lambda t: t[0]):
+            latest[(ws, author)] = avg
+
+        if arts:
+            parsed = sp.with_word_count(
+                sp.parse_articles(
+                    spark.createDataFrame([(json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA)
+                )
+            )
+            wc = {
+                r.article_id: None if r.word_count is None else int(r.word_count)
+                for r in parsed.select("article_id", "word_count").collect()
+            }
+        else:
+            wc = {}
+
+        # same contribution model as append mode, WITHOUT the closure
+        # cutoff: every surviving-contribution window appears
+        w_filter, w_cur = 0, 0
+        contrib: dict[tuple[int, object], list] = {}
+        for rows in per_chunk:
+            for a, e in rows:
+                if e is None:
+                    continue
+                m = e // 60
+                for s in range(m - 4, m + 1):
+                    if s * 60 + 300 <= w_filter:
+                        continue
+                    contrib.setdefault((s * 60, a["author"]), []).append(
+                        wc[a["article_id"]]
+                    )
+            w_filter = w_cur
+            evts = [e for _, e in rows if e is not None]
+            if evts:
+                w_cur = max(w_cur, max(evts) - _WM_DELAY_S)
+        expected = {}
+        for (w_start, author), vals in contrib.items():
+            good = [v for v in vals if v is not None]
+            expected[(_fmt_utc(w_start), author)] = (
+                float(sum(good)) / len(good) if good else None
+            )
+        assert latest == expected
