@@ -2271,6 +2271,76 @@ _stateful_rows = st.lists(
 )
 
 
+def _run_stateful_fuzz(spark, tmp_path_factory, rows, sizes, op):
+    """Shared body for the v1/v2 stateful-op fuzz below."""
+    import os
+    import time
+
+    from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+    arts = []
+    for i, (author, content) in enumerate(rows):
+        a = {
+            "article_id": f"a{i}",
+            "title": f"t{i}",
+            "author": author,
+            "publish_date": _fmt_utc(_BASE_2024_S + i),
+        }
+        if content is not None:
+            a["content"] = content
+        arts.append(a)
+    chunks, pos, si = [], 0, 0
+    while pos < len(arts):
+        n = sizes[si % len(sizes)]
+        chunks.append(arts[pos:pos + n])
+        pos += n
+        si += 1
+
+    pdir = tmp_path_factory.mktemp("fuzz_state") / "payload"
+    pdir.mkdir()
+    t0 = time.time()
+    for i, chunk in enumerate(chunks):
+        f = pdir / f"chunk{i:03d}.parquet"
+        pq.write_table(
+            pa.table({"data": pa.array([json.dumps(a) for a in chunk], pa.string())}),
+            f,
+        )
+        os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    parsed = sp.with_word_count(sp.parse_articles(sp.payload_stream(spark, str(pdir))))
+    stats = op(parsed.select("author", "word_count"))
+    name = f"stateful_{next(_disorder_seq)}"
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+    latest: dict[object, tuple[int, float]] = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        cur = latest.get(r.author)
+        if cur is None or r.n_articles >= cur[0]:  # n is monotone per key
+            latest[r.author] = (r.n_articles, r.mean_word_count)
+
+    wc_rows = sp.with_word_count(
+        sp.parse_articles(
+            spark.createDataFrame([(json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA)
+        )
+    ).select("author", "word_count").collect()
+    expected: dict[object, tuple[int, float]] = {}
+    agg: dict[object, tuple[int, float]] = {}
+    for r in wc_rows:
+        n, total = agg.get(r.author, (0, 0.0))
+        if r.word_count is not None:
+            n, total = n + 1, total + float(r.word_count)
+        agg[r.author] = (n, total)
+    for author, (n, total) in agg.items():
+        expected[author] = (n, total / n if n else 0.0)
+    assert latest == expected
+
+
 class TestStatefulOpFuzz:
     @settings(
         max_examples=_ex(3), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
@@ -2279,69 +2349,33 @@ class TestStatefulOpFuzz:
     def test_running_author_stats_matches_batch_fold(
         self, spark, tmp_path_factory, rows, sizes
     ):
-        import os
-        import time
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        _run_stateful_fuzz(spark, tmp_path_factory, rows, sizes, sp.running_author_stats)
+
+    @settings(
+        max_examples=_ex(2), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_stateful_rows, st.lists(st.integers(1, 4), min_size=1, max_size=8))
+    def test_running_author_stats_v2_matches_batch_fold(
+        self, spark, tmp_path_factory, rows, sizes
+    ):
+        """Same fold invariant through the state API v2 processor
+        (transformWithStateInPandas + RocksDB state store); skipped
+        where protobuf (the v2 wire format) is absent."""
+        pytest.importorskip("google.protobuf")
 
         from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
 
-        arts = []
-        for i, (author, content) in enumerate(rows):
-            a = {
-                "article_id": f"a{i}",
-                "title": f"t{i}",
-                "author": author,
-                "publish_date": _fmt_utc(_BASE_2024_S + i),
-            }
-            if content is not None:
-                a["content"] = content
-            arts.append(a)
-        chunks, pos, si = [], 0, 0
-        while pos < len(arts):
-            n = sizes[si % len(sizes)]
-            chunks.append(arts[pos:pos + n])
-            pos += n
-            si += 1
-
-        pdir = tmp_path_factory.mktemp("fuzz_state") / "payload"
-        pdir.mkdir()
-        t0 = time.time()
-        for i, chunk in enumerate(chunks):
-            f = pdir / f"chunk{i:03d}.parquet"
-            pq.write_table(
-                pa.table({"data": pa.array([json.dumps(a) for a in chunk], pa.string())}),
-                f,
-            )
-            os.utime(f, (t0 + i * 10, t0 + i * 10))
-
-        parsed = sp.with_word_count(sp.parse_articles(sp.payload_stream(spark, str(pdir))))
-        stats = sp.running_author_stats(parsed.select("author", "word_count"))
-        name = f"stateful_{next(_disorder_seq)}"
-        q = (
-            stats.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-        assert q.awaitTermination(300), "AvailableNow drain did not terminate"
-        latest: dict[object, tuple[int, float]] = {}
-        for r in spark.sql(f"SELECT * FROM {name}").collect():
-            cur = latest.get(r.author)
-            if cur is None or r.n_articles >= cur[0]:  # n is monotone per key
-                latest[r.author] = (r.n_articles, r.mean_word_count)
-
-        wc_rows = sp.with_word_count(
-            sp.parse_articles(
-                spark.createDataFrame([(json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA)
+        try:
+            _run_stateful_fuzz(
+                spark, tmp_path_factory, rows, sizes, sp.running_author_stats_v2
             )
-        ).select("author", "word_count").collect()
-        expected: dict[object, tuple[int, float]] = {}
-        agg: dict[object, tuple[int, float]] = {}
-        for r in wc_rows:
-            n, total = agg.get(r.author, (0, 0.0))
-            if r.word_count is not None:
-                n, total = n + 1, total + float(r.word_count)
-            agg[r.author] = (n, total)
-        for author, (n, total) in agg.items():
-            expected[author] = (n, total / n if n else 0.0)
-        assert latest == expected
+        finally:
+            if old is not None:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
