@@ -2379,3 +2379,89 @@ class TestStatefulOpFuzz:
         finally:
             if old is not None:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+# -- rows-only invariant fuzz: multimodal stubs, enrichment, sampling --------
+# These five specs are rows-only by design (nondeterministic columns or
+# Python-stub decoders) — the driver only checks they run. Their
+# DETERMINISTIC cores are still generatively checkable: the fake
+# decoder/frame-sampler derive features purely from payload bytes (so a
+# Python model reproduces them exactly), uuid enrichment must be
+# 1-row-per-input with globally distinct ids, and seeded sampling must
+# be reproducible and a subset.
+
+class TestRowsOnlyInvariantFuzz:
+    @settings(
+        max_examples=_ex(6), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_doc_rows)
+    def test_multimodal_stub_plumbing_on_hostile_text(
+        self, spark, tmp_path_factory, rows
+    ):
+        """The Arrow mapInPandas plumbing of both multimodal stubs,
+        modeled byte-exact in Python: decode features (len / KiB frame
+        count / mean byte over UTF-8 payloads, NULL text -> empty bytes)
+        and 1-to-N frame sampling (256-byte frames, stride 2, md5 per
+        slice). Any drift in batch shape, NULL policy, or slicing
+        arithmetic shows up as a frame mismatch."""
+        import hashlib
+
+        d = tmp_path_factory.mktemp("fuzz_mm")
+        sf = _write_docs(d, rows)
+        specs = all_specs()
+
+        dec = {
+            r.doc_id: (r.mime, r.n_bytes, r.n_frames, r.mean_byte)
+            for r in specs["multimodal_decode_features"].build(spark, sf).collect()
+        }
+        exp_dec = {}
+        for i, (text, _) in enumerate(rows):
+            b = text.encode("utf-8") if text is not None else b""
+            exp_dec[i] = (
+                "text/plain",
+                len(b),
+                max(1, len(b) // 1024),
+                float(sum(b)) / max(1, len(b)),
+            )
+        assert dec == exp_dec
+
+        frames = {
+            (r.doc_id, r.frame_idx): r.frame_md5
+            for r in specs["multimodal_frame_sample"].build(spark, sf).collect()
+        }
+        exp_frames = {}
+        for i, (text, _) in enumerate(rows):
+            b = text.encode("utf-8") if text is not None else b""
+            n_frames = max(1, (len(b) + 255) // 256)
+            for fi in range(0, n_frames, 2):
+                exp_frames[(i, fi)] = hashlib.md5(b[fi * 256 : (fi + 1) * 256]).hexdigest()
+        assert frames == exp_frames
+
+    @settings(
+        max_examples=_ex(6), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_doc_rows)
+    def test_enrichment_and_stratified_sample_invariants(
+        self, spark, tmp_path_factory, rows
+    ):
+        """article_enriched_rows: exactly one output row per document,
+        globally distinct uuid()s, non-NULL processing timestamps.
+        sample_stratified: a subset of the input keyed rows, only from
+        strata in the fraction map, reproducible for the fixed seed."""
+        d = tmp_path_factory.mktemp("fuzz_rowsonly")
+        sf = _write_docs(d, rows)
+        specs = all_specs()
+
+        enriched = specs["article_enriched_rows"].build(spark, sf).collect()
+        assert len(enriched) == len(rows)
+        ids = [r.unique_id for r in enriched]
+        assert len(set(ids)) == len(ids)
+        assert all(r.processing_timestamp is not None for r in enriched)
+
+        fractions = {"en": 0.8, "de": 0.3, "es": 0.3, "fr": 0.3, "zh": 0.3}
+        got1 = {(r.doc_id, r.lang) for r in specs["sample_stratified"].build(spark, sf).collect()}
+        got2 = {(r.doc_id, r.lang) for r in specs["sample_stratified"].build(spark, sf).collect()}
+        assert got1 == got2  # seed-stable on identical data+partitioning
+        assert all(lang in fractions for _, lang in got1)
+        universe = {(i, lang) for i, (_, lang) in enumerate(rows)}
+        assert got1 <= universe
