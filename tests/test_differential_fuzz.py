@@ -2465,3 +2465,20 @@ class TestRowsOnlyInvariantFuzz:
         assert all(lang in fractions for _, lang in got1)
         universe = {(i, lang) for i, (_, lang) in enumerate(rows)}
         assert got1 <= universe
+
+    @settings(
+        max_examples=_ex(6), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_order_rows)
+    def test_seeded_sample_reproducible_subset(self, spark, tmp_path_factory, rows):
+        """sample_seeded: Bernoulli TABLESAMPLE with a fixed seed must be
+        a subset of the input and identical across two builds on the
+        same data and partitioning (the reproducibility contract that
+        makes seeded sampling usable as a profiling stage)."""
+        d = tmp_path_factory.mktemp("fuzz_sample")
+        sf = _write_orders(d, rows)
+        specs = all_specs()
+        got1 = {r.o_orderkey for r in specs["sample_seeded"].build(spark, sf).collect()}
+        got2 = {r.o_orderkey for r in specs["sample_seeded"].build(spark, sf).collect()}
+        assert got1 == got2
+        assert got1 <= set(range(10, 10 + len(rows)))
