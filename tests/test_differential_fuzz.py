@@ -1727,7 +1727,9 @@ def _fmt_utc(epoch_s: int) -> str:
     )
 
 
-def _model_disorder_emission(per_chunk, wc, width_s=300, slide_s=60, delay_s=_WM_DELAY_S):
+def _model_disorder_emission(
+    per_chunk, wc, width_s=300, slide_s=60, delay_s=_WM_DELAY_S, restart_at=None
+):
     """Mirror Spark's per-micro-batch watermark protocol over (article,
     event-epoch) chunks; returns {(window_start_str, author): avg}.
 
@@ -1746,11 +1748,21 @@ def _model_disorder_emission(per_chunk, wc, width_s=300, slide_s=60, delay_s=_WM
     eviction watermark to global-max - delay. The INITIAL watermark is
     epoch 0 (1970-01-01, shown in batch 0's progress), not -inf — so
     pre-epoch events are born late and never contribute (probed: their
-    windows are filtered even in the very first batch)."""
+    windows are filtered even in the very first batch).
+
+    ``restart_at=k`` models a checkpointed stop/restart between chunks
+    k-1 and k: the stopped query's trailing no-data batch COMMITS the
+    current watermark, so the first batch after restart filters against
+    W_k with no one-batch lag (probed: a late row kept chunk-to-chunk
+    is dropped when the same boundary is a restart). Restart therefore
+    legitimately drops MORE late data than an uninterrupted run — a
+    semantic worth pinning, not a bug."""
     w_filter = 0  # W_{i-1}: late-input filter for the current batch
     w_cur = 0  # W_i: eviction watermark (monotone, floored at epoch 0)
     contrib: dict[tuple[int, object], list] = {}
-    for rows in per_chunk:
+    for ci, rows in enumerate(per_chunk):
+        if restart_at is not None and ci == restart_at:
+            w_filter = w_cur  # committed by the pre-restart no-data batch
         for a, e in rows:
             if e is None:
                 continue
@@ -2482,3 +2494,116 @@ class TestRowsOnlyInvariantFuzz:
         got2 = {r.o_orderkey for r in specs["sample_seeded"].build(spark, sf).collect()}
         assert got1 == got2
         assert got1 <= set(range(10, 10 + len(rows)))
+
+
+class TestCheckpointRestartFuzz:
+    @settings(
+        max_examples=_ex(3), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_disorder_chunks, st.integers(1, 4))
+    # pinned restart semantics: bob@00:01:03 is KEPT when chunk 0 ->
+    # chunk 1 is an ordinary batch boundary (disorder harness proves it)
+    # but DROPPED when the same boundary is a stop/restart — the
+    # trailing no-data batch commits the watermark, erasing the
+    # one-batch filter lag (probed).
+    @example(
+        [
+            [(_BASE_2024_S + 569, "alice", "w1 w2 w3", False)],
+            [(_BASE_2024_S + 63, "bob", "x", False)],
+            [(_BASE_2024_S + 1847, "zoe", "c", False)],
+        ],
+        1,
+    )
+    def test_restart_resumes_watermark_and_state_exactly(
+        self, spark, tmp_path_factory, chunks, cut
+    ):
+        """Exactly-once across a checkpointed RESTART, generatively: run
+        the disorder corpus's first `cut` micro-batch files to
+        AvailableNow termination (parquet sink + checkpoint), append the
+        remaining files, restart with the SAME checkpoint and sink, and
+        require the parquet output to EQUAL the watermark-model emission
+        with the restart boundary modeled (the stopped query's trailing
+        no-data batch commits the watermark, so the first post-restart
+        batch filters without the one-batch lag): state, watermark, and
+        emitted-set resume from the checkpoint — no duplicate windows,
+        no lost rows, and MORE aggressive late-dropping than an
+        uninterrupted run, exactly as committed."""
+        import os
+        import time
+
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        idx = 0
+        per_chunk, arts = [], []
+        for chunk in chunks:
+            rows = []
+            for e, author, content, drop_content in chunk:
+                a = {"article_id": f"a{idx}", "title": f"t{idx}", "author": author}
+                if e is not None:
+                    a["publish_date"] = _fmt_utc(e)
+                if not drop_content:
+                    a["content"] = content
+                rows.append((a, e))
+                arts.append(a)
+                idx += 1
+            per_chunk.append(rows)
+
+        base = tmp_path_factory.mktemp("fuzz_restart")
+        pdir = base / "payload"
+        pdir.mkdir()
+        sink, ckpt = str(base / "out"), str(base / "ckpt")
+        t0 = time.time()
+
+        def write_chunks(lo, hi):
+            for i in range(lo, hi):
+                f = pdir / f"chunk{i:03d}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {"data": pa.array([json.dumps(a) for a, _ in per_chunk[i]], pa.string())}
+                    ),
+                    f,
+                )
+                os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        def drain():
+            stream = sp.article_stream(
+                sp.payload_stream(spark, str(pdir)), watermark=f"{_WM_DELAY_S} seconds"
+            )
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+
+        k = min(cut, len(per_chunk))
+        write_chunks(0, k)
+        drain()  # segment 1: first k files, then stop
+        write_chunks(k, len(per_chunk))
+        drain()  # segment 2: restart from the same checkpoint
+
+        out = spark.read.schema(
+            "window_start timestamp, window_end timestamp, author string, average_word_count double"
+        ).parquet(sink)
+        streamed = {
+            (str(r.window_start), r.author): r.average_word_count
+            for r in out.collect()
+        }
+        assert len(streamed) == out.count(), "duplicate (window, author) across restart"
+
+        if arts:
+            parsed = sp.with_word_count(
+                sp.parse_articles(
+                    spark.createDataFrame([(json.dumps(a),) for a in arts], sp.PAYLOAD_SCHEMA)
+                )
+            )
+            wc = {
+                r.article_id: None if r.word_count is None else int(r.word_count)
+                for r in parsed.select("article_id", "word_count").collect()
+            }
+        else:
+            wc = {}
+        assert streamed == _model_disorder_emission(per_chunk, wc, restart_at=k)
