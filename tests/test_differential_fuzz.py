@@ -2607,3 +2607,123 @@ class TestCheckpointRestartFuzz:
         else:
             wc = {}
         assert streamed == _model_disorder_emission(per_chunk, wc, restart_at=k)
+
+
+# -- streaming as-of fuzz: per-key carried state vs the batch operator -------
+# streaming_asof_enrich documents its contract: exact equality with the
+# batch asof_join when micro-batch boundaries respect event-time order.
+# The generator honors exactly that contract and nothing more — arrival
+# is ts-sorted and splits happen only where ts STRICTLY increases (an
+# equal-ts click arriving in a later batch than its purchase is outside
+# the contract: the batch operator's inclusive bound would match it but
+# the stream has already emitted). Everything else is hostile: duplicate
+# timestamps (max-value tie-break, in-batch and carried), NULL ts
+# (clicks ignored, purchases unenriched), NULL click values (sorted
+# below real values), interleaved users, purchase-before-any-click.
+
+_asof_fuzz_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from([0, 10, 10, 20, 30, 30, 40, 60])),
+        st.integers(0, 2),                      # user_id
+        st.sampled_from(["click", "purchase"]),
+        st.one_of(st.none(), st.sampled_from([1.0, 3.0, 5.0, -2.0])),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+class TestStreamingAsofFuzz:
+    @settings(
+        max_examples=_ex(4), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_asof_fuzz_rows, st.lists(st.integers(1, 4), min_size=1, max_size=8))
+    def test_carried_state_matches_batch_asof_join(
+        self, spark, tmp_path_factory, rows, sizes
+    ):
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from spark_kinesis_article_analysis_spark.operators.temporal import asof_join
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        base_us = _BASE_2024_S * 1_000_000
+        ordered = sorted(
+            enumerate(rows), key=lambda x: (x[1][0] is None, x[1][0] or 0)
+        )
+        seq = [
+            (i, None if off is None else base_us + off * 1_000_000, u, t, v)
+            for i, (off, u, t, v) in ordered
+        ]
+
+        # greedy chunks of ~sizes[j], extended so a cut only lands where
+        # the next event's ts strictly exceeds the last one in the chunk
+        chunks, pos, si = [], 0, 0
+        while pos < len(seq):
+            n = sizes[si % len(sizes)]
+            si += 1
+            end = min(pos + n, len(seq))
+            while end < len(seq) and not (
+                seq[end - 1][1] is not None
+                and seq[end][1] is not None
+                and seq[end][1] > seq[end - 1][1]
+            ):
+                end += 1
+            chunks.append(seq[pos:end])
+            pos = end
+
+        d = tmp_path_factory.mktemp("fuzz_asof_stream")
+        t0 = time.time()
+        for ci, chunk in enumerate(chunks):
+            f = d / f"chunk{ci:03d}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([r[0] for r in chunk], pa.int64()),
+                        "ts": pa.array([r[1] for r in chunk], pa.timestamp("us")),
+                        "user_id": pa.array([r[2] for r in chunk], pa.int64()),
+                        "event_type": pa.array([r[3] for r in chunk], pa.string()),
+                        "value": pa.array([r[4] for r in chunk], pa.float64()),
+                    }
+                ),
+                f,
+            )
+            os.utime(f, (t0 + ci * 10, t0 + ci * 10))
+
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        name = f"asof_fuzz_{next(_disorder_seq)}"
+        q = (
+            sp.streaming_asof_enrich(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+        got = {
+            r.event_id: (r.click_ts, r.click_value)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+        ev = spark.read.schema(schema).parquet(str(d))
+        probe = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        build = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        )
+        want = {
+            r.event_id: (r.asof_ts, r.asof_click_value)
+            for r in asof_join(
+                probe, build, on=["user_id"], probe_ts="purchase_ts",
+                build_ts="ts", payload=["click_value"],
+            ).collect()
+        }
+        assert got == want
