@@ -2727,3 +2727,117 @@ class TestStreamingAsofFuzz:
             ).collect()
         }
         assert got == want
+
+
+# -- stream-stream interval join fuzz: two independent micro-batch axes ------
+# The interval join buffers BOTH sides' state until the other side's
+# watermark passes the bound. With per-side event-ordered arrival
+# nothing is ever late (each side's watermark derives from its own max),
+# so for ANY pair of batch slicings the streamed inner join must equal
+# the batch join with the identical predicate — including rows exactly
+# ON the interval boundaries (both modes evaluate the same condition,
+# so ties are inside the domain here, unlike the cross-engine models).
+
+_ssjoin_side = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.one_of(st.none(), st.sampled_from([0, 60, 300, 600, 601, 660, 1200])),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+class TestStreamStreamJoinFuzz:
+    @settings(
+        max_examples=_ex(4), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_ssjoin_side, _ssjoin_side, st.lists(st.integers(1, 3), min_size=1, max_size=6))
+    def test_interval_join_matches_batch_join(
+        self, spark, tmp_path_factory, lrows, rrows, sizes
+    ):
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from spark_kinesis_article_analysis_spark.streaming import pipeline as sp
+
+        base_us = _BASE_2024_S * 1_000_000
+
+        def write_side(sub, rows):
+            d = sub
+            d.mkdir()
+            ordered = sorted(rows, key=lambda r: (r[1] is None, r[1] or 0))
+            chunks, pos, si = [], 0, 0
+            while pos < len(ordered):
+                n = sizes[si % len(sizes)]
+                chunks.append(ordered[pos:pos + n])
+                pos += n
+                si += 1
+            chunks = chunks or [[]]
+            t0 = time.time()
+            for i, chunk in enumerate(chunks):
+                f = d / f"chunk{i:03d}.parquet"
+                pq.write_table(
+                    pa.table(
+                        {
+                            "user": pa.array([f"u{u}" for u, _ in chunk], pa.string()),
+                            "ts": pa.array(
+                                [None if o is None else base_us + o * 1_000_000 for _, o in chunk],
+                                pa.timestamp("us"),
+                            ),
+                        }
+                    ),
+                    f,
+                )
+                os.utime(f, (t0 + i * 10, t0 + i * 10))
+            return str(d)
+
+        base = tmp_path_factory.mktemp("fuzz_ssjoin")
+        ldir = write_side(base / "left", lrows)
+        rdir = write_side(base / "right", rrows)
+        schema = "user string, ts timestamp"
+
+        left = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(ldir)
+            .select(F.col("user").alias("l_user"), F.col("ts").alias("l_ts"))
+        )
+        right = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(rdir)
+            .select(F.col("user").alias("r_user"), F.col("ts").alias("r_ts"))
+        )
+        joined = sp.stream_stream_interval_join(
+            left, right, left_key="l_user", right_key="r_user",
+            left_time="l_ts", right_time="r_ts", interval="10 minutes",
+        )
+        name = f"ssjoin_fuzz_{next(_disorder_seq)}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+        streamed = sorted(
+            (r.l_user, str(r.l_ts), str(r.r_ts))
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+        lb = spark.read.schema(schema).parquet(ldir).select(
+            F.col("user").alias("l_user"), F.col("ts").alias("l_ts")
+        )
+        rb = spark.read.schema(schema).parquet(rdir).select(
+            F.col("user").alias("r_user"), F.col("ts").alias("r_ts")
+        )
+        cond = (
+            (lb["l_user"] == rb["r_user"])
+            & (rb["r_ts"] >= lb["l_ts"] - F.expr("INTERVAL 10 minutes"))
+            & (rb["r_ts"] <= lb["l_ts"])
+        )
+        batch = sorted(
+            (r.l_user, str(r.l_ts), str(r.r_ts))
+            for r in lb.join(rb, cond, "inner").collect()
+        )
+        assert streamed == batch
