@@ -1,0 +1,488 @@
+"""REAL multimodal codecs — RIFF/WAVE (PCM) and PPM (P6) — with
+oracle-exact round-trip verification.
+
+The base multimodal module (``functions/multimodal.py``) ships honest
+*stubs* for decode/frame-sample because the container has no
+image/audio libraries. This module raises that ceiling for the two
+formats decodable with nothing but the standard library and numpy:
+
+* **audio/wav** — a byte-exact minimal RIFF/WAVE writer (44-byte
+  header + 16-bit mono PCM) and a real chunk-walking reader (``fmt ``
+  / ``data`` discovery, so payloads with extra chunks like ``LIST``
+  still parse), with RMS computed over the actual samples.
+* **image/x-portable-pixmap** — a PPM "P6" writer and a real header
+  parser (token-based, ``#``-comment aware per the netpbm spec) with
+  per-channel statistics over the actual raster.
+
+Verification discipline (same as ``scalar_xml_functions``'s round-trip
+identity): payload *parameters* (sample rate, sample count, amplitude,
+image geometry, channel bytes) are derived from row keys with shared
+SQL fragments evaluated JVM-side, the synthesizer packs REAL bytes from
+them, the decoder re-derives every feature by PARSING those bytes, and
+the DuckDB oracle states the closed-form expected value — so a
+hash-green verdict proves the encoder and decoder agree byte-for-byte
+with an independent arithmetic model. Waveforms are ±amp square waves
+and rasters are constant-channel, chosen so RMS/mean are exact in
+float64 (sums of ≤ 254 identical values < 2^53; division and sqrt of a
+perfect square are correctly rounded → exact), keeping doubles
+hash-comparable across engines.
+
+Error-row policy is REAL here, not stubbed: every 97th document's
+payload has its magic smashed (and NULL-keyed rows get a 4-byte junk
+payload), and the decoder must map undecodable bytes to
+``valid=false`` + NULL features — one bad object must never kill a
+100 TB scan.
+
+Scale posture: synthesis and decode are Arrow-batched Python
+(pandas_udf / mapInPandas) — the payload bytes never cross row-at-a-
+time; the plan is scan → project → two Arrow stages, shuffle-free and
+embarrassingly partition-parallel. At 100 TB the synthesizer is
+replaced by ``binaryFile`` reads or object-store pointer fetches and
+the decoder is unchanged (swap the parser body for pillow/av per
+COVERAGE.md's swap-in note).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Shared parameter fragments — ONE source of truth for both engines.
+#
+# Portable SQL (valid and identical-semantics in Spark SQL and DuckDB):
+# `%` is sign-of-dividend remainder in both; abs() after % keeps
+# negative keys in range; coalesce() totalizes NULL n_chars. Evaluated
+# JVM-side in the builder (F.expr) and verbatim in the oracle, so no
+# Python arithmetic can drift from the SQL model (Python's % differs on
+# negatives — it must never compute a parameter).
+# ---------------------------------------------------------------------------
+
+_MIME = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' "
+    "WHEN doc_id % 2 IN (1, -1) THEN 'image/x-portable-pixmap' END"
+)
+_CORRUPT = "(doc_id IS NULL OR doc_id % 97 = 0)"
+_RATE = "8000 + abs(doc_id % 3) * 4000"
+_N_SAMPLES = "64 + abs(coalesce(n_chars, 0) % 191)"
+_AMP = "100 + abs(doc_id % 1000)"
+_WIDTH = "4 + abs(coalesce(n_chars, 0) % 29)"
+_HEIGHT = "3 + abs(doc_id % 5)"
+_R_BYTE = "abs(doc_id % 256)"
+_G_BYTE = "abs(coalesce(n_chars, 0) % 256)"
+_B_BYTE = "abs((doc_id + coalesce(n_chars, 0)) % 256)"
+
+#: Frame geometry for the windowed-RMS operator: 16-bit mono samples
+#: per frame. n_samples ∈ [64, 254] → 2..8 frames per payload.
+FRAME_SAMPLES = 32
+
+DECODE_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes int, valid boolean, "
+    "sample_rate int, n_samples int, rms double, "
+    "width int, height int, mean_r double"
+)
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_samples int, frame_rms double"
+
+#: Largest possible frame index under the synthesis arithmetic
+#: (n_samples ≤ 64 + 190 = 254): the oracle joins a CONSTANT series
+#: 0.._MAX_FRAME_IDX (DuckDB's generate_series takes no correlated
+#: arguments) and filters per row.
+_MAX_FRAME_IDX = (64 + 190 + FRAME_SAMPLES - 1) // FRAME_SAMPLES - 1
+
+
+def _codec_params(docs: DataFrame) -> DataFrame:
+    """documents → one row of JVM-computed synthesis parameters per doc."""
+    return docs.select(
+        "doc_id",
+        F.expr(_MIME).alias("mime"),
+        F.expr(_CORRUPT).alias("corrupt"),
+        F.expr(_RATE).cast("int").alias("rate"),
+        F.expr(_N_SAMPLES).cast("int").alias("n_samples"),
+        F.expr(_AMP).cast("int").alias("amp"),
+        F.expr(_WIDTH).cast("int").alias("width"),
+        F.expr(_HEIGHT).cast("int").alias("height"),
+        F.expr(_R_BYTE).cast("int").alias("r_byte"),
+        F.expr(_G_BYTE).cast("int").alias("g_byte"),
+        F.expr(_B_BYTE).cast("int").alias("b_byte"),
+    )
+
+
+def encode_wav_pcm16(rate: int, samples: "list[int] | object") -> bytes:
+    """Minimal-but-standard RIFF/WAVE container: 12-byte RIFF header,
+    16+8-byte ``fmt `` chunk (PCM, mono, 16-bit), 8-byte ``data`` chunk
+    header — 44 bytes total before the sample bytes."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    block_align = 2  # mono * 16-bit
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + n),
+            b"WAVE",
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * block_align, block_align, 16),
+            b"data",
+            struct.pack("<I", n),
+            pcm,
+        ]
+    )
+
+
+def encode_ppm_p6(width: int, height: int, raster: bytes) -> bytes:
+    """netpbm P6: ASCII header (magic, width, height, maxval), one
+    whitespace byte, then ``width*height*3`` binary RGB bytes."""
+    return b"P6\n%d %d\n255\n" % (width, height) + raster
+
+
+def decode_wav_pcm16(payload: bytes) -> "tuple[int, object] | None":
+    """Real RIFF reader: verifies magic, then WALKS chunks (not fixed
+    offsets — payloads with extra chunks such as ``LIST`` still parse),
+    requiring a PCM16-mono ``fmt `` and a ``data`` chunk. Returns
+    (sample_rate, int16 sample array) or None if undecodable."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        body = payload[off + 8 : off + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, channels, rate, _byte_rate, _block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1 or channels != 1 or bits != 16 or len(data) % 2:
+        return None
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_ppm_p6(payload: bytes) -> "tuple[int, int, object] | None":
+    """Real netpbm P6 parser: token-based header scan that honors
+    ``#``-to-end-of-line comments between tokens (per the spec), exactly
+    one whitespace byte after maxval, then the binary raster. Returns
+    (width, height, HxWx3 uint8 array) or None if undecodable."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        return None
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":  # comment runs to end of line
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(payload) and payload[end : end + 1].isdigit():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(tokens) < 3 or pos >= len(payload) or not payload[pos : pos + 1].isspace():
+        return None
+    width, height, maxval = tokens
+    pos += 1  # single whitespace byte terminates the header
+    if maxval != 255 or width <= 0 or height <= 0:
+        return None
+    raster = payload[pos:]
+    if len(raster) != width * height * 3:
+        return None
+    return width, height, np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+
+
+def make_synthesizer() -> "Callable[..., pd.Series]":
+    """pandas_udf(BINARY) body: packs REAL format bytes from the
+    JVM-computed parameter columns. Pure packing — every numeric
+    parameter arrives precomputed so Python arithmetic (whose ``%``
+    differs from SQL's on negatives) can never define a value the
+    oracle models. Closure-returned so cloudpickle ships it by value
+    (workers never import this repo). Corrupt rows get the full valid
+    payload with the 4 magic bytes smashed — same length, broken
+    header; NULL-keyed rows (all params NULL) get 4 junk bytes."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-local import
+
+    def synth(
+        mime: pd.Series,
+        corrupt: pd.Series,
+        rate: pd.Series,
+        n_samples: pd.Series,
+        amp: pd.Series,
+        width: pd.Series,
+        height: pd.Series,
+        r_byte: pd.Series,
+        g_byte: pd.Series,
+        b_byte: pd.Series,
+    ) -> pd.Series:
+        out: list[bytes] = []
+        for i in range(len(mime)):
+            m = mime.iloc[i]
+            if m is None or pd.isna(m):
+                out.append(b"DEAD")
+                continue
+            if m == "audio/wav":
+                n, a = int(n_samples.iloc[i]), int(amp.iloc[i])
+                wave = np.full(n, a, dtype="<i2")
+                wave[1::2] = -a  # ±amp square wave → RMS == amp exactly
+                payload = encode_wav_pcm16(int(rate.iloc[i]), wave)
+            else:
+                w, h = int(width.iloc[i]), int(height.iloc[i])
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = int(r_byte.iloc[i])
+                px[:, :, 1] = int(g_byte.iloc[i])
+                px[:, :, 2] = int(b_byte.iloc[i])
+                payload = encode_ppm_p6(w, h, px.tobytes())
+            if bool(corrupt.iloc[i]):
+                payload = b"DEAD" + payload[4:]
+            out.append(payload)
+        return pd.Series(out)
+
+    return synth
+
+
+def synthesize_payloads(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, mime, payload binary): the real-bytes
+    multimodal column. One Arrow-batched projection, no shuffle."""
+    synth_udf = F.pandas_udf(make_synthesizer(), "binary")
+    p = _codec_params(docs)
+    return p.select(
+        "doc_id",
+        "mime",
+        synth_udf(
+            "mime", "corrupt", "rate", "n_samples", "amp",
+            "width", "height", "r_byte", "g_byte", "b_byte",
+        ).alias("payload"),
+    )
+
+
+def make_decoder() -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    """mapInPandas body: REAL decode. Dispatches on mime, parses the
+    actual bytes (chunk walk / header scan), computes statistics over
+    the actual samples/raster, and maps ANY undecodable payload to
+    valid=false + NULL features instead of raising — the error-row
+    policy a 100 TB scan needs. Closure-returned for by-value pickling."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-local import
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "mime", "n_bytes", "valid", "sample_rate",
+                    "n_samples", "rms", "width", "height", "mean_r",
+                )
+            }
+            for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                feat = dict.fromkeys(cols)
+                feat.update(doc_id=doc_id, mime=mime, n_bytes=len(b), valid=False)
+                if mime == "audio/wav":
+                    dec = decode_wav_pcm16(b)
+                    if dec is not None:
+                        rate, samples = dec
+                        sq = samples.astype(np.float64) ** 2
+                        feat.update(
+                            valid=True,
+                            sample_rate=rate,
+                            n_samples=len(samples),
+                            rms=float(np.sqrt(sq.mean())) if len(samples) else 0.0,
+                        )
+                elif mime == "image/x-portable-pixmap":
+                    dec = decode_ppm_p6(b)
+                    if dec is not None:
+                        w, h, raster = dec
+                        feat.update(
+                            valid=True,
+                            width=w,
+                            height=h,
+                            mean_r=float(raster[:, :, 0].astype(np.float64).mean()),
+                        )
+                for k, v in feat.items():
+                    cols[k].append(v)
+            # Nullable extension dtypes: None must reach Arrow as NULL
+            # (a plain float64 column would smuggle it through as NaN,
+            # which is NOT SQL NULL on the Spark side).
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols["doc_id"], dtype="Int64"),
+                    "mime": pd.array(cols["mime"], dtype="string"),
+                    "n_bytes": pd.array(cols["n_bytes"], dtype="int32"),
+                    "valid": pd.array(cols["valid"], dtype="boolean"),
+                    "sample_rate": pd.array(cols["sample_rate"], dtype="Int32"),
+                    "n_samples": pd.array(cols["n_samples"], dtype="Int32"),
+                    "rms": pd.array(cols["rms"], dtype="Float64"),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "mean_r": pd.array(cols["mean_r"], dtype="Float64"),
+                }
+            )
+
+    return decode
+
+
+@register(
+    "multimodal_codec_decode",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         {_MIME}          AS mime,
+         {_CORRUPT}       AS corrupt,
+         {_RATE}          AS rate,
+         {_N_SAMPLES}     AS n_samples,
+         {_AMP}           AS amp,
+         {_WIDTH}         AS width,
+         {_HEIGHT}        AS height,
+         {_R_BYTE}        AS r_byte
+  FROM documents
+)
+SELECT doc_id,
+       mime,
+       -- payload size is part of the byte-exact contract:
+       -- WAV = 44-byte header + 2 bytes/sample; PPM = "P6\\n{{w}} {{h}}\\n255\\n"
+       -- (h is always 3..7 = one digit; w is 4..32 = 1-2 digits) + w*h*3;
+       -- NULL-keyed rows carry the 4-byte junk payload
+       CAST(CASE WHEN doc_id IS NULL THEN 4
+                 WHEN mime = 'audio/wav' THEN 44 + n_samples * 2
+                 ELSE 10 + (CASE WHEN width >= 10 THEN 2 ELSE 1 END) + width * height * 3
+            END AS INTEGER)                                            AS n_bytes,
+       coalesce(NOT corrupt, FALSE)                                    AS valid,
+       CAST(CASE WHEN NOT corrupt AND mime = 'audio/wav' THEN rate END
+            AS INTEGER)                                                AS sample_rate,
+       CAST(CASE WHEN NOT corrupt AND mime = 'audio/wav' THEN n_samples END
+            AS INTEGER)                                                AS n_samples,
+       -- ±amp square wave → RMS is exactly amp (see module docstring)
+       CAST(CASE WHEN NOT corrupt AND mime = 'audio/wav' THEN amp END
+            AS DOUBLE)                                                 AS rms,
+       CAST(CASE WHEN NOT corrupt AND mime LIKE 'image/%' THEN width END
+            AS INTEGER)                                                AS width,
+       CAST(CASE WHEN NOT corrupt AND mime LIKE 'image/%' THEN height END
+            AS INTEGER)                                                AS height,
+       -- constant-R raster → channel mean is exactly r_byte
+       CAST(CASE WHEN NOT corrupt AND mime LIKE 'image/%' THEN r_byte END
+            AS DOUBLE)                                                 AS mean_r
+FROM p
+""",
+    tags=("multimodal", "codec", "wav", "ppm", "mapInPandas", "north-star"),
+    doc=(
+        "REAL multimodal decode, oracle-verified: rows synthesize actual "
+        "RIFF/WAVE (PCM16) and PPM (P6) payloads from JVM-computed "
+        "parameters, a chunk-walking/header-parsing decoder re-derives every "
+        "feature from the bytes (RMS over real samples, channel mean over "
+        "the real raster), and the oracle states the closed-form expected "
+        "values — hash-green means encoder and decoder agree byte-for-byte "
+        "with an independent model. Corrupt-magic rows (every 97th doc) "
+        "must decode to valid=false + NULL features: the error-row policy "
+        "is part of the verified contract, not a stub."
+    ),
+)
+def multimodal_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return synthesize_payloads(docs).mapInPandas(make_decoder(), schema=DECODE_SCHEMA)
+
+
+def make_frame_extractor(
+    frame_samples: int = FRAME_SAMPLES,
+) -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    """mapInPandas body: real audio framing — decode the WAV, slice the
+    PCM into ``frame_samples``-sample windows (last frame ragged), emit
+    per-frame RMS. The 1-to-N explode shape of real feature extraction,
+    computed from the actual bytes. Undecodable payloads emit nothing
+    (the upstream decode spec owns error accounting)."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-local import
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, rmss = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_wav_pcm16(bytes(payload) if payload is not None else b"")
+                if dec is None:
+                    continue
+                _rate, samples = dec
+                x = samples.astype(np.float64)
+                for i in range(0, max(len(x), 1), frame_samples):
+                    frame = x[i : i + frame_samples]
+                    ids.append(doc_id)
+                    idxs.append(i // frame_samples)
+                    sizes.append(len(frame))
+                    rmss.append(float(np.sqrt((frame**2).mean())) if len(frame) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_samples": pd.array(sizes, dtype="int32"),
+                    "frame_rms": pd.array(rmss, dtype="float64"),
+                }
+            )
+
+    return frames
+
+
+@register(
+    "multimodal_codec_frames",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         {_N_SAMPLES}                 AS n_samples,
+         CAST({_AMP} AS DOUBLE)       AS amp
+  FROM documents
+  WHERE doc_id IS NOT NULL AND doc_id % 2 = 0 AND NOT {_CORRUPT}
+)
+SELECT p.doc_id,
+       CAST(f.i AS INTEGER) AS frame_idx,
+       -- last frame is ragged: n_samples ∈ [64, 254] under 32-sample frames
+       CAST(CASE WHEN f.i < (p.n_samples - 1) // {FRAME_SAMPLES}
+                 THEN {FRAME_SAMPLES}
+                 ELSE p.n_samples - {FRAME_SAMPLES} * ((p.n_samples - 1) // {FRAME_SAMPLES})
+            END AS INTEGER) AS frame_samples,
+       -- every frame of a ±amp square wave has RMS exactly amp
+       p.amp                AS frame_rms
+FROM p JOIN generate_series(0, {_MAX_FRAME_IDX}) AS f(i)
+  ON f.i <= (p.n_samples - 1) // {FRAME_SAMPLES}
+""",
+    tags=("multimodal", "codec", "frames", "audio", "mapInPandas", "north-star"),
+    doc=(
+        "Real audio frame extraction, oracle-verified: decodes the WAV "
+        "payload and slices the PCM into 32-sample frames with per-frame "
+        "RMS — the 1-to-N feature-extraction shape computed from actual "
+        "bytes (vs the honest stub in multimodal_frame_sample). The oracle "
+        "derives frame count/sizes from the synthesis arithmetic and the "
+        "square-wave RMS identity. Valid WAV rows only: framing is the "
+        "decoded-payload path; error accounting belongs to "
+        "multimodal_codec_decode."
+    ),
+)
+def multimodal_codec_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.expr(f"doc_id IS NOT NULL AND doc_id % 2 = 0 AND NOT {_CORRUPT}")
+    )
+    wav = synthesize_payloads(docs).select("doc_id", "payload")
+    return wav.mapInPandas(make_frame_extractor(), schema=FRAME_SCHEMA)

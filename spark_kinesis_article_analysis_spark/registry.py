@@ -149,6 +149,12 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         scale_ops,
     )
+    # Round-7: real WAV/PPM codecs (new module, so the fresh-verdicted
+    # multimodal.py stubs keep their evidence; these two enter as
+    # never-verified rank-0 entries at the front of the window).
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        multimodal_codec,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -178,6 +184,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "replay_batch.py",
     "temporal.py",
     "scale_ops.py",
+    "multimodal_codec.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

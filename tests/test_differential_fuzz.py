@@ -2841,3 +2841,65 @@ class TestStreamStreamJoinFuzz:
             for r in lb.join(rb, cond, "inner").collect()
         )
         assert streamed == batch
+
+
+# -- real-codec fuzz: WAV/PPM round trip over hostile keys -------------------
+# multimodal_codec_decode/frames derive every payload parameter from
+# doc_id/n_chars with shared SQL fragments; the fixture only exercises
+# doc_id 0..N with positive n_chars. This corpus hunts the arithmetic
+# edges: negative keys (SQL `%` keeps the dividend's sign — Python's
+# differs, which is why the synthesizer never computes a parameter),
+# NULL keys (junk payload + all-NULL features), exact multiples of 97
+# (the corrupt-magic path), duplicate doc_ids, and NULL/negative/huge
+# n_chars. A divergence here is an encoder/decoder byte-contract break
+# or a cross-engine remainder semantic, minimized by hypothesis.
+
+_codec_rows = st.lists(
+    st.tuples(
+        st.one_of(
+            st.none(),
+            st.integers(-1_000, 1_000),
+            st.integers(-(2**40), 2**40),
+            st.integers(-10, 10).map(lambda k: k * 97),
+        ),
+        st.one_of(st.none(), st.integers(-1_000_000, 1_000_000)),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _write_codec_docs(d, rows) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+                "text": pa.array([None] * len(rows), pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(["fuzz"] * len(rows), pa.string()),
+                "n_chars": pa.array([n for _, n in rows], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+class TestCodecFuzz:
+    @settings(
+        max_examples=_ex(10), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_codec_rows)
+    @example([(None, None), (0, 0), (-97, -191), (97, 191), (2**40, 2**40)])
+    def test_decode_parity_on_hostile_keys(self, spark, tmp_path_factory, rows):
+        d = tmp_path_factory.mktemp("fuzz_codec")
+        _assert_parity(spark, "multimodal_codec_decode", _write_codec_docs(d, rows), "documents")
+
+    @settings(
+        max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_codec_rows)
+    @example([(-2, None), (-2, -63), (0, 31), (2, 190)])
+    def test_frame_parity_on_hostile_keys(self, spark, tmp_path_factory, rows):
+        d = tmp_path_factory.mktemp("fuzz_codec_fr")
+        _assert_parity(spark, "multimodal_codec_frames", _write_codec_docs(d, rows), "documents")
