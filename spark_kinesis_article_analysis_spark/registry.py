@@ -155,6 +155,12 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         multimodal_codec,
     )
+    # Round-7 continued: substring-grain dedup (ExactSubstr stats +
+    # boilerplate removal) — new module, rank-0 entries, nothing
+    # existing re-staled.
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        substring,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -185,6 +191,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "temporal.py",
     "scale_ops.py",
     "multimodal_codec.py",
+    "substring.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -191,6 +191,12 @@ _DOC_SPECS = [
     # r6: binary payload envelope — UTF-8 byte length + content hash
     # must agree byte-exact on full-unicode text and NULL payloads
     "multimodal_binary_metadata",
+    # r7: substring-grain dedup — stride-gram positional arithmetic
+    # (code-point substr/length agreement on combining marks), the
+    # distinct-doc-frequency >= 2 flag, and the boilerplate drop-all
+    # policy with NULL-when-nothing-survives reassembly
+    "text_substring_dedup",
+    "text_boilerplate_segments",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
