@@ -622,7 +622,15 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmeans_lloyd(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
     K, ROUNDS = 8, rounds
-    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    # NULL embeddings are unclusterable and must be EXCLUDED, not merely
+    # tolerated (fuzz find #22): _emb's valid_dim_or_null keeps them, and
+    # a NULL-embedding row among the K lowest vec_ids becomes a NULL
+    # centroid whose struct(d2=NULL, cid) sorts FIRST in array_min's
+    # ascending struct order — silently assigning EVERY vector to that
+    # cluster with NULL dist. Non-seed NULL rows were emitted with NULL
+    # cluster. The fixture has no NULL embeddings, so only the
+    # generative harness caught it.
+    e = _emb(spark, sf_dir).where(F.col("emb").isNotNull()).select("vec_id", "emb")
     cents = (
         e.orderBy("vec_id")
         .limit(K)

@@ -364,6 +364,26 @@ _emb_rows = st.lists(
 )
 
 
+def _write_embs(d, rows) -> None:
+    """Materialize a fuzzed embeddings table: the string sentinels map to
+    the corrupt shapes (zero vector, wrong dimensionality, empty)."""
+    corrupt = {"zero": [0.0] * 64, "short": [1.0, -2.0, 0.5], "empty": []}
+    vecs = [
+        (i, corrupt.get(v, v) if isinstance(v, str) else v, lab)
+        for i, (v, lab) in enumerate(rows)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([x[0] for x in vecs], pa.int64()),
+                "embedding": pa.array([x[1] for x in vecs], pa.list_(pa.float32())),
+                "label": pa.array([x[2] for x in vecs], pa.int64()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+
+
 class TestEmbeddingFuzz:
     @settings(
         max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
@@ -375,24 +395,8 @@ class TestEmbeddingFuzz:
         the portable k-means round — the float-fold parity discipline
         (ordered folds, 0.0 seeds, round-before-rank) under generative
         attack rather than fixture-picked values."""
-        corrupt = {"zero": [0.0] * 64, "short": [1.0, -2.0, 0.5], "empty": []}
-        vecs = [
-            (i, corrupt.get(v, v) if isinstance(v, str) else v, lab)
-            for i, (v, lab) in enumerate(rows)
-        ]
         d = tmp_path_factory.mktemp("fuzz_emb")
-        pq.write_table(
-            pa.table(
-                {
-                    "vec_id": pa.array([x[0] for x in vecs], pa.int64()),
-                    "embedding": pa.array(
-                        [x[1] for x in vecs], pa.list_(pa.float32())
-                    ),
-                    "label": pa.array([x[2] for x in vecs], pa.int64()),
-                }
-            ),
-            d / "embeddings.parquet",
-        )
+        _write_embs(d, rows)
         for name in (
             "embed_norm_stats",
             "embed_random_projection",
@@ -413,6 +417,79 @@ class TestEmbeddingFuzz:
             "dedup_embedding_cosine",
         ):
             _assert_parity(spark, name, str(d), "embeddings")
+
+    @settings(
+        max_examples=_ex(6), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_emb_rows)
+    def test_arrow_topk_agrees_with_exact_on_random_vectors(
+        self, spark, tmp_path_factory, rows
+    ):
+        """r7: the two rows-only similarity specs get generative coverage.
+        The Arrow/numpy top-k must agree with the exact Catalyst operator
+        on random corpora — same query set, same per-query neighbor
+        membership, per-rank ids equal unless a genuine <=2e-6 rounding
+        straddle explains the swap (the fixture form of this assertion
+        lives in test_rows_only.TestArrowTopK)."""
+        d = tmp_path_factory.mktemp("fuzz_emb_arrow")
+        _write_embs(d, rows)
+        specs = all_specs()
+        exact = specs["sim_cosine_topk"].build(spark, str(d)).collect()
+        arrow = specs["sim_cosine_topk_arrow"].build(spark, str(d)).collect()
+
+        def by_query(res):
+            out: dict = {}
+            for r in res:
+                out.setdefault(r.query_id, []).append((r.neighbor_id, r.cosine))
+            for v in out.values():
+                v.sort(key=lambda t: (-t[1], t[0]))
+            return out
+
+        e, a = by_query(exact), by_query(arrow)
+        assert e.keys() == a.keys()
+        for q in e:
+            assert len(e[q]) == len(a[q]), (q, e[q], a[q])
+            assert {n for n, _ in e[q]} == {n for n, _ in a[q]}, (q, e[q], a[q])
+            for (en, ec), (an, ac) in zip(e[q], a[q]):
+                assert abs(ec - ac) <= 2e-6, (q, en, ec, an, ac)
+                if en != an:
+                    assert 0 < abs(ec - ac) <= 2e-6, (q, en, ec, an, ac)
+
+    @settings(
+        max_examples=_ex(6), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_emb_rows)
+    # Fuzz find #22 pins: a NULL embedding among the K lowest vec_ids
+    # became a NULL centroid whose struct(d2=NULL, cid) sorted FIRST in
+    # array_min's ascending struct order, silently assigning EVERY
+    # vector to that cluster with NULL dist (second example); a lone
+    # NULL-embedding corpus emitted a Row(cluster=None, dist=None)
+    # instead of nothing (first example).
+    @example(rows=[(None, 0)])
+    @example(rows=[(None, 0), ([1.0] * 64, 1), ([2.0] * 64, 0)])
+    def test_kmeans_lloyd_invariants_on_random_vectors(
+        self, spark, tmp_path_factory, rows
+    ):
+        """r7: Lloyd on random corpora — every schema-valid non-NULL
+        vector comes back exactly once, distances are non-negative and
+        never NULL, and cluster labels are drawn from the deterministic
+        seed set (the K lowest clusterable vec_ids — re-centering
+        preserves cid values)."""
+        from spark_kinesis_article_analysis_spark.functions.similarity import _emb
+
+        d = tmp_path_factory.mktemp("fuzz_emb_kmeans")
+        _write_embs(d, rows)
+        specs = all_specs()
+        valid_ids = sorted(
+            r.vec_id
+            for r in _emb(spark, str(d)).where("emb IS NOT NULL").select("vec_id").collect()
+        )
+        out = specs["cluster_kmeans_lloyd"].build(spark, str(d)).collect()
+        assert sorted(r.vec_id for r in out) == valid_ids
+        seed_ids = set(valid_ids[:8])
+        for r in out:
+            assert r.cluster in seed_ids, r
+            assert r.dist is not None and r.dist >= 0.0, r
 
 
 _cust_rows = st.lists(
