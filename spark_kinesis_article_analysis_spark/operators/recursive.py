@@ -1,0 +1,139 @@
+"""Recursive CTE surface (``WITH RECURSIVE``, Spark 4.x ``UnionLoop``).
+
+The reference exposes no SQL front-end at all (its pipeline is a fixed
+chain, ``app/process_articles.py:63-86``); this module extends the
+engine's SQL interface (``udfs.py::sql_interface_revenue_by_nation``)
+with the one ANSI construct the rest of the registry cannot express
+declaratively: bounded recursion. Spark 4 plans ``WITH RECURSIVE`` as a
+``UnionLoop`` — the anchor runs once, then the recursive term re-plans
+against the previous iteration's result until it produces no rows (or
+the depth guard stops it), exactly the iterate-until-fixpoint template
+``functions/pipeline.py::dedup_cluster_components`` hand-builds with
+localCheckpoint rounds.
+
+Scale posture: recursion depth is the loop count, so both queries bound
+it explicitly (``depth < 12`` / the key-halving chain's log2 bound).
+Per iteration the working set is one equi-join (or a pure projection)
+over the PREVIOUS frontier only — never the accumulated result — so a
+1000-executor run holds one frontier in shuffle at a time; the final
+rollup is an ordinary partial-agg GROUP BY. All arithmetic is integer
+(counts, key sums, depths): no float-summation-order hazard, so the
+outputs are hash-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+#: BOM recursion geometry: part p's components are parts 2p and 2p+1
+#: (a binary containment tree derived from the part table itself —
+#: children strictly exceed parents, so the graph is a DAG by
+#: construction); roots 1-8, belt-and-braces depth cap 12.
+BOM_ROOT_MAX = 8
+BOM_DEPTH_CAP = 12
+
+#: Ancestor-chain recursion: customer k reports to customer k div 2 —
+#: a binary-heap management hierarchy rooted at custkey 1. Chain length
+#: is floor(log2 k), so recursion depth self-bounds at ~17 even at
+#: SF100's 15M customers.
+ANC_KEY_MAX = 512
+
+_BOM_SPARK = f"""
+WITH RECURSIVE bom(root, node, depth) AS (
+    SELECT p_partkey, p_partkey, 0 FROM part
+    WHERE p_partkey BETWEEN 1 AND {BOM_ROOT_MAX}
+    UNION ALL
+    SELECT x.root, p.p_partkey, x.depth + 1
+    FROM (
+        SELECT b.root, b.depth, c.child
+        FROM bom b
+        LATERAL VIEW explode(array(b.node * 2, b.node * 2 + 1)) c AS child
+        WHERE b.depth < {BOM_DEPTH_CAP}
+    ) x
+    JOIN part p ON p.p_partkey = x.child
+)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(sum(node) AS BIGINT) AS key_sum
+FROM bom
+GROUP BY root
+"""
+
+# The oracle states the same child relation as a two-way OR equality —
+# fine for DuckDB; the Spark text instead EXPLODES the two child keys
+# and equi-joins, because inside a UnionLoop an OR-of-equalities join
+# would re-plan as a nested loop against the part scan every iteration.
+_BOM_ORACLE = f"""
+WITH RECURSIVE bom(root, node, depth) AS (
+    SELECT p_partkey, p_partkey, 0 FROM part
+    WHERE p_partkey BETWEEN 1 AND {BOM_ROOT_MAX}
+    UNION ALL
+    SELECT b.root, p.p_partkey, b.depth + 1
+    FROM bom b
+    JOIN part p ON p.p_partkey = b.node * 2 OR p.p_partkey = b.node * 2 + 1
+    WHERE b.depth < {BOM_DEPTH_CAP}
+)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(sum(node) AS BIGINT) AS key_sum
+FROM bom
+GROUP BY root
+"""
+
+
+@register(
+    "sql_recursive_bom",
+    oracle=_BOM_ORACLE,
+    tags=("sql", "recursive", "graph"),
+    doc=(
+        "WITH RECURSIVE bill-of-materials explosion over the part table "
+        "(component tree: part p contains parts 2p and 2p+1): per root, "
+        "total component count, tree depth, and component-key sum. The "
+        "recursive term equi-joins the exploded child keys of the previous "
+        "frontier against the part scan; depth-capped."
+    ),
+)
+def sql_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_BOM_SPARK)
+
+
+def _anc_sql(div_op: str) -> str:
+    # Spark spells integer division `div`, DuckDB `//` — identical on
+    # positive keys (the only domain here; anchor starts at 1).
+    return f"""
+WITH RECURSIVE up(custkey, node, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM customer
+    WHERE c_custkey BETWEEN 1 AND {ANC_KEY_MAX}
+    UNION ALL
+    SELECT u.custkey, u.node {div_op} 2, u.depth + 1
+    FROM up u WHERE u.node > 1
+)
+SELECT custkey,
+       CAST(max(depth) AS BIGINT) AS chain_len,
+       CAST(sum(node) AS BIGINT) AS ancestor_key_sum
+FROM up
+GROUP BY custkey
+"""
+
+
+@register(
+    "sql_recursive_ancestors",
+    oracle=_anc_sql("//"),
+    tags=("sql", "recursive", "hierarchy"),
+    doc=(
+        "WITH RECURSIVE ancestor walk up a binary-heap hierarchy (customer "
+        "k reports to k div 2, root 1): per customer, chain length and the "
+        "sum of keys on the path INCLUDING both endpoints. Pure-projection "
+        "recursion — no join in the loop body; depth self-bounds at "
+        "floor(log2 key)."
+    ),
+)
+def sql_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_anc_sql("div"))

@@ -156,10 +156,13 @@ def _load_all() -> None:
         multimodal_codec,
     )
     # Round-7 continued: substring-grain dedup (ExactSubstr stats +
-    # boilerplate removal) — new module, rank-0 entries, nothing
-    # existing re-staled.
+    # boilerplate removal) and the WITH RECURSIVE SQL surface — new
+    # modules, rank-0 entries, nothing existing re-staled.
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         substring,
+    )
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        recursive,
     )
 
 
@@ -192,6 +195,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "scale_ops.py",
     "multimodal_codec.py",
     "substring.py",
+    "recursive.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver
