@@ -1190,7 +1190,16 @@ class TestPartFuzz:
             ),
             d / "part.parquet",
         )
-        for name in ("filter_like_rlike", "window_range_frame", "join_range_theta"):
+        for name in (
+            "filter_like_rlike",
+            "window_range_frame",
+            "join_range_theta",
+            # r7: WITH RECURSIVE BOM over random partkey universes —
+            # missing children prune branches, tiny tables leave some
+            # roots childless; the UnionLoop must agree with DuckDB's
+            # recursive CTE on every truncated tree shape
+            "sql_recursive_bom",
+        ):
             _assert_parity(spark, name, str(d), "part")
 
 
@@ -1434,6 +1443,10 @@ class TestCustomerStringFuzz:
             "scalar_string_extended",
             "scalar_regexp_misc",
             "scalar_hash_encode",
+            # r7: pure-projection recursion (ancestor chains) — anchor
+            # filtering + div-halving walks over whatever key subset the
+            # corpus happens to contain
+            "sql_recursive_ancestors",
         ):
             _assert_parity(spark, name, sf, "customer")
 
