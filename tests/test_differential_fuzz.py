@@ -2999,3 +2999,96 @@ class TestCodecFuzz:
     def test_frame_parity_on_hostile_keys(self, spark, tmp_path_factory, rows):
         d = tmp_path_factory.mktemp("fuzz_codec_fr")
         _assert_parity(spark, "multimodal_codec_frames", _write_codec_docs(d, rows), "documents")
+
+
+# -- streaming incremental MinHash-LSH: pair-set parity vs the batch -------
+# pipeline across hypothesis-chosen micro-batch slicings. The emission
+# set is arrival-order invariant by construction (every intra-bucket
+# pair surfaces exactly once, from whichever side arrives second), so
+# ANY slicing must reproduce the batch candidate set exactly — the
+# corpus stays under the residency cap so the bound never perturbs it.
+
+
+class TestStreamingLshFuzz:
+    @settings(
+        max_examples=_ex(4), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_doc_rows, st.lists(st.integers(1, 4), min_size=1, max_size=8))
+    def test_stream_pairs_match_batch_candidates_across_splits(
+        self, spark, tmp_path_factory, rows, sizes
+    ):
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from spark_kinesis_article_analysis_spark.functions.dedup import (
+            MINHASH_HASHES,
+            _minhash_lsh_candidates,
+            _shingles,
+        )
+        from spark_kinesis_article_analysis_spark.streaming.dedup_stream import (
+            minhash_lsh_stream,
+        )
+
+        rpb = MINHASH_HASHES // 4
+        docs = [(i, text) for i, (text, _lang) in enumerate(rows)]
+
+        chunks, pos, si = [], 0, 0
+        while pos < len(docs):
+            n = sizes[si % len(sizes)]
+            chunks.append(docs[pos : pos + n])
+            pos += n
+            si += 1
+
+        pdir = tmp_path_factory.mktemp("fuzz_lsh_stream") / "docs"
+        pdir.mkdir()
+        t0 = time.time()
+        for i, chunk in enumerate(chunks):
+            f = pdir / f"chunk{i:03d}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([d for d, _ in chunk], pa.int64()),
+                        "text": pa.array([t for _, t in chunk], pa.string()),
+                    }
+                ),
+                f,
+            )
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        name = f"lsh_split_{next(_disorder_seq)}"
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(pdir))
+        )
+        q = (
+            minhash_lsh_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+        streamed = {
+            (r.doc_a, r.doc_b)
+            for r in spark.sql(f"SELECT doc_a, doc_b FROM {name}").collect()
+        }
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(MINHASH_HASHES)
+        ]
+
+        def band_key(band):
+            return F.xxhash64(
+                *[F.col(f"mh{band * rpb + r}") for r in range(rpb)]
+            )
+
+        cands = _minhash_lsh_candidates(_shingles(d), aggs, band_key)
+        batch = {(r.doc_a, r.doc_b) for r in cands.collect()}
+        cands.unpersist()
+        assert streamed == batch
