@@ -211,3 +211,107 @@ def boilerplate_filter(d: DataFrame) -> DataFrame:
         "segs_kept",
         "segs_dropped",
     )
+
+
+@register(
+    "text_substring_cut",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+),
+grams AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS i, substr(text, CAST(i AS INTEGER), {GRAM_CHARS}) AS g
+    FROM docs, LATERAL unnest(range(1, length(text) - {GRAM_CHARS - 2}, {GRAM_STRIDE})) AS t(i)
+    WHERE length(text) >= {GRAM_CHARS}
+),
+df AS (
+    SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g
+),
+flagged AS (
+    SELECT doc_id, i FROM grams JOIN df USING (g) WHERE ndocs >= 2
+),
+chars AS (
+    SELECT d.doc_id, CAST(p AS BIGINT) AS p, substr(d.text, CAST(p AS INTEGER), 1) AS ch
+    FROM docs d, LATERAL unnest(range(1, length(d.text) + 1)) AS t(p)
+),
+kept AS (
+    SELECT c.doc_id, c.p, c.ch
+    FROM chars c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM flagged f
+        WHERE f.doc_id = c.doc_id AND c.p BETWEEN f.i AND f.i + {GRAM_CHARS - 1}
+    )
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.ch, '' ORDER BY k.p), '') AS clean_text,
+       CAST(length(any_value(d.text)) - count(k.ch) AS BIGINT) AS n_removed_chars
+FROM docs d LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id
+""",
+    tags=("text", "dedup", "substring", "north-star"),
+    doc=(
+        "The CUT stage completing the ExactSubstr pipeline: every character "
+        "covered by a cross-document duplicated gram (the stats operator's "
+        "flag, df >= 2) is removed, and the document is reassembled from the "
+        "surviving spans. Overlapping flagged grams merge into one removed "
+        "interval. Documents with no flagged grams pass through unchanged; "
+        "empty-text documents are excluded (no characters to cut)."
+    ),
+)
+def text_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`substring_cut` over documents."""
+    return substring_cut(load(spark, sf_dir, "documents"))
+
+
+def substring_cut(d: DataFrame) -> DataFrame:
+    """Scale shape: the flag side reuses the stats operator's plan (gram
+    aggregate + equi-join back), then collapses to ONE row per document
+    holding its sorted flagged starts (bounded by len/STRIDE), and the
+    removal itself is an O(flags) ``aggregate`` fold that walks the
+    sorted starts merging [i, i+GRAM_CHARS-1] intervals and extracting
+    the gaps with substring — per-document, map-side, no character-
+    grain explosion anywhere on the Spark side (the oracle's char-level
+    NOT EXISTS form is the brute-force correctness mirror only).
+    """
+    base = d.select("doc_id", "text").where(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    )
+    grammed = base.where(F.length("text") >= F.lit(GRAM_CHARS))
+    pos = F.sequence(
+        F.lit(1), F.length("text") - F.lit(GRAM_CHARS - 1), F.lit(GRAM_STRIDE)
+    )
+    grams = grammed.select(
+        "doc_id", F.explode(pos).alias("i"), "text"
+    ).select("doc_id", "i", F.expr(f"substring(text, i, {GRAM_CHARS})").alias("g"))
+    df_tbl = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("ndocs"))
+    flags = (
+        grams.join(df_tbl, "g")
+        .where(F.col("ndocs") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("starts"))
+    )
+    cut = F.expr(f"""
+        aggregate(
+            coalesce(starts, CAST(array() AS ARRAY<INT>)),
+            struct(CAST(0 AS INT) AS last_end, CAST('' AS STRING) AS txt),
+            (acc, s) -> struct(
+                CAST(greatest(acc.last_end, s + {GRAM_CHARS} - 1) AS INT) AS last_end,
+                CASE WHEN s > acc.last_end + 1
+                     THEN concat(acc.txt,
+                                 substring(text, acc.last_end + 1, s - acc.last_end - 1))
+                     ELSE acc.txt END AS txt),
+            acc -> concat(acc.txt,
+                          substring(text, acc.last_end + 1, length(text) - acc.last_end))
+        )
+    """)
+    return (
+        base.join(flags, "doc_id", "left")
+        .withColumn("clean_text", cut)
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.length("text") - F.length("clean_text")).cast("long").alias(
+                "n_removed_chars"
+            ),
+        )
+    )

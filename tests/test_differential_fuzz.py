@@ -197,6 +197,9 @@ _DOC_SPECS = [
     # policy with NULL-when-nothing-survives reassembly
     "text_substring_dedup",
     "text_boilerplate_segments",
+    # r7: the cut stage — interval-merge fold vs the oracle's char-level
+    # NOT EXISTS on the same hostile corpora
+    "text_substring_cut",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",

@@ -18,6 +18,7 @@ from spark_kinesis_article_analysis_spark.functions.substring import (
     GRAM_CHARS,
     GRAM_STRIDE,
     boilerplate_filter,
+    substring_cut,
     substring_dedup_stats,
 )
 from spark_kinesis_article_analysis_spark.plans import inspect
@@ -137,6 +138,61 @@ class TestBoilerplateFilter:
         # coalesce: the doc stays in the output.
         out = boilerplate_filter(_docs(spark, [(1, None), (2, "alpha beta gamma")])).collect()
         assert {r["doc_id"] for r in out} == {1, 2}
+
+
+class TestSubstringCut:
+    def test_identical_docs_fully_cut(self, spark):
+        shared = "abcdefghij" * 4  # 40 chars, all grams duplicated
+        out = {
+            r["doc_id"]: r
+            for r in substring_cut(_docs(spark, [(1, shared), (2, shared)])).collect()
+        }
+        # flags at 1, 11, 21 -> merged interval [1, 40]: nothing survives
+        assert out[1]["clean_text"] == "" and out[1]["n_removed_chars"] == 40
+        assert out[2]["clean_text"] == ""
+
+    def test_shared_prefix_cuts_only_flagged_interval(self, spark):
+        prefix = "SHARED-PREFIX-25-chars..."  # 25 chars; only gram @1 is shared
+        a, b = prefix + "AAAAAAAAAAAAAAA", prefix + "BBBBBBBBBBBBBBB"
+        out = {
+            r["doc_id"]: r for r in substring_cut(_docs(spark, [(1, a), (2, b)])).collect()
+        }
+        # removed [1, 20]; chars 21..40 survive
+        assert out[1]["clean_text"] == a[GRAM_CHARS:]
+        assert out[1]["n_removed_chars"] == GRAM_CHARS
+        assert out[2]["clean_text"] == b[GRAM_CHARS:]
+
+    def test_unique_and_short_docs_pass_through(self, spark):
+        rows = [(1, "a unique forty character string right here!"), (2, "short one"), (3, None), (4, "")]
+        out = {r["doc_id"]: r for r in substring_cut(_docs(spark, rows)).collect()}
+        assert set(out) == {1, 2}  # NULL and empty text excluded
+        assert out[1]["clean_text"] == rows[0][1] and out[1]["n_removed_chars"] == 0
+        assert out[2]["clean_text"] == "short one"
+
+    def test_overlapping_flags_merge(self, spark):
+        # Docs share chars 1..30 -> flags at 1 and 11; intervals [1,20]
+        # and [11,30] merge to [1,30]; tails (10 chars) differ per doc.
+        shared30 = "0123456789" * 3
+        a, b = shared30 + "AAAAAAAAAA", shared30 + "BBBBBBBBBB"
+        out = {
+            r["doc_id"]: r for r in substring_cut(_docs(spark, [(1, a), (2, b)])).collect()
+        }
+        assert out[1]["clean_text"] == "AAAAAAAAAA" and out[1]["n_removed_chars"] == 30
+
+    def test_agrees_with_stats_flags(self, spark):
+        """A doc has n_removed_chars == 0 exactly when the stats operator
+        reports dup_grams == 0 (docs long enough to gram at all)."""
+        rows = [
+            (1, "abcdefghij" * 4),
+            (2, "abcdefghij" * 4),
+            (3, "a unique forty character string right here!"),
+        ]
+        cut = {r["doc_id"]: r for r in substring_cut(_docs(spark, rows)).collect()}
+        stats = {
+            r["doc_id"]: r for r in substring_dedup_stats(_docs(spark, rows)).collect()
+        }
+        for d in stats:
+            assert (cut[d]["n_removed_chars"] == 0) == (stats[d]["dup_grams"] == 0)
 
 
 class TestSubstringPlans:
