@@ -1,0 +1,135 @@
+"""Link-analysis surface: integer-exact PageRank power iteration.
+
+A crawl-derived corpus weights documents by link importance before
+sampling (the Common Crawl / CCNet-style quality prior); the engine
+therefore needs the canonical link-analysis iteration. The reference
+has no graph surface at all — this extends it the same way
+``functions/pipeline.py::dedup_cluster_components`` does for
+connectivity, but unlike classic float PageRank this formulation is
+ORACLE-EXACT: every quantity is a BIGINT, each edge contribution is
+``(17 * rank) div (20 * outdeg)`` (damping 0.85 = 17/20 in exact
+rational form, floored per edge), and integer sums are
+order-independent — so a fixed 4-round iteration hash-matches DuckDB
+bit-for-bit, where a double implementation would drift with partition
+summation order. The floor() per edge leaks at most outdeg units of
+mass per node per round — a relative error of ~1e-12 at SCALE=1e12,
+far below any ranking-relevant signal.
+
+Graph: nodes are customer keys 1..min(1024, max); every node has a
+modular edge ``u -> (u*7) % N + 1`` and nodes >= 2 also a tree edge
+``u -> u div 2`` — derived from the table identically on both engines
+(all-positive arithmetic, so Spark's truncating div == DuckDB's
+flooring //). Self-loops and parallel edges are kept (multiset
+semantics, UNION ALL on both sides).
+
+Scale shape: the rank vector is one row per node; each round is ONE
+equi-join (edges x ranks on src, with outdeg pre-joined into the edge
+list) and ONE dst-grain aggregate with map-side partial sums — the
+standard distributed PageRank round. Rounds are unrolled (fixed
+ROUNDS), and the edge list would be cached/bucketed by src in a
+long-running deployment; nothing shuffles at greater than edge grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+#: Fixed-point scale: 1.0 of rank mass == SCALE. Divisible by 20 so the
+#: teleport term (0.15 * SCALE) is exact.
+PR_SCALE = 1_000_000_000_000
+#: Power-iteration rounds (unrolled identically in the oracle).
+PR_ROUNDS = 4
+#: Node-universe bound: customer keys 1..min(1024, max key). Keys are
+#: contiguous in the fixture, so modular edge targets always exist.
+PR_NODE_MAX = 1024
+
+_TELEPORT = 15 * PR_SCALE // 100
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ROUNDS + 1):
+        rounds.append(f"""
+r{i} AS (
+    SELECT nd.node, CAST({_TELEPORT} + coalesce(s.c, 0) AS BIGINT) AS rank
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM((17 * r.rank) // (20 * e.od)) AS BIGINT) AS c
+        FROM edges e JOIN {prev} r ON r.node = e.src
+        GROUP BY e.dst
+    ) s ON s.node = nd.node
+)""")
+        prev = f"r{i}"
+    joined = ",".join(rounds)
+    return f"""
+WITH nodes AS (
+    SELECT c_custkey AS node FROM customer
+    WHERE c_custkey BETWEEN 1 AND {PR_NODE_MAX}
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+raw_edges AS (
+    SELECT node AS src, (node * 7) % (SELECT n FROM nn) + 1 AS dst FROM nodes
+    UNION ALL
+    SELECT node AS src, node // 2 AS dst FROM nodes WHERE node >= 2
+),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM raw_edges GROUP BY src),
+edges AS (SELECT e.src, e.dst, o.od FROM raw_edges e JOIN od o ON o.src = e.src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes),
+{joined}
+SELECT node, rank FROM r{PR_ROUNDS}
+"""
+
+
+@register(
+    "graph_pagerank_portable",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative", "north-star"),
+    doc=(
+        "Integer-exact PageRank (damping 17/20, fixed-point SCALE=1e12, 4 "
+        "unrolled rounds) over a key-derived graph: modular edge "
+        "u->(u*7)%N+1 for every node plus tree edge u->u div 2. Per-edge "
+        "contributions floor-divide, so partial-sum order cannot perturb "
+        "the result — the iterative-graph template with a value-hash "
+        "oracle, unlike float PageRank which only supports rows-only "
+        "verdicts."
+    ),
+)
+def graph_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("node"))
+        .where((F.col("node") >= 1) & (F.col("node") <= PR_NODE_MAX))
+    )
+    # N as a broadcast scalar — no driver-side collect.
+    nn = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    mod_edges = nodes.join(nn).select(
+        F.col("node").alias("src"),
+        ((F.col("node") * 7) % F.col("n") + 1).alias("dst"),
+    )
+    tree_edges = nodes.where(F.col("node") >= 2).select(
+        F.col("node").alias("src"), F.expr("node div 2").alias("dst")
+    )
+    raw = mod_edges.unionByName(tree_edges)
+    od = raw.groupBy("src").agg(F.count("*").alias("od"))
+    edges = raw.join(od, "src").persist()  # reused every round
+
+    r = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(17 * rank) div (20 * od)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(_TELEPORT) + F.coalesce("c", F.lit(0))).cast("long").alias("rank"),
+        )
+    return r

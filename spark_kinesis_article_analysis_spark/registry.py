@@ -164,6 +164,9 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         recursive,
     )
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        graph,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -196,6 +199,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "multimodal_codec.py",
     "substring.py",
     "recursive.py",
+    "graph.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -1450,6 +1450,10 @@ class TestCustomerStringFuzz:
             # filtering + div-halving walks over whatever key subset the
             # corpus happens to contain
             "sql_recursive_ancestors",
+            # r7: integer-exact PageRank — modular-edge derivation and
+            # floor-divided contributions over random (contiguous-key)
+            # customer universes
+            "graph_pagerank_portable",
         ):
             _assert_parity(spark, name, sf, "customer")
 
