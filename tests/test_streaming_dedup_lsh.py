@@ -138,3 +138,47 @@ class TestStreamBatchParity:
         pairs = {(r.doc_a, r.doc_b) for r in rows}
         assert pairs == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}
         assert (3, 4) not in pairs
+
+
+class TestLshCheckpointRestart:
+    def test_bucket_state_resumes_across_restart(self, spark, tmp_path):
+        """Exactly-once across a checkpointed restart: bucket residency
+        recovers from the state store, so post-restart arrivals collide
+        against pre-restart residents exactly once — the emitted pair
+        multiset equals the batch candidate set (one row per colliding
+        band), with no duplicates and no lost collisions."""
+        pdir = tmp_path / "docs"
+        pdir.mkdir()
+        sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(pdir))
+            )
+            q = (
+                minhash_lsh_stream(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), "drain did not terminate"
+
+        _write_docs_batch(spark, str(pdir), 0, _CORPUS[:2])
+        run()  # first run sees docs 1-2 (the near-dup pair)
+        _write_docs_batch(spark, str(pdir), 1, _CORPUS[2:])
+        run()  # restart from the same checkpoint; docs 3-6 arrive
+
+        got = spark.read.parquet(sink).collect()
+        pairs = {(r.doc_a, r.doc_b) for r in got}
+        assert pairs == _batch_pairs(spark, _CORPUS)
+        # No duplicate emissions: each (band, pair) appears exactly once.
+        keyed = [(r.band, r.doc_a, r.doc_b) for r in got]
+        assert len(keyed) == len(set(keyed))
+        # The cross-restart collision (doc 4 vs resident docs 1 and 2)
+        # is present — state, not just offsets, survived the restart.
+        assert (1, 4) in pairs and (2, 4) in pairs
