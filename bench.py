@@ -85,6 +85,14 @@ HEADLINE = [
     "dedup_simhash",              # 32-bit per-token vote aggregation
     "dedup_minhash_lsh_portable", # md5-portable banded LSH end-to-end
     "agg_bitmap_distinct",        # bitmap-bucketed exact distinct counting
+    # round-7 breadth: the new operator families (totals are NOT
+    # comparable to rounds <= 6 on the "value" field — compare the
+    # shared per-query keys; SCALE.md reports the like-for-like subtotal)
+    "multimodal_codec_decode",    # real WAV/PPM decode via mapInPandas
+    "text_substring_dedup",       # ExactSubstr stride-gram duplication stats
+    "text_substring_cut",         # interval-merge fold removal (cut stage)
+    "sql_recursive_bom",          # WITH RECURSIVE UnionLoop (iterative cost visible)
+    "graph_pagerank_portable",    # integer-exact 4-round PageRank
 ]
 
 
