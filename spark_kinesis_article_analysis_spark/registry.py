@@ -166,6 +166,7 @@ def _load_all() -> None:
     )
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         graph,
+        dedup_pipeline,
     )
 
 
@@ -200,6 +201,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "substring.py",
     "recursive.py",
     "graph.py",
+    "dedup_pipeline.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -200,6 +200,11 @@ _DOC_SPECS = [
     # r7: the cut stage — interval-merge fold vs the oracle's char-level
     # NOT EXISTS on the same hostile corpora
     "text_substring_cut",
+    # r7: the composed near-dup removal flow — banded LSH + Jaccard
+    # verify + recursive closure + survivor election, where random
+    # corpora are duplicate-dense (small alphabet), so the component
+    # stage actually merges chains
+    "dedup_near_dup_end_to_end",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
