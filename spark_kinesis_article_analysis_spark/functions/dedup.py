@@ -108,6 +108,14 @@ _SHINGLE_SQL = """
 #: hot shingle from a k² straggler into a dropped row.
 MAX_SHINGLE_DF = 128
 
+#: Jaccard floor for a candidate pair to count as a near-duplicate —
+#: the ONE definition used by the Spark verify filters
+#: (``_minhash_lsh_pipeline``, ``dedup_ngram_jaccard``), every oracle
+#: f-string in this module, and ``dedup_pipeline.EDGE_JACCARD_MIN``.
+#: Retuning it moves both engines together; a literal in any one of
+#: those places could silently desync the verify from its oracle.
+VERIFY_JACCARD_MIN = 0.1
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -126,7 +134,7 @@ SELECT doc_a, doc_b,
 FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
+WHERE inter / (sa.sz + sb.sz - inter) >= {VERIFY_JACCARD_MIN}
 """,
     tags=("dedup", "jaccard", "ngram", "north-star"),
     doc=(
@@ -180,7 +188,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.1)
+        .filter(jac >= VERIFY_JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -358,7 +366,7 @@ def _minhash_lsh_pipeline(d: DataFrame, minhash_aggs: list, band_key_fn) -> Data
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.1)
+        .filter(jac >= VERIFY_JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -445,7 +453,7 @@ SELECT doc_a, doc_b, round(i / (na.n + nb.n - i), 6) AS jaccard
 FROM inter
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
-WHERE i / (na.n + nb.n - i) >= 0.1
+WHERE i / (na.n + nb.n - i) >= {VERIFY_JACCARD_MIN}
 """,
     tags=("dedup", "minhash", "lsh", "oracle-backed", "north-star"),
     doc=(

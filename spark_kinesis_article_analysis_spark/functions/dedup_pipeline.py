@@ -35,14 +35,17 @@ from spark_kinesis_article_analysis_spark.functions.dedup import (
     _BANDED_SQL,
     _MINHASH_SQL,
     _SHINGLE_SQL,
+    VERIFY_JACCARD_MIN,
     _minhash_lsh_pipeline,
     _portable_minhash_geometry,
 )
 from spark_kinesis_article_analysis_spark.registry import register
 
-#: Jaccard floor for an LSH candidate pair to become a dedup edge —
-#: matches the verify threshold the isolated pipeline uses.
-EDGE_JACCARD_MIN = 0.1
+#: Jaccard floor for an LSH candidate pair to become a dedup edge — the
+#: SAME object ``_minhash_lsh_pipeline``'s verify filter reads, so this
+#: module's oracle f-string cannot desync from the Spark path (r7 ADVICE:
+#: the two used to be independent literals).
+EDGE_JACCARD_MIN = VERIFY_JACCARD_MIN
 
 
 def propagate_over_edges(
@@ -58,7 +61,12 @@ def propagate_over_edges(
     remaining chain lengths — O(jump_after + log diameter) rounds.
     Labels only decrease, so the label SUM is strictly decreasing until
     the fixpoint: the convergence probe is one scalar agg per round
-    (the documented O(1) collect). Raises loudly on non-convergence."""
+    (the documented O(1) collect). The sum accumulates in DECIMAL(38,0),
+    not BIGINT: labels are doc_ids, and on a 64-bit id domain a BIGINT
+    sum could wrap (non-ANSI overflow), aliasing two distinct label
+    states and falsely signalling convergence — DECIMAL keeps the
+    strictly-decreasing signal injective (r7 ADVICE).
+    Raises loudly on non-convergence."""
     labels = labels.localCheckpoint(eager=True)
     prev_sum = None
     for rnd in range(max_rounds):
@@ -76,7 +84,9 @@ def propagate_over_edges(
                 "doc_id", F.least("label", F.coalesce("jll", "label")).alias("label")
             )
         labels = merged.localCheckpoint(eager=True)
-        label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        label_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if label_sum == prev_sum:
             return labels
         prev_sum = label_sum

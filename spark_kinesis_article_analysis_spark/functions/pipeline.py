@@ -359,7 +359,10 @@ def _propagate_labels(
     # Convergence probe: labels only ever decrease (least of mins), so the
     # label sum is strictly decreasing until the fixpoint — comparing sums
     # costs one scalar agg per round instead of a join against the
-    # previous state.
+    # previous state. Summed in DECIMAL(38,0): labels are doc_ids, and a
+    # BIGINT sum over a 64-bit id domain could wrap (non-ANSI overflow)
+    # and alias two distinct label states as "converged" (r7 ADVICE, same
+    # fix as dedup_pipeline.propagate_over_edges).
     prev_sum = None
     converged = False
     for rnd in range(max_rounds):
@@ -384,7 +387,9 @@ def _propagate_labels(
                 F.least("label", F.coalesce("jll", "label")).alias("label"),
             )
         nodes = hashed.localCheckpoint(eager=True)
-        label_sum = nodes.agg(F.sum("label")).collect()[0][0]
+        label_sum = nodes.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if label_sum == prev_sum:
             converged = True
             break

@@ -22,10 +22,13 @@ Dataflow (per micro-batch):
 3. **Stateful bucket join** — ``applyInPandasWithState`` keyed by
    ``(band, band_key)``: state holds the bucket's resident doc_ids and
    signatures; each NEW doc emits one candidate row per resident, then
-   joins the residency. The union of emissions over any micro-batch
-   slicing equals the batch operator's intra-bucket pairs — arrival
-   order only permutes which side is "old" (pairs are normalized
-   doc_a < doc_b; parity fuzzed across random splits).
+   joins the residency. Below the residency cap, the union of emissions
+   over any micro-batch slicing equals the batch operator's intra-bucket
+   pairs — arrival order only permutes which side is "old" (pairs are
+   normalized doc_a < doc_b; parity fuzzed across random splits). Above
+   the cap the residency is first-come, so both the emitted pair SET and
+   the slicing invariance become arrival-order-dependent — the
+   completeness-for-boundedness trade detailed below.
 
 100 TB posture: state per bucket is bounded by ``max_bucket_docs``
 (default 64) — the same completeness-for-boundedness trade as
