@@ -99,6 +99,20 @@ SELECT node, rank FROM r{PR_ROUNDS}
     ),
 )
 def graph_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, edges = _pagerank_frames(spark, sf_dir)
+    # Materialize the final round, THEN release the edge cache: the
+    # returned frame no longer references `edges` once checkpointed, so
+    # repeated builds (bench warmups, fuzz rotation) don't accumulate
+    # cached edge lists until LRU eviction (r7 ADVICE).
+    r = r.localCheckpoint(eager=True)
+    edges.unpersist()
+    return r
+
+
+def _pagerank_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The lazy (ranks, persisted edges) pair — split from the registered
+    builder so plan tests can inspect the per-round join/agg shape before
+    the checkpoint truncates it."""
     nodes = (
         load(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("node"))
@@ -132,10 +146,4 @@ def graph_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.lit(_TELEPORT) + F.coalesce("c", F.lit(0))).cast("long").alias("rank"),
         )
-    # Materialize the final round, THEN release the edge cache: the
-    # returned frame no longer references `edges` once checkpointed, so
-    # repeated builds (bench warmups, fuzz rotation) don't accumulate
-    # cached edge lists until LRU eviction (r7 ADVICE).
-    r = r.localCheckpoint(eager=True)
-    edges.unpersist()
-    return r
+    return r, edges

@@ -41,8 +41,35 @@ class TestPagerankPortable:
     def test_plan_shape(self, spark):
         """Each round is an equi-join + aggregate: no cartesian/nested
         loop anywhere, and the N scalar reaches the edge derivation as a
-        broadcast."""
-        df = SPECS["graph_pagerank_portable"].build(spark, SF_CORRECTNESS)
-        plan = inspect.explain_str(df)
-        assert "CartesianProduct" not in plan, plan
-        assert inspect.has_broadcast_join(df), plan
+        broadcast. Inspects the lazy frames (the registered builder
+        checkpoints the result to release the edge cache, which truncates
+        the inspectable plan)."""
+        from spark_kinesis_article_analysis_spark.functions.graph import (
+            _pagerank_frames,
+        )
+
+        df, edges = _pagerank_frames(spark, SF_CORRECTNESS)
+        try:
+            plan = inspect.explain_str(df)
+            assert "CartesianProduct" not in plan, plan
+            assert inspect.has_broadcast_join(df), plan
+        finally:
+            edges.unpersist()
+
+    def test_builder_releases_edge_cache(self, spark):
+        """The registered builder must not leak cached edge lists across
+        repeated builds (bench warmups, fuzz rotation) — r7 ADVICE. Each
+        build legitimately adds ONE persistent RDD (the localCheckpoint
+        of the result, released when the frame is GC'd); a leaked edge
+        cache would add a second per build."""
+        def n_persistent() -> int:
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        before = n_persistent()
+        SPECS["graph_pagerank_portable"].build(spark, SF_CORRECTNESS).collect()
+        SPECS["graph_pagerank_portable"].build(spark, SF_CORRECTNESS).collect()
+        grown = n_persistent() - before
+        assert grown <= 2, (
+            f"persistent RDDs grew by {grown} over 2 builds (expected <= 2 "
+            "checkpoint RDDs): the edge cache leaked"
+        )
