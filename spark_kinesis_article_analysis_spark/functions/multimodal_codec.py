@@ -1,10 +1,10 @@
-"""REAL multimodal codecs — RIFF/WAVE (PCM) and PPM (P6) — with
-oracle-exact round-trip verification.
+"""REAL multimodal codecs — RIFF/WAVE (PCM), PPM (P6), and PNG
+(RFC 2083) — with oracle-exact round-trip verification.
 
 The base multimodal module (``functions/multimodal.py``) ships honest
 *stubs* for decode/frame-sample because the container has no
-image/audio libraries. This module raises that ceiling for the two
-formats decodable with nothing but the standard library and numpy:
+image/audio libraries. This module raises that ceiling for the formats
+decodable with nothing but the standard library and numpy:
 
 * **audio/wav** — a byte-exact minimal RIFF/WAVE writer (44-byte
   header + 16-bit mono PCM) and a real chunk-walking reader (``fmt ``
@@ -13,6 +13,10 @@ formats decodable with nothing but the standard library and numpy:
 * **image/x-portable-pixmap** — a PPM "P6" writer and a real header
   parser (token-based, ``#``-comment aware per the netpbm spec) with
   per-channel statistics over the actual raster.
+* **image/png** — a real RFC 2083 codec: zlib-deflated IDAT, CRC-32 on
+  every chunk (verified on read), and all five scanline filter types
+  including Paeth, cycled per row so every payload round-trips through
+  the full filter set (see ``multimodal_codec_png``).
 
 Verification discipline (same as ``scalar_xml_functions``'s round-trip
 identity): payload *parameters* (sample rate, sample count, amplitude,
@@ -406,6 +410,372 @@ FROM p
 def multimodal_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return synthesize_payloads(docs).mapInPandas(make_decoder(), schema=DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG (RFC 2083) — stdlib-only: zlib inflate/deflate, CRC-32-checked
+# chunk walk, and all five scanline filter types including Paeth.
+# ---------------------------------------------------------------------------
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+#: Per-doc filter phase: scanline y of doc k uses filter (k + y) % 5, so
+#: every payload taller than 4 rows exercises ALL five RFC 2083 filter
+#: types (None/Sub/Up/Average/Paeth) and the decoder's distinct-filter
+#: count has the closed form least(height, 5).
+_PNG_FILTER_BASE = "abs(doc_id % 5)"
+
+PNG_SCHEMA = (
+    "doc_id bigint, valid boolean, width int, height int, "
+    "raw_bytes int, n_filter_types int, mean_r double, mean_b double"
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """RFC 2083 §6.6 Paeth predictor (verbatim pseudocode transcription)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_scanline(ftype: int, row: bytes, prior: bytes, bpp: int = 3) -> bytes:
+    """Apply filter ``ftype`` (0..4) to one raw scanline. Byte-at-a-time
+    on purpose: payloads here are tiny and the per-byte recurrence is the
+    spec's own formulation (at 100 TB you swap in a real imaging lib —
+    see the module docstring's swap-in note)."""
+    out = bytearray(len(row))
+    for x in range(len(row)):
+        a = row[x - bpp] if x >= bpp else 0
+        b = prior[x]
+        c = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            v = row[x]
+        elif ftype == 1:
+            v = row[x] - a
+        elif ftype == 2:
+            v = row[x] - b
+        elif ftype == 3:
+            v = row[x] - (a + b) // 2
+        else:
+            v = row[x] - _paeth(a, b, c)
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def _unfilter_scanline(
+    ftype: int, data: bytes, prior: bytes, bpp: int = 3
+) -> "bytes | None":
+    """Invert one scanline filter; None on an unknown filter type. The
+    Sub/Average/Paeth recurrences read RECONSTRUCTED left bytes, so the
+    loop is inherently sequential along x."""
+    if ftype > 4:
+        return None
+    out = bytearray(len(data))
+    for x in range(len(data)):
+        a = out[x - bpp] if x >= bpp else 0
+        b = prior[x]
+        c = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            v = data[x]
+        elif ftype == 1:
+            v = data[x] + a
+        elif ftype == 2:
+            v = data[x] + b
+        elif ftype == 3:
+            v = data[x] + (a + b) // 2
+        else:
+            v = data[x] + _paeth(a, b, c)
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_rgb8(
+    width: int, height: int, raster: "object", filter_base: int = 0
+) -> bytes:
+    """Real PNG writer: signature, IHDR (8-bit RGB, no interlace), one
+    zlib-deflated IDAT of filtered scanlines (row y filtered with type
+    ``(filter_base + y) % 5``), IEND. Every chunk carries its CRC-32."""
+    import numpy as np
+    import zlib
+
+    px = np.asarray(raster, dtype=np.uint8).reshape(height, width, 3)
+    raw = bytearray()
+    prior = bytes(width * 3)
+    for y in range(height):
+        row = px[y].tobytes()
+        ftype = (filter_base + y) % 5
+        raw.append(ftype)
+        raw += _filter_scanline(ftype, row, prior)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return b"".join(
+        [
+            _PNG_SIGNATURE,
+            _png_chunk(b"IHDR", ihdr),
+            _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6)),
+            _png_chunk(b"IEND", b""),
+        ]
+    )
+
+
+def decode_png_rgb8(payload: bytes) -> "tuple[int, int, object, int] | None":
+    """Real PNG reader: signature check, CRC-32-verified chunk walk
+    (multiple IDAT chunks concatenate per spec), IHDR validation (8-bit
+    RGB, deflate, no interlace), zlib inflate, and per-scanline
+    unfiltering of all five RFC 2083 filter types. Returns
+    (width, height, HxWx3 uint8 raster, distinct filter-type count) or
+    None for anything undecodable — one bad object must never kill a
+    100 TB scan."""
+    import numpy as np
+    import zlib
+
+    if payload[:8] != _PNG_SIGNATURE:
+        return None
+    ihdr = None
+    idat = bytearray()
+    ended = False
+    off = 8
+    while off + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[off : off + 4])
+        ctype = payload[off + 4 : off + 8]
+        # bound check covers data AND the trailing CRC word: a payload cut
+        # inside the CRC must be a clean None, not a struct.error (fuzz
+        # find: truncation between data end and CRC end crashed here)
+        if off + 12 + length > len(payload):
+            return None  # truncated chunk
+        data = payload[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack(">I", payload[off + 8 + length : off + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk body or header
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+            break
+        off += 12 + length
+    if ihdr is None or not ended or len(ihdr) != 13:
+        return None
+    width, height, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color != 2 or comp or filt or interlace or not width or not height:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * 3
+    if len(raw) != height * (1 + stride):
+        return None
+    rows: list[bytes] = []
+    prior = bytes(stride)
+    filters: set[int] = set()
+    for y in range(height):
+        base = y * (1 + stride)
+        rec = _unfilter_scanline(raw[base], raw[base + 1 : base + 1 + stride], prior)
+        if rec is None:
+            return None  # unknown filter type
+        filters.add(raw[base])
+        rows.append(rec)
+        prior = rec
+    raster = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width, 3)
+    return width, height, raster, len(filters)
+
+
+def _png_params(docs: DataFrame) -> DataFrame:
+    """documents → JVM-computed PNG synthesis parameters (same shared-SQL
+    discipline as ``_codec_params``: Python never derives a value the
+    oracle models)."""
+    return docs.select(
+        "doc_id",
+        F.expr(_CORRUPT).alias("corrupt"),
+        F.expr(_WIDTH).cast("int").alias("width"),
+        F.expr(_HEIGHT).cast("int").alias("height"),
+        F.expr(_R_BYTE).cast("int").alias("r_byte"),
+        F.expr(_G_BYTE).cast("int").alias("g_byte"),
+        F.expr(_B_BYTE).cast("int").alias("b_byte"),
+        F.expr(_PNG_FILTER_BASE).cast("int").alias("f_base"),
+    )
+
+
+def make_png_synthesizer() -> "Callable[..., pd.Series]":
+    """pandas_udf(BINARY) body: packs real PNG bytes. The raster is a
+    two-axis gradient — R ramps along x as (r_byte+x)%256, G constant,
+    B ramps along y as (b_byte+y)%256 — so the horizontal (Sub/Paeth
+    left) and vertical (Up/Paeth above) predictors all see non-constant
+    input and channel means keep closed forms the oracle can state.
+    Corrupt rows get the full payload with the 8-byte signature's first
+    4 bytes smashed; NULL-keyed rows get 4 junk bytes."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-local import
+
+    def synth(
+        corrupt: pd.Series,
+        width: pd.Series,
+        height: pd.Series,
+        r_byte: pd.Series,
+        g_byte: pd.Series,
+        b_byte: pd.Series,
+        f_base: pd.Series,
+    ) -> pd.Series:
+        out: list[bytes] = []
+        for i in range(len(corrupt)):
+            if pd.isna(width.iloc[i]) or pd.isna(f_base.iloc[i]):
+                out.append(b"DEAD")
+                continue
+            w, h = int(width.iloc[i]), int(height.iloc[i])
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[:, :, 0] = (int(r_byte.iloc[i]) + np.arange(w, dtype=np.int64)) % 256
+            px[:, :, 1] = int(g_byte.iloc[i])
+            px[:, :, 2] = (
+                (int(b_byte.iloc[i]) + np.arange(h, dtype=np.int64)) % 256
+            )[:, None]
+            payload = encode_png_rgb8(w, h, px, filter_base=int(f_base.iloc[i]))
+            if bool(corrupt.iloc[i]):
+                payload = b"DEAD" + payload[4:]
+            out.append(payload)
+        return pd.Series(out)
+
+    return synth
+
+
+def synthesize_png_payloads(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary) of real PNG bytes. One
+    Arrow-batched projection, no shuffle."""
+    synth_udf = F.pandas_udf(make_png_synthesizer(), "binary")
+    p = _png_params(docs)
+    return p.select(
+        "doc_id",
+        synth_udf(
+            "corrupt", "width", "height", "r_byte", "g_byte", "b_byte", "f_base"
+        ).alias("payload"),
+    )
+
+
+def make_png_decoder() -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    """mapInPandas body: real PNG decode with the decode spec's error-row
+    policy — undecodable payloads become valid=false + NULL features."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-local import
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "valid", "width", "height",
+                    "raw_bytes", "n_filter_types", "mean_r", "mean_b",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                feat = dict.fromkeys(cols)
+                feat.update(doc_id=doc_id, valid=False)
+                dec = decode_png_rgb8(b)
+                if dec is not None:
+                    w, h, raster, n_filters = dec
+                    feat.update(
+                        valid=True,
+                        width=w,
+                        height=h,
+                        raw_bytes=h * (1 + w * 3),
+                        n_filter_types=n_filters,
+                        mean_r=float(raster[:, :, 0].astype(np.float64).mean()),
+                        mean_b=float(raster[:, :, 2].astype(np.float64).mean()),
+                    )
+                for k, v in feat.items():
+                    cols[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols["doc_id"], dtype="Int64"),
+                    "valid": pd.array(cols["valid"], dtype="boolean"),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "raw_bytes": pd.array(cols["raw_bytes"], dtype="Int32"),
+                    "n_filter_types": pd.array(cols["n_filter_types"], dtype="Int32"),
+                    "mean_r": pd.array(cols["mean_r"], dtype="Float64"),
+                    "mean_b": pd.array(cols["mean_b"], dtype="Float64"),
+                }
+            )
+
+    return decode
+
+
+@register(
+    "multimodal_codec_png",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         {_CORRUPT}  AS corrupt,
+         {_WIDTH}    AS width,
+         {_HEIGHT}   AS height,
+         {_R_BYTE}   AS r_byte,
+         {_B_BYTE}   AS b_byte
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(NOT corrupt, FALSE)                                    AS valid,
+       CAST(CASE WHEN NOT corrupt THEN width  END AS INTEGER)          AS width,
+       CAST(CASE WHEN NOT corrupt THEN height END AS INTEGER)          AS height,
+       -- inflated IDAT length: per row one filter byte + width*3 raster bytes
+       CAST(CASE WHEN NOT corrupt THEN height * (1 + width * 3) END
+            AS INTEGER)                                                AS raw_bytes,
+       -- scanline y uses filter (base + y) % 5 → distinct count is
+       -- least(height, 5) regardless of the per-doc phase
+       CAST(CASE WHEN NOT corrupt THEN least(height, 5) END
+            AS INTEGER)                                                AS n_filter_types,
+       -- R ramps along x: mean over the raster == mean over one row.
+       -- Closed form of sum((r_byte + x) % 256, x = 0..w-1): the ramp
+       -- r_byte..r_byte+w-1 wraps AT MOST ONCE (r_byte <= 255, w <= 33),
+       -- so exactly greatest(0, r_byte + w - 256) terms lose 256.
+       -- Exact in float64: integer numerator < 2^53, one correctly-
+       -- rounded division of the same rational on both engines.
+       CAST(CASE WHEN NOT corrupt THEN
+              (width * r_byte + (width * (width - 1)) // 2
+               - 256 * greatest(0, r_byte + width - 256))
+              / CAST(width AS DOUBLE) END
+            AS DOUBLE)                                                 AS mean_r,
+       -- B ramps along y: mean over the raster == mean over one column
+       CAST(CASE WHEN NOT corrupt THEN
+              (height * b_byte + (height * (height - 1)) // 2
+               - 256 * greatest(0, b_byte + height - 256))
+              / CAST(height AS DOUBLE) END
+            AS DOUBLE)                                                 AS mean_b
+FROM p
+""",
+    tags=("multimodal", "codec", "png", "paeth", "mapInPandas", "north-star"),
+    doc=(
+        "REAL PNG codec, oracle-verified: rows synthesize actual RFC 2083 "
+        "PNGs (zlib-deflated IDAT, CRC-32 per chunk, scanlines cycling "
+        "through all five filter types incl. Paeth) from JVM-computed "
+        "parameters over a two-axis gradient raster; the decoder walks "
+        "chunks with CRC verification, inflates, unfilters every scanline, "
+        "and re-derives geometry, filter coverage, and channel means from "
+        "the reconstructed raster, which the oracle states in closed form. "
+        "Corrupt-signature rows (every 97th doc) must decode to "
+        "valid=false + NULL features — same error-row contract as "
+        "multimodal_codec_decode."
+    ),
+)
+def multimodal_codec_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return synthesize_png_payloads(docs).mapInPandas(
+        make_png_decoder(), schema=PNG_SCHEMA
+    )
 
 
 def make_frame_extractor(

@@ -7,11 +7,17 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import example, given, settings
+from hypothesis import strategies as st
 
 from spark_kinesis_article_analysis_spark.functions.multimodal_codec import (
     FRAME_SAMPLES,
+    _filter_scanline,
+    _unfilter_scanline,
+    decode_png_rgb8,
     decode_ppm_p6,
     decode_wav_pcm16,
+    encode_png_rgb8,
     encode_ppm_p6,
     encode_wav_pcm16,
 )
@@ -105,6 +111,130 @@ class TestPpmCodec:
         assert decode_ppm_p6(payload) is None
 
 
+def _rfc2083_filter_model(ftype: int, row: bytes, prior: bytes, bpp: int = 3) -> bytes:
+    """Independent per-RFC-2083-pseudocode filter model for the
+    differential tests below — deliberately a SEPARATE transcription of
+    the spec from the codec's implementation, so a shared filter/unfilter
+    bug (which a round trip alone cancels out) still fails here."""
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        elif pb <= pc:
+            return b
+        return c
+
+    out = []
+    for x, raw in enumerate(row):
+        left = row[x - bpp] if x >= bpp else 0
+        up = prior[x]
+        upleft = prior[x - bpp] if x >= bpp else 0
+        pred = {
+            0: 0,
+            1: left,
+            2: up,
+            3: (left + up) // 2,
+            4: paeth(left, up, upleft),
+        }[ftype]
+        out.append((raw - pred) % 256)
+    return bytes(out)
+
+
+class TestPngCodec:
+    def test_round_trip_random_raster_all_filter_phases(self):
+        rng = np.random.default_rng(42)
+        for w, h in [(1, 1), (4, 3), (32, 7), (5, 6)]:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for base in range(5):
+                dec = decode_png_rgb8(encode_png_rgb8(w, h, px, filter_base=base))
+                assert dec is not None
+                got_w, got_h, raster, n_filters = dec
+                assert (got_w, got_h) == (w, h)
+                assert np.array_equal(raster, px)
+                assert n_filters == min(h, 5)
+
+    def test_filters_match_independent_rfc_model(self):
+        """Differential: the codec's filter output must equal a separate
+        transcription of RFC 2083's pseudocode on random scanlines — the
+        check a filter/unfilter round trip cannot provide."""
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            n = int(rng.integers(3, 64)) * 3
+            row = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            prior = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            for ftype in range(5):
+                assert _filter_scanline(ftype, row, prior) == _rfc2083_filter_model(
+                    ftype, row, prior
+                ), f"filter type {ftype} diverges from the RFC model"
+                # and unfilter inverts the MODEL's output, not just our own
+                assert _unfilter_scanline(
+                    ftype, _rfc2083_filter_model(ftype, row, prior), prior
+                ) == row
+
+    def test_multiple_idat_chunks_concatenate(self):
+        """The spec allows the compressed stream split across IDAT chunks;
+        the reader must concatenate before inflating."""
+        import struct
+        import zlib
+
+        px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(3, 2, 3)
+        payload = encode_png_rgb8(2, 3, px)
+        # locate the single IDAT and split its data into two chunks
+        off = 8 + 12 + 13  # signature + IHDR chunk
+        (length,) = struct.unpack(">I", payload[off : off + 4])
+        data = payload[off + 8 : off + 8 + length]
+        mid = length // 2
+        def chunk(d: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(d))
+                + b"IDAT"
+                + d
+                + struct.pack(">I", zlib.crc32(b"IDAT" + d) & 0xFFFFFFFF)
+            )
+
+        rebuilt = (
+            payload[: off] + chunk(data[:mid]) + chunk(data[mid:])
+            + payload[off + 12 + length :]
+        )
+        dec = decode_png_rgb8(rebuilt)
+        assert dec is not None and np.array_equal(dec[2], px)
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda b: b"DEAD" + b[4:],            # smashed signature
+            lambda b: b[:-1],                     # truncated IEND
+            lambda b: b[:40] + bytes([b[40] ^ 0xFF]) + b[41:],  # CRC-caught flip
+            lambda b: b[:16] + b"\x10" + b[17:],  # 16-bit depth unsupported (CRC)
+            lambda b: b"DEAD",                    # junk payload
+        ],
+    )
+    def test_tampered_payloads_return_none(self, mutate):
+        px = np.zeros((3, 4, 3), dtype=np.uint8)
+        assert decode_png_rgb8(mutate(encode_png_rgb8(4, 3, px))) is None
+
+    def test_unknown_filter_type_rejected(self):
+        import struct
+        import zlib
+
+        raw = bytes([5]) + bytes(3)  # filter type 5 does not exist
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+        def chunk(t: bytes, d: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png_rgb8(payload) is None
+
+
 class TestCodecSpecs:
     def test_decode_error_rows_are_null_not_fatal(self, spark):
         """Every 97th doc is magic-smashed; the decode spec must keep the
@@ -148,3 +278,76 @@ class TestCodecSpecs:
     def test_frames_plan_no_shuffle(self, spark):
         df = SPECS["multimodal_codec_frames"].build(spark, SF_SMOKE)
         assert inspect.count_exchanges(df) == 0, inspect.explain_str(df)
+
+    def test_png_error_rows_are_null_not_fatal(self, spark):
+        """Same error-row contract as the WAV/PPM decode spec: corrupt
+        PNGs keep their row with valid=false + NULL features."""
+        df = SPECS["multimodal_codec_png"].build(spark, SF_SMOKE).toPandas()
+        bad = df[~df["valid"]]
+        assert len(bad) > 0, "corrupt rows missing from the smoke corpus"
+        for c in ("width", "height", "raw_bytes", "n_filter_types", "mean_r", "mean_b"):
+            assert bad[c].isna().all(), f"corrupt rows must have NULL {c}"
+        good = df[df["valid"]]
+        assert len(good) > len(bad)
+        # every valid payload tall enough must have exercised all 5 filters
+        tall = good[good["height"] >= 5]
+        assert (tall["n_filter_types"] == 5).all()
+
+    def test_png_plan_is_scan_plus_arrow_stages_no_shuffle(self, spark):
+        df = SPECS["multimodal_codec_png"].build(spark, SF_SMOKE)
+        assert inspect.count_exchanges(df) == 0, inspect.explain_str(df)
+        cols = inspect.read_schema_columns(df)
+        assert set(cols) == {"doc_id", "n_chars"}, cols
+        plan = inspect.explain_str(df)
+        assert "ArrowEvalPython" in plan and "MapInPandas" in plan, plan
+
+
+class TestPngFuzz:
+    """Generative round-trip coverage for the PNG codec (the rotation's
+    TestCodecFuzz counterpart for this format)."""
+
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 8),
+        base=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_round_trip_is_identity(self, w, h, base, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        dec = decode_png_rgb8(encode_png_rgb8(w, h, px, filter_base=base))
+        assert dec is not None
+        got_w, got_h, raster, _ = dec
+        assert (got_w, got_h) == (w, h) and np.array_equal(raster, px)
+
+    @given(
+        cut=st.integers(1, 60),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    # pinned fuzz find: a cut landing INSIDE a chunk's trailing CRC word
+    # (13..16 bytes from the end = IDAT's CRC here) crashed the chunk walk
+    # with struct.error instead of returning None
+    @example(cut=13, seed=0)
+    @example(cut=16, seed=0)
+    @settings(max_examples=25, deadline=None)
+    def test_truncation_never_raises(self, cut, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        payload = encode_png_rgb8(4, 4, px)
+        trunc = payload[: max(0, len(payload) - cut)]
+        assert decode_png_rgb8(trunc) is None  # never a crash, never a partial
+
+    @given(pos=st.integers(0, 200), seed=st.integers(0, 2**31 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_single_byte_flip_never_decodes_wrong_pixels(self, pos, seed):
+        """CRC-32 must catch ANY single-byte corruption (signature flips
+        fail the magic check instead): the decode either returns None or
+        — if the flip missed the payload entirely — the original raster."""
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+        payload = bytearray(encode_png_rgb8(5, 3, px))
+        pos %= len(payload)
+        payload[pos] ^= 0x5A
+        dec = decode_png_rgb8(bytes(payload))
+        assert dec is None or np.array_equal(dec[2], px)
