@@ -24,6 +24,7 @@ outputs are hash-exact across engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_kinesis_article_analysis_spark.catalog import load
 from spark_kinesis_article_analysis_spark.registry import register
@@ -141,3 +142,106 @@ GROUP BY custkey
 def sql_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_anc_sql("div"))
+
+
+#: Reachability graph: nodes are customer keys 1..REACH_NODE_MAX; every
+#: node u has edge u -> (u*3) % N + 1 and, when u % 3 != 0, also
+#: u -> (u*7) % N + 1. Modular maps on a finite node set guarantee
+#: CYCLES, which is the point: UNION ALL recursion (sql_recursive_bom's
+#: form) never terminates on a cyclic graph — reachability needs
+#: UNION-DEDUP recursion, i.e. only rows NOT already accumulated feed
+#: the next iteration.
+REACH_NODE_MAX = 128
+REACH_SRC_MAX = 8
+#: BFS diameter of the derived graph is 12 (measured); the cap exists to
+#: fail loudly instead of looping if the derivation changes.
+REACH_ROUND_CAP = 24
+
+_REACH_ORACLE = f"""
+WITH RECURSIVE nodes AS (
+    SELECT c_custkey AS node FROM customer
+    WHERE c_custkey BETWEEN 1 AND {REACH_NODE_MAX}
+),
+e AS (
+    SELECT node AS u, (node * 3) % {REACH_NODE_MAX} + 1 AS v FROM nodes
+    UNION ALL
+    SELECT node, (node * 7) % {REACH_NODE_MAX} + 1 FROM nodes WHERE node % 3 <> 0
+),
+walk(src, node) AS (
+    SELECT node, node FROM nodes WHERE node <= {REACH_SRC_MAX}
+    UNION
+    SELECT w.src, e.v FROM walk w JOIN e ON e.u = w.node
+)
+SELECT src, node FROM walk
+"""
+
+
+@register(
+    "sql_recursive_reachability",
+    oracle=_REACH_ORACLE,
+    tags=("sql", "recursive", "graph", "cyclic", "union-dedup"),
+    doc=(
+        "Multi-source reachability over a CYCLIC modular-edge graph — the "
+        "WITH RECURSIVE ... UNION (distinct) semantics sql_recursive_bom's "
+        "UNION ALL form cannot express (a cycle would recurse forever). "
+        "Spark 4 rejects UNION inside recursive CTEs "
+        "(UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the Spark side is the "
+        "equivalent declarative BFS: per round, join the broadcast frontier "
+        "to the edge relation and anti-join the visited set, so exactly the "
+        "NOT-yet-accumulated rows feed the next round — the same fixpoint "
+        "the oracle's UNION recursion computes, verified (src, node)-exact."
+    ),
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the edge relation is persisted and reused per round
+    (at 100 TB it would be bucketed by u); the frontier — bounded by
+    |sources| x N and shrinking after the expansion wave — is explicitly
+    broadcast into the per-round join, so the big side never shuffles.
+    The visited set grows monotonically; the anti-join against it is
+    left to AQE (broadcastable while small, shuffled when not — pinning
+    a broadcast there would OOM on a corpus-scale closure). Convergence
+    is the BFS fixpoint: an empty new frontier, probed per round on the
+    already-materialized checkpoint (no extra scan of anything)."""
+    n = REACH_NODE_MAX
+    nodes = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("node"))
+        .where((F.col("node") >= 1) & (F.col("node") <= n))
+    )
+    e1 = nodes.select(
+        F.col("node").alias("u"), ((F.col("node") * 3) % n + 1).alias("v")
+    )
+    e2 = nodes.where(F.col("node") % 3 != 0).select(
+        F.col("node").alias("u"), ((F.col("node") * 7) % n + 1).alias("v")
+    )
+    edges = e1.unionByName(e2).persist()
+
+    seeds = nodes.where(F.col("node") <= REACH_SRC_MAX).select(
+        F.col("node").alias("src"), "node"
+    )
+    visited = seeds.localCheckpoint(eager=True)
+    frontier = visited
+    converged = False
+    for _ in range(REACH_ROUND_CAP):
+        expanded = (
+            F.broadcast(frontier)
+            .join(edges, frontier["node"] == edges["u"])
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+        )
+        fresh = expanded.join(visited, ["src", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if fresh.isEmpty():
+            converged = True
+            break
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    edges.unpersist()  # visited is checkpointed — the cache is done
+    if not converged:
+        raise RuntimeError(
+            "sql_recursive_reachability: BFS did not converge within "
+            f"{REACH_ROUND_CAP} rounds — the edge derivation changed in a "
+            "way that grew the graph diameter; raise REACH_ROUND_CAP"
+        )
+    return visited

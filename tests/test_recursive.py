@@ -59,3 +59,90 @@ class TestRecursiveAncestors:
         plan = inspect.explain_str(df)
         assert "UnionLoop" in plan, plan
         assert "Join" not in plan, plan
+
+
+def _reachability_model() -> set:
+    """Independent pure-Python BFS closure over the same derived graph —
+    the model the distributed fixpoint must reproduce exactly."""
+    from spark_kinesis_article_analysis_spark.operators.recursive import (
+        REACH_NODE_MAX as n,
+        REACH_SRC_MAX,
+    )
+
+    def out_edges(u: int) -> list[int]:
+        es = [(u * 3) % n + 1]
+        if u % 3 != 0:
+            es.append((u * 7) % n + 1)
+        return es
+
+    want = set()
+    for s in range(1, REACH_SRC_MAX + 1):
+        vis, frontier = {s}, {s}
+        while frontier:
+            nxt = {v for u in frontier for v in out_edges(u)} - vis
+            vis |= nxt
+            frontier = nxt
+        want |= {(s, v) for v in vis}
+    return want
+
+
+class TestRecursiveReachability:
+    def test_matches_python_bfs_closure(self, spark):
+        """The distributed BFS must terminate on the CYCLIC graph (the
+        property UNION ALL recursion lacks) and produce exactly the
+        transitive closure an independent in-memory BFS computes."""
+        got = {
+            (r["src"], r["node"])
+            for r in SPECS["sql_recursive_reachability"]
+            .build(spark, SF_CORRECTNESS)
+            .collect()
+        }
+        assert got == _reachability_model()
+
+    def test_graph_is_genuinely_cyclic(self):
+        """Guard the fixture property the spec exists to exercise: the
+        derived edge set must contain a directed cycle (otherwise this
+        spec degenerates into sql_recursive_bom's DAG case)."""
+        from spark_kinesis_article_analysis_spark.operators.recursive import (
+            REACH_NODE_MAX as n,
+        )
+
+        # follow the always-present edge u -> (u*3) % n + 1: a functional
+        # map on a finite set must revisit a node
+        seen, u = set(), 1
+        while u not in seen:
+            seen.add(u)
+            u = (u * 3) % n + 1
+        assert u in seen  # cycle found (tautological by pigeonhole, kept loud)
+
+    def test_frontier_join_is_broadcast(self, spark):
+        """The per-round expansion must ship the bounded frontier to the
+        edge relation, never shuffle the edge side."""
+        df = SPECS["sql_recursive_reachability"].build(spark, SF_CORRECTNESS)
+        # the returned frame is a checkpoint (loop output); re-derive one
+        # round's join lazily the way the builder does to inspect it
+        from pyspark.sql import functions as F
+        from spark_kinesis_article_analysis_spark.catalog import load
+        from spark_kinesis_article_analysis_spark.operators.recursive import (
+            REACH_NODE_MAX as n,
+            REACH_SRC_MAX,
+        )
+
+        nodes = (
+            load(spark, SF_CORRECTNESS, "customer")
+            .select(F.col("c_custkey").alias("node"))
+            .where((F.col("node") >= 1) & (F.col("node") <= n))
+        )
+        edges = nodes.select(
+            F.col("node").alias("u"), ((F.col("node") * 3) % n + 1).alias("v")
+        )
+        frontier = nodes.where(F.col("node") <= REACH_SRC_MAX).select(
+            F.col("node").alias("src"), "node"
+        )
+        one_round = (
+            F.broadcast(frontier)
+            .join(edges, frontier["node"] == edges["u"])
+            .select("src", F.col("v").alias("node"))
+        )
+        assert inspect.has_broadcast_join(one_round), inspect.explain_str(one_round)
+        assert df.count() > 0  # and the full loop actually ran
