@@ -371,9 +371,29 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         shards = _shard_files(self._path)
         caps = self._uncommitted_caps()
+        # Shard lineage (resharding): a child shard's rows are withheld
+        # until every parent row up to the split's seal point has been
+        # PLANNED into an earlier micro-batch (pre-call high-water mark:
+        # micro-batches execute sequentially, so "planned earlier" means
+        # "processed before" downstream). This is the KCL parent-before-
+        # child rule — without it a split straddling a poll would let
+        # child rows for a key enter the same batch as (or an earlier
+        # batch than) that key's parent rows, breaking per-key order.
+        lineage = _read_lineage(self._path)
+        sealed_at = {parent: seal for parent, seal in lineage.values()}
+        pre_high = dict(self._high or {})
         latest: dict[str, int] = {}
         for shard, f in shards.items():
             avail = self._count_committed_lines(shard, f, caps.get(shard))
+            if shard in sealed_at:
+                # a sealed parent never grows; cap defensively so manual
+                # appends past the seal can't reorder around the children
+                avail = min(avail, sealed_at[shard])
+            lin = lineage.get(shard)
+            if lin is not None:
+                parent, seal = lin
+                if parent in shards and pre_high.get(parent, 0) < seal:
+                    avail = 0  # parent not fully planned yet — hold child
             if self._max_rows is not None and self._high is not None:
                 base = int(self._high.get(shard, 0))
                 avail = min(avail, base + self._max_rows)
@@ -695,9 +715,88 @@ class ArticleReplayDataSource(DataSource):
 def write_archive(path: str, shards: dict[str, list[dict]]) -> None:
     """Materialize an archive directory: ``shards`` maps shard_id to a
     list of ``{"partitionKey": ..., "data": ...}`` envelopes. Appends to
-    existing shard files (the archive is an append-only log)."""
+    existing shard files (the archive is an append-only log). Appending
+    to a shard SEALED by :func:`split_shard` is refused — after a split,
+    new records for the parent's keys belong on its children (the
+    Kinesis contract: a split closes the parent)."""
     os.makedirs(path, exist_ok=True)
+    sealed = {parent for parent, _ in _read_lineage(path).values()}
     for shard_id, envelopes in shards.items():
+        if envelopes and shard_id in sealed:
+            raise ValueError(
+                f"shard {shard_id!r} was sealed by a split — route new "
+                "records to its child shards"
+            )
         with open(os.path.join(path, f"{shard_id}.jsonl"), "a", encoding="utf-8") as f:
             for env in envelopes:
                 f.write(json.dumps(env) + "\n")
+
+
+_LINEAGE_FILE = "_lineage.json"
+
+
+def _read_lineage(path: str) -> "dict[str, tuple[str, int]]":
+    """``{child_shard: (parent_shard, parent_sealed_lines)}`` from the
+    archive's lineage manifest; empty when no split ever happened (the
+    overwhelmingly common case — absence costs one ENOENT per poll)."""
+    try:
+        with open(os.path.join(path, _LINEAGE_FILE), encoding="utf-8") as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    out: dict[str, tuple[str, int]] = {}
+    if not isinstance(raw, dict):
+        return out
+    for child, v in raw.items():
+        try:
+            out[str(child)] = (str(v["parent"]), int(v["parent_sealed_lines"]))
+        except (KeyError, TypeError, ValueError):
+            continue
+    return out
+
+
+def split_shard(path: str, parent: str, children: "Sequence[str]") -> int:
+    """Kinesis-style shard split (``reference/docker-compose.yml``'s
+    stream contract; cf. Kinesis ``SplitShard``): SEAL ``parent`` at its
+    current committed length and open empty ``children`` whose lineage
+    records that parent and seal point. Returns the sealed line count.
+
+    Reader semantics (``ArticleReplayStreamReader.latestOffset``): child
+    rows are withheld from micro-batch planning until every parent row
+    up to the seal has been planned — the KCL parent-before-child rule
+    that preserves per-partition-key ordering across the split. Writer
+    semantics: the parent refuses further appends (``write_archive``
+    guard); post-split records for a key route to one consistent child.
+
+    The manifest rewrite is atomic (tmp + ``os.replace``), so a crash
+    mid-split leaves either no split or the complete split — never
+    half-registered children."""
+    parent_file = os.path.join(path, f"{parent}.jsonl")
+    if not os.path.exists(parent_file):
+        raise ValueError(f"cannot split nonexistent shard {parent!r}")
+    lineage_raw: dict = {}
+    try:
+        with open(os.path.join(path, _LINEAGE_FILE), encoding="utf-8") as f:
+            lineage_raw = json.load(f)
+    except (OSError, ValueError):
+        lineage_raw = {}
+    sealed_parents = {v.get("parent") for v in lineage_raw.values()}
+    if parent in sealed_parents:
+        raise ValueError(f"shard {parent!r} is already sealed by a prior split")
+    with open(parent_file, "rb") as f:
+        sealed = sum(chunk.count(b"\n") for chunk in iter(lambda: f.read(1 << 20), b""))
+    for child in children:
+        child_file = os.path.join(path, f"{child}.jsonl")
+        if child in lineage_raw or os.path.exists(child_file):
+            raise ValueError(f"child shard {child!r} already exists")
+    for child in children:
+        with open(os.path.join(path, f"{child}.jsonl"), "a", encoding="utf-8"):
+            pass  # open the empty child log
+        lineage_raw[child] = {"parent": parent, "parent_sealed_lines": sealed}
+    tmp = os.path.join(path, _LINEAGE_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(lineage_raw, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _LINEAGE_FILE))
+    return sealed

@@ -954,6 +954,91 @@ class TestReplaySourceFuzz:
             q.stop()
         assert batch == stream
 
+    @settings(
+        max_examples=_ex(5), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(
+        pre=st.lists(st.tuples(st.integers(0, 3), st.text("ab", max_size=4)), min_size=0, max_size=8),
+        post=st.lists(st.tuples(st.integers(0, 3), st.text("ab", max_size=4)), min_size=1, max_size=8),
+        n_children=st.integers(1, 3),
+    )
+    def test_shard_split_keeps_per_key_order_and_exactly_once(
+        self, spark, tmp_path_factory, pre, post, n_children
+    ):
+        """Random reshard scenarios: `pre` rows land on the parent, a
+        split seals it, `post` rows route per-key to a consistent child.
+        For ANY shapes: (a) the stream delivers the written multiset
+        exactly once, (b) every parent row's micro-batch strictly
+        precedes every child row's, (c) per-key (batch, seq)-order
+        reproduces the write order across the split."""
+        import hashlib
+
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            ArticleReplayDataSource,
+            split_shard,
+            write_archive,
+        )
+
+        spark.dataSource.register(ArticleReplayDataSource)
+        d = str(tmp_path_factory.mktemp("fuzz_split") / "archive")
+        written: dict[int, list[str]] = {}
+
+        def env(k: int, i: int, payload: str) -> dict:
+            data = f"k{k}:{i}:{payload}"
+            written.setdefault(k, []).append(data)
+            return {"partitionKey": f"k{k}", "data": data}
+
+        write_archive(d, {"parent": [env(k, i, p) for i, (k, p) in enumerate(pre)]})
+        split_shard(d, "parent", [f"child-{c}" for c in range(n_children)])
+
+        def child_of(k: int) -> str:
+            h = int(hashlib.md5(f"k{k}".encode()).hexdigest()[:8], 16)
+            return f"child-{h % n_children}"
+
+        routed: dict[str, list[dict]] = {f"child-{c}": [] for c in range(n_children)}
+        for j, (k, p) in enumerate(post):
+            routed[child_of(k)].append(env(k, len(pre) + j, p))
+        write_archive(d, routed)
+
+        batches: list[tuple[int, list]] = []
+
+        def sink(df, bid):
+            rows = [
+                (r.shard_id, r.sequence_number, bytes(r.data).decode("utf-8"))
+                for r in df.collect()
+            ]
+            if rows:
+                batches.append((bid, rows))
+
+        q = (
+            spark.readStream.format("article_replay")
+            .option("path", d)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        rows = [r for _, rs in batches for r in rs]
+        assert sorted(r[2] for r in rows) == sorted(
+            v for vs in written.values() for v in vs
+        )  # exactly-once multiset
+        parent_bids = [b for b, rs in batches for r in rs if r[0] == "parent"]
+        child_bids = [b for b, rs in batches for r in rs if r[0] != "parent"]
+        if parent_bids and child_bids:
+            assert max(parent_bids) < min(child_bids), batches
+        for k, want in written.items():
+            got = [
+                r[2]
+                for b, rs in sorted(batches)
+                for r in sorted(rs, key=lambda t: t[1])
+                if r[2].startswith(f"k{k}:")
+            ]
+            assert got == want, (k, got, batches)
+
 
 class TestCorpusQualityFuzz:
     @settings(

@@ -655,3 +655,194 @@ class TestMalformedEnvelope:
             .collect()
         )
         assert [r.partition_key for r in rows] == ["a1", "42", None]
+
+
+class TestShardSplit:
+    """Kinesis-style resharding (SplitShard): the parent seals, children
+    open, and the stream reader must deliver every parent row in a
+    strictly earlier micro-batch than any child row — the KCL
+    parent-before-child rule that preserves per-key order across the
+    split — while staying exactly-once."""
+
+    @staticmethod
+    def _drive(registered, d, ckpt):
+        """Run the stream to exhaustion, collecting (batch_id, rows)."""
+        batches = []
+
+        def sink(df, bid):
+            rows = [
+                (r.shard_id, r.sequence_number, r.partition_key,
+                 bytes(r.data).decode("utf-8"))
+                for r in df.collect()
+            ]
+            if rows:
+                batches.append((bid, rows))
+
+        q = (
+            registered.readStream.format("article_replay")
+            .option("path", d)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return batches
+
+    def test_split_seals_parent_and_orders_children_after(
+        self, registered, tmp_path
+    ):
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            split_shard,
+        )
+
+        d = str(tmp_path / "arch")
+        # pre-split: keys x and y interleave on the parent
+        write_archive(
+            d,
+            {
+                "shard-p": [
+                    {"partitionKey": "x", "data": "x-0"},
+                    {"partitionKey": "y", "data": "y-0"},
+                    {"partitionKey": "x", "data": "x-1"},
+                    {"partitionKey": "y", "data": "y-1"},
+                ]
+            },
+        )
+        sealed = split_shard(d, "shard-p", ["shard-c0", "shard-c1"])
+        assert sealed == 4
+        # the sealed parent refuses appends
+        with pytest.raises(ValueError, match="sealed"):
+            write_archive(d, {"shard-p": [{"partitionKey": "x", "data": "no"}]})
+        # a second split of the same parent is refused too
+        with pytest.raises(ValueError, match="already sealed"):
+            split_shard(d, "shard-p", ["shard-c2"])
+        # post-split: each key continues on ONE consistent child
+        write_archive(
+            d,
+            {
+                "shard-c0": [
+                    {"partitionKey": "x", "data": "x-2"},
+                    {"partitionKey": "x", "data": "x-3"},
+                ],
+                "shard-c1": [{"partitionKey": "y", "data": "y-2"}],
+            },
+        )
+        batches = self._drive(registered, d, str(tmp_path / "ck"))
+        all_rows = [r for _, rs in batches for r in rs]
+        assert len(all_rows) == 7 and len(set(all_rows)) == 7  # exactly-once
+        parent_bids = {b for b, rs in batches for r in rs if r[0] == "shard-p"}
+        child_bids = {b for b, rs in batches for r in rs if r[0] != "shard-p"}
+        assert parent_bids and child_bids
+        assert max(parent_bids) < min(child_bids), (
+            f"child rows must land in a strictly later batch: {batches}"
+        )
+        # per-key order: (batch_id, seq)-sorted payloads reproduce the
+        # write order across the split boundary
+        for key, want in (("x", ["x-0", "x-1", "x-2", "x-3"]), ("y", ["y-0", "y-1", "y-2"])):
+            got = [
+                r[3]
+                for b, rs in sorted(batches)
+                for r in sorted(rs, key=lambda t: t[1])
+                if r[2] == key
+            ]
+            assert got == want, (key, got, batches)
+
+    def test_split_between_restart_is_exactly_once(self, registered, tmp_path):
+        """Stop after the parent is consumed, split + append children,
+        restart from the checkpoint: only the child rows arrive, once."""
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            split_shard,
+        )
+
+        d = str(tmp_path / "arch")
+        ckpt = str(tmp_path / "ck")
+        write_archive(
+            d,
+            {
+                "shard-p": [
+                    {"partitionKey": "x", "data": "x-0"},
+                    {"partitionKey": "y", "data": "y-0"},
+                ]
+            },
+        )
+        first = self._drive(registered, d, ckpt)
+        assert sorted(r[3] for _, rs in first for r in rs) == ["x-0", "y-0"]
+
+        split_shard(d, "shard-p", ["shard-c0", "shard-c1"])
+        write_archive(
+            d,
+            {
+                "shard-c0": [{"partitionKey": "x", "data": "x-1"}],
+                "shard-c1": [{"partitionKey": "y", "data": "y-1"}],
+            },
+        )
+        second = self._drive(registered, d, ckpt)  # SAME checkpoint
+        got = sorted(r[3] for _, rs in second for r in rs)
+        assert got == ["x-1", "y-1"], (
+            f"restart must deliver exactly the post-split rows once: {second}"
+        )
+
+    def test_gating_holds_while_rate_cap_drains_parent(self, registered, tmp_path):
+        """With maxRowsPerShardBatch=1 the parent backlog drains one row
+        per batch — children must stay gated through ALL of it. Uses a
+        warm-up row so the uncapped first batch (documented reader
+        behavior) can't swallow the parent backlog whole."""
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            split_shard,
+        )
+
+        d = str(tmp_path / "arch")
+        ckpt = str(tmp_path / "ck")
+        write_archive(d, {"shard-p": [{"partitionKey": "x", "data": "x-0"}]})
+
+        batches = []
+
+        def sink(df, bid):
+            rows = [
+                (r.shard_id, r.sequence_number, bytes(r.data).decode("utf-8"))
+                for r in df.collect()
+            ]
+            if rows:
+                batches.append((bid, rows))
+
+        def start():
+            return (
+                registered.readStream.format("article_replay")
+                .option("path", d)
+                .option("maxRowsPerShardBatch", "1")
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        q = start()
+        try:
+            q.processAllAvailable()  # warm-up: establishes the cap base
+            write_archive(
+                d,
+                {
+                    "shard-p": [
+                        {"partitionKey": "x", "data": "x-1"},
+                        {"partitionKey": "x", "data": "x-2"},
+                        {"partitionKey": "x", "data": "x-3"},
+                    ]
+                },
+            )
+            split_shard(d, "shard-p", ["shard-c0"])
+            write_archive(d, {"shard-c0": [{"partitionKey": "x", "data": "x-4"}]})
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        parent_bids = [b for b, rs in batches for r in rs if r[0] == "shard-p"]
+        child_bids = [b for b, rs in batches for r in rs if r[0] == "shard-c0"]
+        # the 3-row backlog drained over >= 3 capped batches, all before
+        # any child batch, and the child row arrived exactly once
+        assert len(set(parent_bids)) >= 3
+        assert child_bids and max(parent_bids) < min(child_bids)
+        payloads = sorted(r[2] for _, rs in batches for r in rs)
+        assert payloads == ["x-0", "x-1", "x-2", "x-3", "x-4"]
