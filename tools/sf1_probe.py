@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""One-shot sf1 scaling probe (VERDICT r7 #8): replicate the sf0.1
+corpus 10x with shifted keys, run the most shuffle-heavy headline
+queries at both scales, and print per-query wall-time scaling factors.
+
+Purpose: convert the "designed for 100 TB" claim from a plan-shape
+argument into a measured scale trend. A query whose wall-time grows
+~linearly (ratio ~10x on 10x data, modulo fixed per-query overhead
+that AMORTIZES at scale, so ratios below ~10 are expected for
+overhead-dominated queries) is behaving; a ratio far above its
+documented complexity is a scaling bug.
+
+Corpus construction: each table is unioned 10x with every key column
+shifted by replica * (max_key + 1), so join fan-outs, group
+cardinalities, and key-space densities scale the way a real sf1 corpus
+would. Two honest distortions, called out with the results:
+
+* documents texts repeat verbatim per replica -> the probe corpus is
+  DUPLICATE-DENSE (10 exact copies of every text). Near-dup operators
+  therefore see ~C(10,2)=45 genuine candidate pairs per distinct text —
+  more REAL work per input row than a natural corpus, by construction.
+  Their ratios are reported against that pair-count growth, not 10x.
+* events keep their original time range (density grows 10x instead of
+  the range) — sessions/windows get denser, which is the harder case
+  for the window operators, so a good ratio here is conservative.
+
+Writes the replica under /tmp/spark_graft_sf1 (NOT the repo, NOT
+/root/testdata). Idempotent: reuses the replica if present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+REPLICAS = 10
+
+#: key columns to shift per table (column -> shift base derives from the
+#: table that OWNS the key, so foreign keys stay consistent)
+KEYS = {
+    "lineitem": {"l_orderkey": "orders.o_orderkey", "l_partkey": "part.p_partkey",
+                 "l_suppkey": "supplier.s_suppkey"},
+    "orders": {"o_orderkey": "orders.o_orderkey", "o_custkey": "customer.c_custkey"},
+    "customer": {"c_custkey": "customer.c_custkey", "c_nationkey": None},
+    "supplier": {"s_suppkey": "supplier.s_suppkey", "s_nationkey": None},
+    "part": {"p_partkey": "part.p_partkey"},
+    "events": {"event_id": "events.event_id", "user_id": "events.user_id"},
+    "documents": {"doc_id": "documents.doc_id"},
+    "embeddings": {"vec_id": "embeddings.vec_id"},
+}
+
+#: the shuffle-heavy probe set (headline representatives per family)
+PROBE = [
+    "agg_pricing_summary",         # full-fact scan + grouped agg
+    "join_multiway_star",          # 4 broadcast dims + fact agg
+    "tpch_q21_waiting_suppliers",  # fact self-joins + anti/semi
+    "tpch_q5_local_supplier_volume",  # 6-way join cycle
+    "time_window_session",         # session windows over events
+    "dedup_exact",                 # single-shuffle hash dedup
+    "dedup_minhash_lsh",           # banded LSH (duplicate-dense: see module doc)
+    "text_segment_dedup",          # segment-grain aggregate dedup
+    "corpus_prep_end_to_end",      # composed corpus pipeline
+    "cluster_kmeans_lloyd",        # bounded iterative Lloyd
+]
+
+
+def build_replica() -> None:
+    os.makedirs(SF1, exist_ok=True)
+    con = duckdb.connect()
+    # nation/region are fixed dimensions at every TPC-H scale
+    for t in ("nation", "region"):
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{SF01}/{t}.parquet')) "
+            f"TO '{SF1}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    maxes: dict[str, int] = {}
+
+    def base(ref: str) -> int:
+        if ref not in maxes:
+            t, c = ref.split(".")
+            maxes[ref] = con.sql(
+                f"SELECT coalesce(max({c}), 0) + 1 FROM read_parquet('{SF01}/{t}.parquet')"
+            ).fetchone()[0]
+        return maxes[ref]
+
+    for t, keycols in KEYS.items():
+        marker = f"{SF1}/{t}.parquet"
+        if os.path.exists(marker):
+            continue
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{SF01}/{t}.parquet')"
+        ).fetchall()]
+        selects = []
+        for i in range(REPLICAS):
+            exprs = []
+            for c in cols:
+                ref = keycols.get(c, None)
+                if c in keycols and ref is not None and i > 0:
+                    exprs.append(f"{c} + {i * base(ref)} AS {c}")
+                else:
+                    exprs.append(c)
+            selects.append(
+                f"SELECT {', '.join(exprs)} FROM read_parquet('{SF01}/{t}.parquet')"
+            )
+        con.sql(
+            f"COPY ({' UNION ALL '.join(selects)}) TO '{marker}' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
+def main() -> None:
+    build_replica()
+    from spark_kinesis_article_analysis_spark.registry import all_specs
+    from spark_kinesis_article_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1_probe")
+    specs = all_specs()
+    out: dict[str, dict] = {}
+    for name in PROBE:
+        build = specs[name].build
+        # warmup (codegen) at the smallest SF
+        build(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        row = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 3)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        out[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+    print(json.dumps({"probe": "sf1_scaling", "replicas": REPLICAS, "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
