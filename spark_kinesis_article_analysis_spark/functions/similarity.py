@@ -36,6 +36,13 @@ N_QUERIES = 5
 TOP_K = 5
 #: IVF pseudo-centroids: every 100th vector acts as a cell center.
 IVF_CENTROID_STRIDE = 100
+#: Multiprobe width: each QUERY searches its nprobe nearest cells
+#: (corpus vectors stay single-cell — standard IVF). nprobe=1 measured
+#: recall@5 = 0.28 on the synthetic corpus (isotropic vectors have no
+#: cluster structure, the adversarial case for IVF); nprobe=4 = 0.48,
+#: nprobe=8 = 0.80 — the classic recall-vs-scan-fraction dial, recorded
+#: per round by bench.py's ivf_recall_at_k. 4 probes ~ 20% of cells.
+IVF_NPROBE = 4
 #: LSH: hash tables x sign bits per table. Multiple independent tables are
 #: what gives recall — a near neighbor only needs to collide in ONE table
 #: (per-table collision prob for angle theta is (1-theta/pi)^bits).
@@ -254,8 +261,15 @@ assigned AS (
     ) WHERE rn = 1
 ),
 probes AS (
-    SELECT a.vec_id AS query_id, a.emb AS qe, a.centroid_id
-    FROM assigned a WHERE a.vec_id < {N_QUERIES}
+    SELECT vec_id AS query_id, emb AS qe, centroid_id FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], cent_e), 6) DESC,
+                                           centroid_id ASC) AS rn
+        FROM embeddings e, cent
+        WHERE e.vec_id < {N_QUERIES}
+          AND {NONZERO_SQL.replace("embedding", "e.embedding")}
+    ) WHERE rn <= {IVF_NPROBE}
 ),
 scored AS (
     SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -270,10 +284,13 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
 """,
     tags=("similarity", "ivf", "ann", "north-star"),
     doc=(
-        "IVF-style approximate NN: every vector is assigned to its nearest "
-        "centroid (deterministic stride-chosen centroids stand in for k-means at "
-        "test scale); queries probe only their own cell. Same-cell search is the "
-        "O(N/K) scale path. Assignment is a PURE MAP stage: the centroid set "
+        "IVF-style approximate NN with MULTIPROBE: every corpus vector is "
+        "assigned to its nearest centroid (deterministic stride-chosen "
+        "centroids stand in for k-means at test scale); each query probes its "
+        "IVF_NPROBE nearest cells — the recall-vs-scan-fraction dial every "
+        "production IVF exposes (measured curve in the IVF_NPROBE comment; "
+        "bench.py records recall@k per round). Probed-cell search is the "
+        "O(NPROBE * N/K) scale path. Assignment is a PURE MAP stage: the centroid set "
         "folds to one array row (K x dim doubles — broadcastable by the IVF "
         "contract, ~33 MB even at 65k cells), and each vector computes its "
         "argmax-cosine centroid inside a single higher-order expression — no "
@@ -330,11 +347,31 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the candidate side only). Deriving probes from `assigned` instead
     # would re-execute the whole corpus-wide subtree a second time
     # (DataFrame reuse re-runs the plan, it doesn't cache it).
-    probes = assign(e.filter(F.col("vec_id") < N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qe"),
-        F.col("nrm").alias("qnrm"),
-        "centroid_id",
+    # Multiprobe: each query searches its IVF_NPROBE nearest cells.
+    # Same struct-array fold as `best`, but sorted and sliced instead of
+    # argmax'd: array_sort orders (s ASC, negcid ASC), reverse gives
+    # (s DESC, negcid DESC) = (s DESC, cid ASC) — bit-identical to the
+    # oracle's row_number tie-break — then slice(1, NPROBE) + explode
+    # emits one probe row per (query, cell). Still a pure map stage:
+    # no window, no extra exchange (pinned in test_plans).
+    top_cells = F.expr(
+        f"""transform(
+               slice(reverse(array_sort(transform(cents, c -> struct(
+                   round(aggregate(zip_with(emb, c.ce, (p, q) -> p * q),
+                                   cast(0.0 as double), (a, v) -> a + v)
+                         / (nrm * c.cnrm), 6) AS s,
+                   -c.cid AS negcid)))), 1, {IVF_NPROBE}),
+               x -> -x.negcid)"""
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(top_cells).alias("centroid_id"),
+        )
     )
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")

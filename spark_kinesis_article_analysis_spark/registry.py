@@ -264,6 +264,9 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # zero, DuckDB's CAST rounds half away (23.5 -> 24) — the
         # price_per_extra_unit denominator now truncs before casting
         "scalar_try_functions",
+        # r8: IVF upgraded to multiprobe (queries search their IVF_NPROBE
+        # nearest cells) — probe CTE rewritten on BOTH sides
+        "sim_ivf_topk",
     }
 )
 
