@@ -219,8 +219,18 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = nodes.where(F.col("node") <= REACH_SRC_MAX).select(
         F.col("node").alias("src"), "node"
     )
-    visited = seeds.localCheckpoint(eager=True)
-    frontier = visited
+    # ONE job per round: a LAZY localCheckpoint whose materialization is
+    # triggered by count(), which doubles as the convergence probe (the
+    # eager-checkpoint + isEmpty form paid two scheduler round-trips per
+    # BFS level — fixed overhead that dominated this query's bench entry
+    # on the small fixture). The checkpoint still truncates lineage, so
+    # `visited` — a lazy union of the checkpointed frontiers — keeps a
+    # flat plan instead of one that doubles per round (plain persist()
+    # caches data but NOT the logical plan: Catalyst re-analysis went
+    # exponential past ~12 rounds when this tried persist+count).
+    frontier = seeds.localCheckpoint(eager=False)
+    frontier.count()
+    visited = frontier
     converged = False
     for _ in range(REACH_ROUND_CAP):
         expanded = (
@@ -230,14 +240,14 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         fresh = expanded.join(visited, ["src", "node"], "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
-        if fresh.isEmpty():
+        if fresh.count() == 0:
             converged = True
             break
-        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        visited = visited.unionByName(fresh)
         frontier = fresh
-    edges.unpersist()  # visited is checkpointed — the cache is done
+    edges.unpersist()  # every visited leaf is checkpointed — cache done
     if not converged:
         raise RuntimeError(
             "sql_recursive_reachability: BFS did not converge within "
