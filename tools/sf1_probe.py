@@ -117,34 +117,62 @@ def build_replica() -> None:
     con.close()
 
 
-def main() -> None:
-    build_replica()
+def run_one_scale(sf_dir: str) -> None:
+    """Child-process mode: time every PROBE query at one scale factor in
+    a FRESH Spark session (one JVM per scale — a shared session lets the
+    first scale's cached/persisted state and GC pressure contaminate the
+    second scale's timings; the first probe run measured sf1 FASTER than
+    sf0.1 on three queries because of exactly that)."""
     from spark_kinesis_article_analysis_spark.registry import all_specs
     from spark_kinesis_article_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="sf1_probe")
     specs = all_specs()
-    out: dict[str, dict] = {}
+    out: dict[str, float] = {}
     for name in PROBE:
         build = specs[name].build
         # warmup (codegen) at the smallest SF
         build(spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-        row = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            row[label] = round(best, 3)
-        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
-        out[name] = row
-        print(f"# {name}: {row}", file=sys.stderr)
-    print(json.dumps({"probe": "sf1_scaling", "replicas": REPLICAS, "queries": out}))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+        print(f"# {sf_dir} {name}: {best:.3f}s", file=sys.stderr)
+    print(json.dumps(out))
     spark.stop()
 
 
+def main() -> None:
+    import subprocess
+
+    build_replica()
+    results: dict[str, dict[str, float]] = {}
+    for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--scale", sf_dir],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        sys.stderr.write(proc.stderr[-2000:])
+        results[label] = json.loads(proc.stdout.strip().splitlines()[-1])
+    out = {
+        name: {
+            "sf0.1": results["sf0.1"][name],
+            "sf1": results["sf1"][name],
+            "ratio": round(results["sf1"][name] / results["sf0.1"][name], 2),
+        }
+        for name in PROBE
+    }
+    print(json.dumps({"probe": "sf1_scaling", "replicas": REPLICAS, "queries": out}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--scale":
+        run_one_scale(sys.argv[2])
+    else:
+        main()
