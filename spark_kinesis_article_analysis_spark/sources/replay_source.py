@@ -372,15 +372,19 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
         shards = _shard_files(self._path)
         caps = self._uncommitted_caps()
         # Shard lineage (resharding): a child shard's rows are withheld
-        # until every parent row up to the split's seal point has been
+        # until every parent row up to the reshard's seal point has been
         # PLANNED into an earlier micro-batch (pre-call high-water mark:
         # micro-batches execute sequentially, so "planned earlier" means
         # "processed before" downstream). This is the KCL parent-before-
-        # child rule — without it a split straddling a poll would let
+        # child rule — without it a reshard straddling a poll would let
         # child rows for a key enter the same batch as (or an earlier
         # batch than) that key's parent rows, breaking per-key order.
+        # Splits have one parent per child; merge children wait for ALL
+        # their parents.
         lineage = _read_lineage(self._path)
-        sealed_at = {parent: seal for parent, seal in lineage.values()}
+        sealed_at = {
+            p: seal for parents in lineage.values() for p, seal in parents.items()
+        }
         pre_high = dict(self._high or {})
         latest: dict[str, int] = {}
         for shard, f in shards.items():
@@ -390,10 +394,10 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
                 # appends past the seal can't reorder around the children
                 avail = min(avail, sealed_at[shard])
             lin = lineage.get(shard)
-            if lin is not None:
-                parent, seal = lin
-                if parent in shards and pre_high.get(parent, 0) < seal:
-                    avail = 0  # parent not fully planned yet — hold child
+            if lin is not None and any(
+                p in shards and pre_high.get(p, 0) < seal for p, seal in lin.items()
+            ):
+                avail = 0  # some parent not fully planned yet — hold child
             if self._max_rows is not None and self._high is not None:
                 base = int(self._high.get(shard, 0))
                 avail = min(avail, base + self._max_rows)
@@ -720,7 +724,7 @@ def write_archive(path: str, shards: dict[str, list[dict]]) -> None:
     new records for the parent's keys belong on its children (the
     Kinesis contract: a split closes the parent)."""
     os.makedirs(path, exist_ok=True)
-    sealed = {parent for parent, _ in _read_lineage(path).values()}
+    sealed = {p for parents in _read_lineage(path).values() for p in parents}
     for shard_id, envelopes in shards.items():
         if envelopes and shard_id in sealed:
             raise ValueError(
@@ -735,56 +739,55 @@ def write_archive(path: str, shards: dict[str, list[dict]]) -> None:
 _LINEAGE_FILE = "_lineage.json"
 
 
-def _read_lineage(path: str) -> "dict[str, tuple[str, int]]":
-    """``{child_shard: (parent_shard, parent_sealed_lines)}`` from the
-    archive's lineage manifest; empty when no split ever happened (the
-    overwhelmingly common case — absence costs one ENOENT per poll)."""
+def _read_lineage(path: str) -> "dict[str, dict[str, int]]":
+    """``{child_shard: {parent_shard: parent_sealed_lines}}`` from the
+    archive's lineage manifest; empty when no reshard ever happened (the
+    overwhelmingly common case — absence costs one ENOENT per poll).
+    Splits record one parent per child; merges record several."""
     try:
         with open(os.path.join(path, _LINEAGE_FILE), encoding="utf-8") as f:
             raw = json.load(f)
     except (OSError, ValueError):
         return {}
-    out: dict[str, tuple[str, int]] = {}
+    out: dict[str, dict[str, int]] = {}
     if not isinstance(raw, dict):
         return out
     for child, v in raw.items():
         try:
-            out[str(child)] = (str(v["parent"]), int(v["parent_sealed_lines"]))
-        except (KeyError, TypeError, ValueError):
+            parents = {str(p): int(n) for p, n in v["parents"].items()}
+        except (KeyError, AttributeError, TypeError, ValueError):
             continue
+        out[str(child)] = parents
     return out
 
 
-def split_shard(path: str, parent: str, children: "Sequence[str]") -> int:
-    """Kinesis-style shard split (``reference/docker-compose.yml``'s
-    stream contract; cf. Kinesis ``SplitShard``): SEAL ``parent`` at its
-    current committed length and open empty ``children`` whose lineage
-    records that parent and seal point. Returns the sealed line count.
-
-    Reader semantics (``ArticleReplayStreamReader.latestOffset``): child
-    rows are withheld from micro-batch planning until every parent row
-    up to the seal has been planned — the KCL parent-before-child rule
-    that preserves per-partition-key ordering across the split. Writer
-    semantics: the parent refuses further appends (``write_archive``
-    guard); post-split records for a key route to one consistent child.
-
-    The manifest rewrite is atomic (tmp + ``os.replace``), so a crash
-    mid-split leaves either no split or the complete split — never
-    half-registered children."""
-    parent_file = os.path.join(path, f"{parent}.jsonl")
-    if not os.path.exists(parent_file):
-        raise ValueError(f"cannot split nonexistent shard {parent!r}")
+def _reshard(path: str, parents: "Sequence[str]", children: "Sequence[str]") -> "dict[str, int]":
+    """Shared split/merge mechanics: seal every ``parent`` at its current
+    committed length, open empty ``children``, and register each child's
+    full parent->seal map in the lineage manifest. The manifest rewrite
+    is atomic (tmp + ``os.replace``), so a crash mid-reshard leaves
+    either no reshard or the complete one — never half-registered
+    children. Returns ``{parent: sealed_lines}``."""
     lineage_raw: dict = {}
     try:
         with open(os.path.join(path, _LINEAGE_FILE), encoding="utf-8") as f:
             lineage_raw = json.load(f)
     except (OSError, ValueError):
         lineage_raw = {}
-    sealed_parents = {v.get("parent") for v in lineage_raw.values()}
-    if parent in sealed_parents:
-        raise ValueError(f"shard {parent!r} is already sealed by a prior split")
-    with open(parent_file, "rb") as f:
-        sealed = sum(chunk.count(b"\n") for chunk in iter(lambda: f.read(1 << 20), b""))
+    already_sealed = {
+        p for v in lineage_raw.values() for p in (v.get("parents") or {})
+    }
+    seals: dict[str, int] = {}
+    for parent in parents:
+        parent_file = os.path.join(path, f"{parent}.jsonl")
+        if not os.path.exists(parent_file):
+            raise ValueError(f"cannot reshard nonexistent shard {parent!r}")
+        if parent in already_sealed:
+            raise ValueError(f"shard {parent!r} is already sealed by a prior reshard")
+        with open(parent_file, "rb") as f:
+            seals[parent] = sum(
+                chunk.count(b"\n") for chunk in iter(lambda: f.read(1 << 20), b"")
+            )
     for child in children:
         child_file = os.path.join(path, f"{child}.jsonl")
         if child in lineage_raw or os.path.exists(child_file):
@@ -792,11 +795,39 @@ def split_shard(path: str, parent: str, children: "Sequence[str]") -> int:
     for child in children:
         with open(os.path.join(path, f"{child}.jsonl"), "a", encoding="utf-8"):
             pass  # open the empty child log
-        lineage_raw[child] = {"parent": parent, "parent_sealed_lines": sealed}
+        lineage_raw[child] = {"parents": seals}
     tmp = os.path.join(path, _LINEAGE_FILE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(lineage_raw, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, _LINEAGE_FILE))
-    return sealed
+    return seals
+
+
+def split_shard(path: str, parent: str, children: "Sequence[str]") -> int:
+    """Kinesis-style shard split (cf. Kinesis ``SplitShard``; the
+    reference's stream contract): SEAL ``parent`` at its current
+    committed length and open empty ``children`` whose lineage records
+    that parent and seal point. Returns the sealed line count.
+
+    Reader semantics (``ArticleReplayStreamReader.latestOffset``): child
+    rows are withheld from micro-batch planning until every parent row
+    up to the seal has been planned — the KCL parent-before-child rule
+    that preserves per-partition-key ordering across the split. Writer
+    semantics: the parent refuses further appends (``write_archive``
+    guard); post-split records for a key route to one consistent child."""
+    return _reshard(path, [parent], children)[parent]
+
+
+def merge_shards(path: str, parents: "Sequence[str]", child: str) -> "dict[str, int]":
+    """Kinesis-style shard merge (cf. Kinesis ``MergeShards``): SEAL
+    every ``parent`` at its current committed length and open one empty
+    ``child`` carrying the full parent lineage. Returns
+    ``{parent: sealed_lines}``.
+
+    The reader withholds the child until ALL parents are fully planned —
+    per-key order holds for keys arriving from either parent, exactly
+    the KCL rule for merge children (both parent leases must finish
+    first)."""
+    return _reshard(path, list(parents), [child])

@@ -846,3 +846,112 @@ class TestShardSplit:
         assert child_bids and max(parent_bids) < min(child_bids)
         payloads = sorted(r[2] for _, rs in batches for r in rs)
         assert payloads == ["x-0", "x-1", "x-2", "x-3", "x-4"]
+
+
+class TestShardMerge:
+    """Kinesis MergeShards: two parents seal, one child opens — the
+    child must wait for BOTH parents (per-key order for keys arriving
+    from either side), delivery exactly-once."""
+
+    def test_merge_waits_for_all_parents(self, registered, tmp_path):
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            merge_shards,
+        )
+
+        d = str(tmp_path / "arch")
+        write_archive(
+            d,
+            {
+                "shard-a": [
+                    {"partitionKey": "x", "data": "x-0"},
+                    {"partitionKey": "x", "data": "x-1"},
+                ],
+                "shard-b": [{"partitionKey": "y", "data": "y-0"}],
+            },
+        )
+        seals = merge_shards(d, ["shard-a", "shard-b"], "shard-m")
+        assert seals == {"shard-a": 2, "shard-b": 1}
+        # both parents refuse appends
+        for p in ("shard-a", "shard-b"):
+            with pytest.raises(ValueError, match="sealed"):
+                write_archive(d, {p: [{"partitionKey": "x", "data": "no"}]})
+        # post-merge: keys from BOTH parents continue on the child
+        write_archive(
+            d,
+            {
+                "shard-m": [
+                    {"partitionKey": "x", "data": "x-2"},
+                    {"partitionKey": "y", "data": "y-1"},
+                ]
+            },
+        )
+        batches = TestShardSplit._drive(registered, d, str(tmp_path / "ck"))
+        rows = [r for _, rs in batches for r in rs]
+        assert sorted(r[3] for r in rows) == ["x-0", "x-1", "x-2", "y-0", "y-1"]
+        parent_bids = {b for b, rs in batches for r in rs if r[0] != "shard-m"}
+        child_bids = {b for b, rs in batches for r in rs if r[0] == "shard-m"}
+        assert parent_bids and child_bids and max(parent_bids) < min(child_bids)
+        # per-key order across the merge for both origin parents
+        for key, want in (("x", ["x-0", "x-1", "x-2"]), ("y", ["y-0", "y-1"])):
+            got = [
+                r[3]
+                for b, rs in sorted(batches)
+                for r in sorted(rs, key=lambda t: t[1])
+                if r[2] == key
+            ]
+            assert got == want, (key, got, batches)
+
+    def test_merge_child_held_while_one_parent_lags(self, registered, tmp_path):
+        """Rate-cap one parent so it drains over several batches: the
+        merge child must stay gated until the SLOWEST parent finishes."""
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            merge_shards,
+        )
+
+        d = str(tmp_path / "arch")
+        ckpt = str(tmp_path / "ck")
+        write_archive(d, {"shard-a": [{"partitionKey": "x", "data": "x-0"}],
+                          "shard-b": [{"partitionKey": "y", "data": "y-0"}]})
+        batches = []
+
+        def sink(df, bid):
+            rows = [
+                (r.shard_id, r.sequence_number, bytes(r.data).decode("utf-8"))
+                for r in df.collect()
+            ]
+            if rows:
+                batches.append((bid, rows))
+
+        q = (
+            registered.readStream.format("article_replay")
+            .option("path", d)
+            .option("maxRowsPerShardBatch", "1")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # warm-up establishes the cap base
+            write_archive(
+                d,
+                {
+                    "shard-b": [
+                        {"partitionKey": "y", "data": "y-1"},
+                        {"partitionKey": "y", "data": "y-2"},
+                        {"partitionKey": "y", "data": "y-3"},
+                    ]
+                },
+            )
+            merge_shards(d, ["shard-a", "shard-b"], "shard-m")
+            write_archive(d, {"shard-m": [{"partitionKey": "y", "data": "y-4"}]})
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        slow_parent_bids = [b for b, rs in batches for r in rs if r[0] == "shard-b"]
+        child_bids = [b for b, rs in batches for r in rs if r[0] == "shard-m"]
+        assert len(set(slow_parent_bids)) >= 3  # capped drain over >=3 batches
+        assert child_bids and max(slow_parent_bids) < min(child_bids)
+        assert sorted(r[2] for _, rs in batches for r in rs) == [
+            "x-0", "y-0", "y-1", "y-2", "y-3", "y-4",
+        ]
