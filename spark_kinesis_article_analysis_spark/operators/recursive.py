@@ -214,25 +214,37 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = nodes.where(F.col("node") % 3 != 0).select(
         F.col("node").alias("u"), ((F.col("node") * 7) % n + 1).alias("v")
     )
-    edges = e1.unionByName(e2).persist()
-
+    edges = e1.unionByName(e2)
     seeds = nodes.where(F.col("node") <= REACH_SRC_MAX).select(
         F.col("node").alias("src"), "node"
     )
-    # ONE job per round: a LAZY localCheckpoint whose materialization is
-    # triggered by count(), which doubles as the convergence probe (the
-    # eager-checkpoint + isEmpty form paid two scheduler round-trips per
-    # BFS level — fixed overhead that dominated this query's bench entry
-    # on the small fixture). The checkpoint still truncates lineage, so
-    # `visited` — a lazy union of the checkpointed frontiers — keeps a
-    # flat plan instead of one that doubles per round (plain persist()
-    # caches data but NOT the logical plan: Catalyst re-analysis went
-    # exponential past ~12 rounds when this tried persist+count).
+    return bfs_reachability(seeds, edges, REACH_ROUND_CAP)
+
+
+def bfs_reachability(
+    seeds: DataFrame, edges: DataFrame, round_cap: int = REACH_ROUND_CAP
+) -> DataFrame:
+    """Multi-source BFS fixpoint over ``seeds`` (src, node) and ``edges``
+    (u, v) — WITH RECURSIVE ... UNION (distinct) semantics as a driver-
+    built plan, reusable over any frame pair (the registered spec binds
+    it to the modular-edge fixture; the fuzz harness binds it to random
+    graphs).
+
+    ONE job per round: a LAZY localCheckpoint whose materialization is
+    triggered by count(), which doubles as the convergence probe (the
+    eager-checkpoint + isEmpty form paid two scheduler round-trips per
+    BFS level — fixed overhead that dominated this query's bench entry
+    on the small fixture). The checkpoint still truncates lineage, so
+    `visited` — a lazy union of the checkpointed frontiers — keeps a
+    flat plan instead of one that doubles per round (plain persist()
+    caches data but NOT the logical plan: Catalyst re-analysis went
+    exponential past ~12 rounds when this tried persist+count)."""
+    edges = edges.persist()
     frontier = seeds.localCheckpoint(eager=False)
     frontier.count()
     visited = frontier
     converged = False
-    for _ in range(REACH_ROUND_CAP):
+    for _ in range(round_cap):
         expanded = (
             F.broadcast(frontier)
             .join(edges, frontier["node"] == edges["u"])
@@ -250,8 +262,8 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()  # every visited leaf is checkpointed — cache done
     if not converged:
         raise RuntimeError(
-            "sql_recursive_reachability: BFS did not converge within "
-            f"{REACH_ROUND_CAP} rounds — the edge derivation changed in a "
-            "way that grew the graph diameter; raise REACH_ROUND_CAP"
+            "bfs_reachability: BFS did not converge within "
+            f"{round_cap} rounds — graph diameter exceeds the cap; "
+            "pass a larger round_cap"
         )
     return visited

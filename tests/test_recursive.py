@@ -146,3 +146,52 @@ class TestRecursiveReachability:
         )
         assert inspect.has_broadcast_join(one_round), inspect.explain_str(one_round)
         assert df.count() > 0  # and the full loop actually ran
+
+
+class TestReachabilityFuzz:
+    """Generative UNION-dedup-recursion coverage: the distributed BFS
+    (`bfs_reachability`) vs an in-memory closure on RANDOM graphs —
+    self-loops, parallel edges, disconnected islands, dangling edge
+    endpoints, sources with no outgoing edges."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(1, 12), st.integers(1, 12)), min_size=0, max_size=30
+        ),
+        srcs=st.sets(st.integers(1, 12), min_size=1, max_size=4),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_python_closure_on_random_graphs(self, spark, edges, srcs):
+        from spark_kinesis_article_analysis_spark.operators.recursive import (
+            bfs_reachability,
+        )
+
+        seeds = spark.createDataFrame(
+            [(s, s) for s in sorted(srcs)], "src long, node long"
+        )
+        edf = spark.createDataFrame(
+            edges or [(None, None)], "u long, v long"
+        ).where("u IS NOT NULL")
+        got = {
+            (r["src"], r["node"])
+            for r in bfs_reachability(seeds, edf, round_cap=16).collect()
+        }
+        adj: dict[int, set[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+        want = set()
+        for s in srcs:
+            vis, frontier = {s}, {s}
+            while frontier:
+                nxt = {v for u in frontier for v in adj.get(u, ())} - vis
+                vis |= nxt
+                frontier = nxt
+            want |= {(s, v) for v in vis}
+        assert got == want
