@@ -96,6 +96,8 @@ HEADLINE = [
     # round-8 additions (totals comparable to r7 only on shared keys)
     "multimodal_codec_png",       # real PNG codec (zlib + 5 filter types)
     "sql_recursive_reachability", # BFS fixpoint w/ UNION-dedup semantics
+    "dedup_containment",          # directional containment over the inverted index
+    "corpus_domain_cap",          # sharded-rank per-domain budget
 ]
 
 

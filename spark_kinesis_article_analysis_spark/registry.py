@@ -168,6 +168,11 @@ def _load_all() -> None:
         graph,
         dedup_pipeline,
     )
+    # Round-8: corpus-curation surface (containment dedup, domain caps) —
+    # new module, rank-0 entries, nothing existing re-staled.
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        curation,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -202,6 +207,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "recursive.py",
     "graph.py",
     "dedup_pipeline.py",
+    "curation.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -208,6 +208,11 @@ _DOC_SPECS = [
     # corpora are duplicate-dense (small alphabet), so the component
     # stage actually merges chains
     "dedup_near_dup_end_to_end",
+    # r8: directional containment over the shared inverted index (short-
+    # inside-long pairs Jaccard dilutes) and the md5-ordered domain cap
+    # (one hot domain is exactly the sharded-rank case)
+    "dedup_containment",
+    "corpus_domain_cap",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
