@@ -646,6 +646,14 @@ def cluster_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             e.join(F.broadcast(folded))
             .withColumn("b", best)
+            # Empty centroid set (no valid vector has vec_id < K — fuzz
+            # find #24: a corpus of NULL embeddings plus one valid
+            # vector): array_min([]) is NULL, and the oracle's cross
+            # join against the empty centroid CTE emits NOTHING — so an
+            # unassignable vector must be dropped, not kept with a NULL
+            # cluster (which round 2 then "repaired" into a NULL-cid
+            # centroid, emitting Row(cluster=NULL, dist=0.0)).
+            .filter(F.col("b").isNotNull())
             .select("vec_id", "v", F.col("b.cid").alias("cluster"), F.col("b.d2").alias("d2"))
         )
 

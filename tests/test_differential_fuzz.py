@@ -405,6 +405,12 @@ class TestEmbeddingFuzz:
         max_examples=_ex(8), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_emb_rows)
+    # pinned fuzz find #24 (r8, 4x hunt): when NO valid vector has
+    # vec_id < K the k-means seed set is EMPTY — the oracle's cross join
+    # emits nothing, but the Spark side kept unassignable vectors with a
+    # NULL cluster, which round 2 "repaired" into a NULL-cid centroid
+    # emitting Row(cluster=NULL, dist=0.0)
+    @example(rows=[(None, 0)] * 8 + [("zero", 0)])
     def test_embedding_family_parity_on_random_vectors(self, spark, tmp_path_factory, rows):
         """Random vectors (NULLs, zeros, magnitude extremes to 1e6)
         through norms, JL projection, quantization, cosine top-k, and
