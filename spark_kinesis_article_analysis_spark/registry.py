@@ -273,6 +273,10 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # r8: IVF upgraded to multiprobe (queries search their IVF_NPROBE
         # nearest cells) — probe CTE rewritten on BOTH sides
         "sim_ivf_topk",
+        # r8 fuzz find #25: upper()-derived token set replaced with an
+        # ASCII translate on BOTH sides (JVM full case mapping vs
+        # utf8proc simple mapping diverges on ß/ᾚ/... — un-mirrorable)
+        "scalar_array_setops",
     }
 )
 
