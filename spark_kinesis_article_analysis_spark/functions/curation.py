@@ -84,7 +84,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= MAX_SHINGLE_DF)
-        .persist()  # consumed twice (sizes + pairs), df-capped
+        # consumed twice (sizes + pairs), df-capped. localCheckpoint, not
+        # persist: a registered builder can't unpersist after its lazy
+        # consumers run, so a pin would leak one cached frame per build
+        # until LRU eviction; checkpoint blocks are released by the
+        # ContextCleaner when the frame is GC'd (the PageRank pattern,
+        # functions/graph.py).
+        .localCheckpoint(eager=True)
     )
     sizes = (
         groups.select(F.explode("ids").alias("doc_id"))

@@ -186,6 +186,76 @@ class ShardPartition(InputPartition):
     end: int | None  # None = read to EOF (batch)
 
 
+@dataclass
+class ChainedShardPartition(InputPartition):
+    """Lineage-linked shard slices fused into ONE sequential read:
+    ancestor shards' rows stream before descendant shards' within the
+    single input partition. Used when a reshard's parent and child land
+    in the same micro-batch — only possible in the first (blind) batch
+    after a (re)start, where ``latestOffset`` cannot hold the child
+    without risking an offset regression — so per-partition-key order
+    survives even that batch. Steady-state polls never co-plan a parent
+    with its child (the seeded gate), so the lost parallelism is bounded
+    to the one blind batch."""
+
+    segments: tuple  # of ShardPartition, ancestors first
+
+
+def _read_chained(partition: "ChainedShardPartition") -> Iterator:
+    for seg in partition.segments:
+        yield from _read_record_batches(
+            seg.file_path, seg.shard_id, seg.start, seg.end
+        )
+
+
+def _lineage_depth(shard: str, lineage: "dict[str, dict[str, int]]") -> int:
+    parents = lineage.get(shard)
+    if not parents:
+        return 0
+    return 1 + max(_lineage_depth(p, lineage) for p in parents)
+
+
+def _chain_lineage_slices(
+    slices: "dict[str, ShardPartition]", lineage: "dict[str, dict[str, int]]"
+) -> "list[InputPartition]":
+    """Fuse this batch's slices so no slice runs parallel to a slice of
+    its ancestor shard: connected lineage components become one
+    :class:`ChainedShardPartition`, ordered ancestors-first (ties by
+    shard id; sibling parents of a merge carry no mutual order promise,
+    matching KCL). Slices with no co-planned relatives pass through
+    untouched — the overwhelmingly common case."""
+    if not lineage:
+        return [slices[s] for s in sorted(slices)]
+    root: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while root.setdefault(x, x) != x:
+            root[x] = root[root[x]]
+            x = root[x]
+        return x
+
+    for child, parents in lineage.items():
+        if child in slices:
+            for p in parents:
+                if p in slices:
+                    ra, rb = find(p), find(child)
+                    if ra != rb:
+                        root[ra] = rb
+    groups: dict[str, list[str]] = {}
+    for s in sorted(slices):
+        groups.setdefault(find(s), []).append(s)
+    parts: list[InputPartition] = []
+    for members in groups.values():
+        if len(members) == 1:
+            parts.append(slices[members[0]])
+        else:
+            ordered = sorted(members, key=lambda s: (_lineage_depth(s, lineage), s))
+            parts.append(
+                ChainedShardPartition(segments=tuple(slices[s] for s in ordered))
+            )
+    return parts
+
+
 class ArticleReplayBatchReader(DataSourceReader):
     """Batch reader: one partition per shard file, shard-filter pruning."""
 
@@ -235,6 +305,7 @@ class ArticleReplayBatchReader(DataSourceReader):
         return _read_record_batches(
             partition.file_path, partition.shard_id, partition.start, partition.end
         )
+
 
 
 class ArticleReplayStreamReader(DataSourceStreamReader):
@@ -298,31 +369,7 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
         permanently skip their replacements. The intent journal's
         dangling PREPARE records each shard's pre-append length — the
         committed prefix — so the reader never counts past it."""
-        caps: dict[str, int] = {}
-        log = os.path.join(self._path, "_committed_batches.log")
-        pending: dict | None = None
-        try:
-            with open(log, encoding="utf-8") as f:
-                for line in f:
-                    parts = line.strip().split(" ", 2)
-                    if not parts or not parts[0]:
-                        continue
-                    if parts[0] == "PREPARE" and len(parts) == 3:
-                        try:
-                            pending = json.loads(parts[2])
-                        except ValueError:
-                            pending = None
-                    elif parts[0] in ("COMMIT", "ABORT"):
-                        pending = None
-        except OSError:
-            return caps
-        if pending:
-            for shard, length in pending.items():
-                try:
-                    caps[shard] = int(length)
-                except (TypeError, ValueError):
-                    continue
-        return caps
+        return _dangling_prepare_caps(self._path)
 
     def _count_committed_lines(self, shard: str, file_path: str, cap: int | None) -> int:
         """Count complete ('\n'-terminated) lines in ``file_path`` up to
@@ -394,10 +441,37 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
                 # appends past the seal can't reorder around the children
                 avail = min(avail, sealed_at[shard])
             lin = lineage.get(shard)
-            if lin is not None and any(
-                p in shards and pre_high.get(p, 0) < seal for p, seal in lin.items()
-            ):
-                avail = 0  # some parent not fully planned yet — hold child
+            if lin is not None and self._high is not None:
+                if any(
+                    p in shards and pre_high.get(p, 0) < seal
+                    for p, seal in lin.items()
+                ):
+                    # some parent not fully planned yet — hold the child
+                    # at its planned high (NEVER a raw 0, which could sit
+                    # below an offset the engine already logged).
+                    avail = pre_high.get(shard, 0)
+            elif lin is not None:
+                # BLIND poll — the first after a (re)start: committed
+                # offsets are unknown until the engine replays them
+                # through partitions(), so holding is only safe when it
+                # provably cannot regress. If some parent has fewer
+                # committed lines AVAILABLE than its seal, the gate was
+                # necessarily still holding this child at 0 in every
+                # earlier process (availability only grows, and the gate
+                # releases only once parents reach the seal) — so the
+                # child's logged offset is provably 0 and a 0 hold is
+                # exact. Otherwise offer raw avail: a hold could drop
+                # below a committed child offset, and the engine would
+                # log the regressed value and re-deliver rows (ADVICE
+                # r8). Per-key order for this one blind batch is kept by
+                # partitions() chaining lineage-linked slices.
+                if any(
+                    p in shards
+                    and self._count_committed_lines(p, shards[p], caps.get(p))
+                    < seal
+                    for p, seal in lin.items()
+                ):
+                    avail = 0
             if self._max_rows is not None and self._high is not None:
                 base = int(self._high.get(shard, 0))
                 avail = min(avail, base + self._max_rows)
@@ -408,28 +482,29 @@ class ArticleReplayStreamReader(DataSourceStreamReader):
         self._observe(latest)
         return latest
 
-    def partitions(self, start: dict, end: dict) -> Sequence[ShardPartition]:
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         # start/end come from the engine's offset log — authoritative
         # (on restart this is the first place the reader learns the
         # checkpointed position).
         self._observe(start)
         self._observe(end)
         shards = _shard_files(self._path)
-        parts: list[ShardPartition] = []
+        slices: dict[str, ShardPartition] = {}
         for shard, end_seq in end.items():
             begin = int(start.get(shard, 0))
             stop = int(end_seq)
             if stop > begin and shard in shards:
-                parts.append(
-                    ShardPartition(
-                        shard_id=shard, file_path=shards[shard], start=begin, end=stop
-                    )
+                slices[shard] = ShardPartition(
+                    shard_id=shard, file_path=shards[shard], start=begin, end=stop
                 )
+        parts = _chain_lineage_slices(slices, _read_lineage(self._path))
         # same empty-scan sentinel as the batch reader: a no-progress
         # micro-batch must not hand read() a None partition
         return parts or [ShardPartition(shard_id="", file_path="", start=0, end=0)]
 
-    def read(self, partition: ShardPartition) -> Iterator:
+    def read(self, partition: InputPartition) -> Iterator:
+        if isinstance(partition, ChainedShardPartition):
+            return _read_chained(partition)
         if partition is None or not partition.file_path:
             return iter(())
         return _read_record_batches(
@@ -736,6 +811,39 @@ def write_archive(path: str, shards: dict[str, list[dict]]) -> None:
                 f.write(json.dumps(env) + "\n")
 
 
+def _dangling_prepare_caps(path: str) -> "dict[str, int]":
+    """``{shard: committed-prefix bytes}`` from a dangling writer PREPARE
+    in the intent journal (see ``_IntentJournal``). Empty when the last
+    epoch committed or aborted cleanly. Shared by the stream reader
+    (never offer rows recovery will truncate) and ``_reshard`` (never
+    seal a parent past its committed prefix)."""
+    caps: dict[str, int] = {}
+    log = os.path.join(path, "_committed_batches.log")
+    pending: dict | None = None
+    try:
+        with open(log, encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split(" ", 2)
+                if not parts or not parts[0]:
+                    continue
+                if parts[0] == "PREPARE" and len(parts) == 3:
+                    try:
+                        pending = json.loads(parts[2])
+                    except ValueError:
+                        pending = None
+                elif parts[0] in ("COMMIT", "ABORT"):
+                    pending = None
+    except OSError:
+        return caps
+    if pending:
+        for shard, length in pending.items():
+            try:
+                caps[shard] = int(length)
+            except (TypeError, ValueError):
+                continue
+    return caps
+
+
 _LINEAGE_FILE = "_lineage.json"
 
 
@@ -777,6 +885,13 @@ def _reshard(path: str, parents: "Sequence[str]", children: "Sequence[str]") -> 
     already_sealed = {
         p for v in lineage_raw.values() for p in (v.get("parents") or {})
     }
+    # A dangling writer PREPARE means the parent log may carry an
+    # uncommitted suffix that recovery will TRUNCATE away; sealing at the
+    # raw newline count would then set a seal the committed line count can
+    # never reach, withholding the children forever (silent livelock). Cap
+    # the count at each parent's committed-prefix byte length — the same
+    # rule the stream reader applies before offering rows.
+    prepare_caps = _dangling_prepare_caps(path)
     seals: dict[str, int] = {}
     for parent in parents:
         parent_file = os.path.join(path, f"{parent}.jsonl")
@@ -784,10 +899,16 @@ def _reshard(path: str, parents: "Sequence[str]", children: "Sequence[str]") -> 
             raise ValueError(f"cannot reshard nonexistent shard {parent!r}")
         if parent in already_sealed:
             raise ValueError(f"shard {parent!r} is already sealed by a prior reshard")
+        byte_cap = prepare_caps.get(parent)
         with open(parent_file, "rb") as f:
-            seals[parent] = sum(
-                chunk.count(b"\n") for chunk in iter(lambda: f.read(1 << 20), b"")
-            )
+            count, scanned = 0, 0
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                if byte_cap is not None and scanned + len(chunk) > byte_cap:
+                    count += chunk[: byte_cap - scanned].count(b"\n")
+                    break
+                count += chunk.count(b"\n")
+                scanned += len(chunk)
+            seals[parent] = count
     for child in children:
         child_file = os.path.join(path, f"{child}.jsonl")
         if child in lineage_raw or os.path.exists(child_file):
@@ -816,7 +937,16 @@ def split_shard(path: str, parent: str, children: "Sequence[str]") -> int:
     up to the seal has been planned — the KCL parent-before-child rule
     that preserves per-partition-key ordering across the split. Writer
     semantics: the parent refuses further appends (``write_archive``
-    guard); post-split records for a key route to one consistent child."""
+    guard); post-split records for a key route to one consistent child.
+
+    Blind-poll nuance: on the first poll after a (re)start the reader
+    does not yet know the engine's committed offsets (Spark only replays
+    them through ``partitions``), so the hold applies only when provably
+    regression-free (a parent short of its seal ⇒ the child's committed
+    offset is necessarily 0); otherwise parent and child may share that
+    one batch, where ``partitions`` fuses their slices into a single
+    sequential ancestors-first read (``ChainedShardPartition``) — per-key
+    order holds unconditionally, exactly-once holds unconditionally."""
     return _reshard(path, [parent], children)[parent]
 
 

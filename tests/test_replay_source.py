@@ -732,23 +732,25 @@ class TestShardSplit:
             },
         )
         batches = self._drive(registered, d, str(tmp_path / "ck"))
-        all_rows = [r for _, rs in batches for r in rs]
+        all_rows = [r for _, rs in sorted(batches) for r in rs]
         assert len(all_rows) == 7 and len(set(all_rows)) == 7  # exactly-once
-        parent_bids = {b for b, rs in batches for r in rs if r[0] == "shard-p"}
-        child_bids = {b for b, rs in batches for r in rs if r[0] != "shard-p"}
-        assert parent_bids and child_bids
-        assert max(parent_bids) < min(child_bids), (
-            f"child rows must land in a strictly later batch: {batches}"
+        # A fresh start over an already-resharded archive cannot gate the
+        # child at the first (blind) poll — the reader can't prove a 0
+        # hold wouldn't regress a checkpointed offset — so parent and
+        # children may share that batch. partitions() then fuses the
+        # lineage-linked slices into ONE sequential ancestors-first
+        # partition: DELIVERY order still puts every parent row before
+        # any child row.
+        shard_seq = [r[0] for r in all_rows]
+        last_parent = max(i for i, s in enumerate(shard_seq) if s == "shard-p")
+        first_child = min(i for i, s in enumerate(shard_seq) if s != "shard-p")
+        assert last_parent < first_child, (
+            f"child rows must be delivered after all parent rows: {batches}"
         )
-        # per-key order: (batch_id, seq)-sorted payloads reproduce the
-        # write order across the split boundary
+        # per-key order: delivery order reproduces the write order across
+        # the split boundary
         for key, want in (("x", ["x-0", "x-1", "x-2", "x-3"]), ("y", ["y-0", "y-1", "y-2"])):
-            got = [
-                r[3]
-                for b, rs in sorted(batches)
-                for r in sorted(rs, key=lambda t: t[1])
-                if r[2] == key
-            ]
+            got = [r[3] for r in all_rows if r[2] == key]
             assert got == want, (key, got, batches)
 
     def test_split_between_restart_is_exactly_once(self, registered, tmp_path):
@@ -847,6 +849,96 @@ class TestShardSplit:
         payloads = sorted(r[2] for _, rs in batches for r in rs)
         assert payloads == ["x-0", "x-1", "x-2", "x-3", "x-4"]
 
+    def test_child_rows_committed_before_restart_not_redelivered(
+        self, registered, tmp_path
+    ):
+        """ADVICE r8 (high): child rows are consumed and COMMITTED, then
+        the query stops and restarts from the checkpoint. On the first
+        post-restart poll the reader does not yet know the committed
+        offsets (self._high is None); the lineage gate must NOT force the
+        child back to 0 — that regresses below the checkpointed offset
+        and re-delivers the child's rows. Pre-fix behavior: got
+        ['x-1', 'x-2', 'y-1'] instead of ['x-2']."""
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            split_shard,
+        )
+
+        d = str(tmp_path / "arch")
+        ckpt = str(tmp_path / "ck")
+        write_archive(
+            d,
+            {
+                "shard-p": [
+                    {"partitionKey": "x", "data": "x-0"},
+                    {"partitionKey": "y", "data": "y-0"},
+                ]
+            },
+        )
+        split_shard(d, "shard-p", ["shard-c0", "shard-c1"])
+        write_archive(
+            d,
+            {
+                "shard-c0": [{"partitionKey": "x", "data": "x-1"}],
+                "shard-c1": [{"partitionKey": "y", "data": "y-1"}],
+            },
+        )
+        first = self._drive(registered, d, ckpt)
+        assert sorted(r[3] for _, rs in first for r in rs) == [
+            "x-0", "x-1", "y-0", "y-1",
+        ]
+
+        write_archive(d, {"shard-c0": [{"partitionKey": "x", "data": "x-2"}]})
+        second = self._drive(registered, d, ckpt)  # SAME checkpoint
+        got = sorted(r[3] for _, rs in second for r in rs)
+        assert got == ["x-2"], (
+            f"restart must not re-deliver committed child rows: {second}"
+        )
+
+    def test_split_with_dangling_prepare_seals_at_committed_prefix(
+        self, registered, tmp_path
+    ):
+        """ADVICE r8 (medium): a writer that crashed between PREPARE and
+        COMMIT leaves an uncommitted suffix on the parent log that
+        recovery will truncate. A split taken in that state must seal the
+        parent at the COMMITTED line count — sealing at the raw newline
+        count sets a bar the committed count can never reach, withholding
+        the children forever."""
+        import os
+
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            split_shard,
+        )
+
+        d = str(tmp_path / "arch")
+        write_archive(
+            d,
+            {
+                "shard-p": [
+                    {"partitionKey": "x", "data": "x-0"},
+                    {"partitionKey": "x", "data": "x-1"},
+                ]
+            },
+        )
+        parent_file = os.path.join(d, "shard-p.jsonl")
+        committed_bytes = os.path.getsize(parent_file)
+        # crashed writer: fsynced PREPARE, rows appended, no COMMIT
+        with open(os.path.join(d, "_committed_batches.log"), "a") as f:
+            f.write(f'PREPARE crashed {json.dumps({"shard-p": committed_bytes})}\n')
+        with open(parent_file, "a", encoding="utf-8") as f:
+            f.write(json.dumps({"partitionKey": "x", "data": "rolled-back"}) + "\n")
+
+        sealed = split_shard(d, "shard-p", ["shard-c0"])
+        assert sealed == 2, "seal must stop at the committed prefix, not raw lines"
+
+        write_archive(d, {"shard-c0": [{"partitionKey": "x", "data": "x-2"}]})
+        batches = self._drive(registered, d, str(tmp_path / "ck"))
+        rows = [r for _, rs in sorted(batches) for r in rs]
+        # the uncommitted suffix row never surfaces; the child is NOT
+        # withheld (pre-fix: livelock — 'x-2' never arrives because the
+        # parent's committed count can never reach a seal of 3); and
+        # delivery order keeps parent rows first
+        assert [r[3] for r in rows] == ["x-0", "x-1", "x-2"], batches
+
 
 class TestShardMerge:
     """Kinesis MergeShards: two parents seal, one child opens — the
@@ -886,19 +978,19 @@ class TestShardMerge:
             },
         )
         batches = TestShardSplit._drive(registered, d, str(tmp_path / "ck"))
-        rows = [r for _, rs in batches for r in rs]
+        rows = [r for _, rs in sorted(batches) for r in rs]
         assert sorted(r[3] for r in rows) == ["x-0", "x-1", "x-2", "y-0", "y-1"]
-        parent_bids = {b for b, rs in batches for r in rs if r[0] != "shard-m"}
-        child_bids = {b for b, rs in batches for r in rs if r[0] == "shard-m"}
-        assert parent_bids and child_bids and max(parent_bids) < min(child_bids)
+        # fresh start over the already-merged archive: blind first poll
+        # can't hold the child (regression risk), so the lineage-linked
+        # slices fuse into one ancestors-first partition — every parent
+        # row delivers before any child row
+        shard_seq = [r[0] for r in rows]
+        last_parent = max(i for i, s in enumerate(shard_seq) if s != "shard-m")
+        first_child = min(i for i, s in enumerate(shard_seq) if s == "shard-m")
+        assert last_parent < first_child, batches
         # per-key order across the merge for both origin parents
         for key, want in (("x", ["x-0", "x-1", "x-2"]), ("y", ["y-0", "y-1"])):
-            got = [
-                r[3]
-                for b, rs in sorted(batches)
-                for r in sorted(rs, key=lambda t: t[1])
-                if r[2] == key
-            ]
+            got = [r[3] for r in rows if r[2] == key]
             assert got == want, (key, got, batches)
 
     def test_merge_child_held_while_one_parent_lags(self, registered, tmp_path):
