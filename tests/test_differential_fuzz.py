@@ -1045,22 +1045,123 @@ class TestReplaySourceFuzz:
         finally:
             q.stop()
 
-        rows = [r for _, rs in batches for r in rs]
+        rows = [r for _, rs in sorted(batches) for r in rs]
         assert sorted(r[2] for r in rows) == sorted(
             v for vs in written.values() for v in vs
         )  # exactly-once multiset
-        parent_bids = [b for b, rs in batches for r in rs if r[0] == "parent"]
-        child_bids = [b for b, rs in batches for r in rs if r[0] != "parent"]
-        if parent_bids and child_bids:
-            assert max(parent_bids) < min(child_bids), batches
+        # Fresh start over the already-split archive: the blind first
+        # poll can't hold the children (offset-regression risk), so
+        # parent and child slices may share batch 0 as ONE chained
+        # ancestors-first partition. The delivery-order contract is what
+        # holds universally: every parent row before any child row.
+        shard_seq = [r[0] for r in rows]
+        parent_idx = [i for i, s in enumerate(shard_seq) if s == "parent"]
+        child_idx = [i for i, s in enumerate(shard_seq) if s != "parent"]
+        if parent_idx and child_idx:
+            assert max(parent_idx) < min(child_idx), batches
         for k, want in written.items():
-            got = [
-                r[2]
-                for b, rs in sorted(batches)
-                for r in sorted(rs, key=lambda t: t[1])
-                if r[2].startswith(f"k{k}:")
-            ]
+            got = [r[2] for r in rows if r[2].startswith(f"k{k}:")]
             assert got == want, (k, got, batches)
+
+    @settings(
+        max_examples=_ex(4), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(
+        pre=st.lists(st.tuples(st.integers(0, 2), st.text("ab", max_size=3)), min_size=0, max_size=5),
+        mid=st.lists(st.tuples(st.integers(0, 2), st.text("ab", max_size=3)), min_size=0, max_size=5),
+        post=st.lists(st.tuples(st.integers(0, 2), st.text("ab", max_size=3)), min_size=0, max_size=5),
+        n_children=st.integers(1, 2),
+        drive_after_pre=st.booleans(),
+        drive_after_mid=st.booleans(),
+    )
+    def test_reshard_restart_interleavings_exactly_once_and_ordered(
+        self, spark, tmp_path_factory, pre, mid, post, n_children,
+        drive_after_pre, drive_after_mid,
+    ):
+        """ADVICE r8 (high) generalized: a checkpointed query stops and
+        restarts at RANDOM points around a shard split — before the
+        split, after child rows are committed, or not at all — and for
+        every interleaving the union of all runs must deliver the written
+        multiset exactly once with per-key delivery order equal to write
+        order. This is the harness form of the targeted
+        child-rows-committed-before-restart test: each restart's first
+        poll is blind (committed offsets unknown), which is where a
+        gate-forced 0 used to regress the child offset and re-deliver."""
+        import hashlib
+
+        from spark_kinesis_article_analysis_spark.sources.replay_source import (
+            ArticleReplayDataSource,
+            split_shard,
+            write_archive,
+        )
+
+        spark.dataSource.register(ArticleReplayDataSource)
+        d = str(tmp_path_factory.mktemp("fuzz_resplit") / "archive")
+        ckpt = str(tmp_path_factory.mktemp("fuzz_resplit") / "ck")
+        written: dict[int, list[str]] = {}
+        seq = [0]
+
+        def env(k: int, payload: str) -> dict:
+            data = f"k{k}:{seq[0]}:{payload}"
+            seq[0] += 1
+            written.setdefault(k, []).append(data)
+            return {"partitionKey": f"k{k}", "data": data}
+
+        def child_of(k: int) -> str:
+            h = int(hashlib.md5(f"k{k}".encode()).hexdigest()[:8], 16)
+            return f"child-{h % n_children}"
+
+        def route(rows_) -> dict:
+            out: dict[str, list[dict]] = {}
+            for k, p in rows_:
+                out.setdefault(child_of(k), []).append(env(k, p))
+            return out
+
+        all_rows: list[tuple] = []
+
+        def drive():
+            batches: list[tuple[int, list]] = []
+
+            def sink(df, bid):
+                rows = [
+                    (r.shard_id, r.sequence_number, bytes(r.data).decode("utf-8"))
+                    for r in df.collect()
+                ]
+                if rows:
+                    batches.append((bid, rows))
+
+            q = (
+                spark.readStream.format("article_replay")
+                .option("path", d)
+                .load()
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            all_rows.extend(r for _, rs in sorted(batches) for r in rs)
+
+        write_archive(d, {"parent": [env(k, p) for k, p in pre]})
+        if drive_after_pre:
+            drive()
+        split_shard(d, "parent", [f"child-{c}" for c in range(n_children)])
+        if mid:
+            write_archive(d, route(mid))
+        if drive_after_mid:
+            drive()
+        if post:
+            write_archive(d, route(post))
+        drive()
+
+        assert sorted(r[2] for r in all_rows) == sorted(
+            v for vs in written.values() for v in vs
+        ), all_rows  # exactly-once across every restart interleaving
+        for k, want in written.items():
+            got = [r[2] for r in all_rows if r[2].startswith(f"k{k}:")]
+            assert got == want, (k, got, all_rows)
 
 
 class TestCorpusQualityFuzz:
