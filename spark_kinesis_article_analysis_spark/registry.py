@@ -173,6 +173,18 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         curation,
     )
+    # Round-9: interval algebra, URL canonicalization, BM25/hashed-model
+    # ranking, SemDeDup-style semantic dedup, BMP codec + real resize —
+    # all new modules (rank-0 entries, nothing existing re-staled).
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        intervals,
+    )
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        weburl,
+        ranking,
+        semantic,
+        multimodal_image,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -208,6 +220,11 @@ _MODULE_ORDER: tuple[str, ...] = (
     "graph.py",
     "dedup_pipeline.py",
     "curation.py",
+    "intervals.py",
+    "weburl.py",
+    "ranking.py",
+    "semantic.py",
+    "multimodal_image.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

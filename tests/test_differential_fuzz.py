@@ -222,6 +222,21 @@ _DOC_SPECS = [
     # (one hot domain is exactly the sharded-rank case)
     "dedup_containment",
     "corpus_domain_cap",
+    # r9: URL canonicalization + canonical dedup are doc_id-derived
+    # (hostile negative/NULL ids hit the abs(%)-spray), the hashed
+    # linear scorer hunts md5->conv bucket parity and the all-integer
+    # weight fold over hostile unicode tokens, and BM25 hunts the
+    # ln/divide float chain + vocabulary-filtered posting stats on
+    # corpora where query terms are rare or absent
+    "url_normalize",
+    "dedup_url_canonical",
+    "text_hashed_ngram_score",
+    "text_bm25_topk",
+    # r9: real BMP codec + nearest resize are (doc_id, n_chars)-derived
+    # like the PNG spec — corrupt/NULL-key rows exercise the error-row
+    # contract on every random corpus
+    "multimodal_codec_bmp",
+    "multimodal_resize_nearest",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
@@ -243,6 +258,11 @@ _EVENT_SPECS = [
     # r6: the 5m/1m-style overlapping window (generate_series oracle) on
     # the same NULL-ts / pre-epoch corpus that killed tumbling (#11)
     "time_window_sliding",
+    # r9: interval algebra — running-max island flags and the sweep-line
+    # depth counter, where NULL ts/user/event_id rows must vanish
+    # identically and pre-epoch timestamps ride exact epoch-micros
+    "interval_coalesce",
+    "interval_overlap_depth",
 ]
 
 
@@ -446,6 +466,11 @@ class TestEmbeddingFuzz:
             # head of the round-5 verdict window: the r4 capped-LSH-block
             # rewrite, exercised on NULL/zero/extreme vectors
             "dedup_embedding_cosine",
+            # r9: SemDeDup retention — centroid argmax ties, rounded
+            # pair-cosine threshold boundaries, and the
+            # closer-to-centroid dominance rule under duplicate and
+            # extreme-magnitude vectors
+            "dedup_semantic_cluster",
         ):
             _assert_parity(spark, name, str(d), "embeddings")
 

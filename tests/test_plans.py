@@ -452,3 +452,68 @@ class TestNgramJaccardPlanShape:
         n_smj = plan.count("SortMergeJoin")
         n_bhj = plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
         assert n_smj + n_bhj <= 2, plan
+
+
+class TestRound9PlanShape:
+    def test_map_only_round9_ops_have_zero_shuffles(self, spark):
+        """URL canonicalization, the hashed linear scorer, and both image
+        codec/transform stages are pure per-row pipelines — any Exchange
+        is a regression."""
+        for name in [
+            "url_normalize",
+            "text_hashed_ngram_score",
+            "multimodal_codec_bmp",
+            "multimodal_resize_nearest",
+        ]:
+            df = SPECS[name].build(spark, SF_CORRECTNESS)
+            assert inspect.count_exchanges(df) == 0, (
+                f"{name}: {inspect.explain_str(df)}"
+            )
+
+    def test_url_dedup_single_corpus_shuffle(self, spark):
+        """dedup_exact's plan shape: ONE canonical-key exchange feeds both
+        the group fold and the annotate join (the small group side goes
+        broadcast under AQE)."""
+        df = SPECS["dedup_url_canonical"].build(spark, SF_CORRECTNESS)
+        assert inspect.count_exchanges(df) <= 2, inspect.explain_str(df)
+
+    def test_interval_ops_single_user_exchange(self, spark):
+        """Both interval rewrites partition everything on user_id — the
+        windows and the final aggregate must REUSE one exchange."""
+        for name in ["interval_coalesce", "interval_overlap_depth"]:
+            df = SPECS[name].build(spark, SF_CORRECTNESS)
+            assert inspect.count_exchanges(df) == 1, (
+                f"{name}: {inspect.explain_str(df)}"
+            )
+
+    def test_bm25_broadcasts_df_and_stats(self, spark):
+        """The df/avgdl side-tables are tiny aggregates — they must come
+        back as broadcasts, never co-shuffles of the posting stream; the
+        posting shuffle + global top-k bound the exchange count."""
+        df = SPECS["text_bm25_topk"].build(spark, SF_CORRECTNESS)
+        assert inspect.has_broadcast_join(df), inspect.explain_str(df)
+        assert inspect.count_exchanges(df) <= 5, inspect.explain_str(df)
+
+    def test_bm25_vocabulary_filter_precedes_explode(self, spark):
+        """Only query-vocabulary tokens may reach the posting shuffle: the
+        array filter must sit below the explode (generate), not after it."""
+        df = SPECS["text_bm25_topk"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df, "simple")
+        assert "array_contains" in plan and "Generate explode" in plan, plan
+        assert plan.index("array_contains") >= plan.index("Generate explode"), (
+            "filter must be inside the generated array expression "
+            "(plans print top-down: explode above its input filter)\n" + plan
+        )
+
+    def test_semantic_chunks_broadcast_centroids_no_pair_grain(self, spark):
+        """Assignment joins ONE folded centroid row broadcast and chunks
+        with a single cluster-grain window — no pair-grain exchange, no
+        cartesian product before the capped chunk stage."""
+        from spark_kinesis_article_analysis_spark.functions.semantic import (
+            _semantic_chunks,
+        )
+
+        df = _semantic_chunks(spark, SF_CORRECTNESS)
+        assert inspect.has_broadcast_join(df), inspect.explain_str(df)
+        assert inspect.count_exchanges(df) <= 2, inspect.explain_str(df)
+        assert "CartesianProduct" not in inspect.explain_str(df, "simple")

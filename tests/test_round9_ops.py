@@ -1,0 +1,287 @@
+"""Unit tests for the round-9 surface: BMP codec byte-level behavior,
+nearest-neighbor resize semantics, URL canonicalization properties,
+interval-algebra invariants, SemDeDup retention dominance, and the
+hashed scorer's three-way (Spark / DuckDB / Python-md5) agreement."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.registry import all_specs
+from tests.conftest import SF_CORRECTNESS
+
+SPECS = all_specs()
+
+
+class TestBmpCodecUnits:
+    """Byte-level codec behavior no oracle CTE can see: raster recovery,
+    padding widths, the corruption taxonomy."""
+
+    def _gradient(self, w, h, r0=10, g0=20, b0=30):
+        import numpy as np
+
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (r0 + np.arange(w)) % 256
+        px[:, :, 1] = g0
+        px[:, :, 2] = ((b0 + np.arange(h)) % 256)[:, None]
+        return px
+
+    @pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 32])  # every stride-pad residue
+    def test_round_trip_exact_all_pad_widths(self, w):
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_bmp_24,
+            encode_bmp_24,
+        )
+
+        px = self._gradient(w, 5)
+        dec = decode_bmp_24(encode_bmp_24(w, 5, px))
+        assert dec is not None
+        rw, rh, stride, fsize, raster = dec
+        assert (rw, rh) == (w, 5)
+        assert stride == (w * 3 + 3) // 4 * 4
+        assert fsize == 54 + stride * 5
+        assert np.array_equal(raster, px), "raster must round-trip byte-exact"
+
+    def test_bottom_up_flip_and_bgr_swap_verified_in_bytes(self):
+        """Read raw pixel bytes straight out of the container: the FIRST
+        stored row must be the LAST raster row, in B,G,R order."""
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            encode_bmp_24,
+        )
+
+        px = self._gradient(2, 2, r0=1, g0=2, b0=3)
+        payload = encode_bmp_24(2, 2, px)
+        first_stored = payload[54:60]  # row y=1 (bottom), pixels x=0,1
+        assert first_stored == bytes([4, 2, 1, 4, 2, 2]), first_stored
+
+    def test_corruption_taxonomy_decodes_to_none(self):
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_bmp_24,
+            encode_bmp_24,
+        )
+
+        good = encode_bmp_24(4, 3, self._gradient(4, 3))
+        assert decode_bmp_24(good) is not None
+        cases = {
+            "magic": b"XX" + good[2:],
+            "short": good[:40],
+            "truncated-pixels": good[:-5],
+            "bad-bpp": good[:28] + struct.pack("<H", 8) + good[30:],
+            "compressed": good[:30] + struct.pack("<I", 1) + good[34:],
+            "zero-width": good[:18] + struct.pack("<i", 0) + good[22:],
+            "negative-height": good[:22] + struct.pack("<i", -3) + good[26:],
+            "size-mismatch": good[:2] + struct.pack("<I", 999) + good[6:],
+            "empty": b"",
+        }
+        for name, b in cases.items():
+            assert decode_bmp_24(b) is None, f"{name} must be a clean None"
+
+
+class TestResizeUnits:
+    def test_nearest_picks_even_coordinates(self):
+        """out(y', x') == in(2y', 2x') for every output pixel, odd and
+        even input dims both."""
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_codec import (
+            decode_png_rgb8,
+            encode_png_rgb8,
+        )
+
+        rng = np.random.default_rng(9)
+        for w, h in [(5, 4), (4, 5), (1, 1), (33, 7)]:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            dec = decode_png_rgb8(encode_png_rgb8(w, h, px))
+            assert dec is not None
+            small = dec[2][::2, ::2]
+            assert small.shape == ((h + 1) // 2, (w + 1) // 2, 3)
+            for yy in range(small.shape[0]):
+                for xx in range(small.shape[1]):
+                    assert (small[yy, xx] == px[2 * yy, 2 * xx]).all()
+
+
+class TestUrlCanonicalProperties:
+    def test_canonicalization_is_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) over the whole corpus —
+        a canonical form that keeps moving isn't canonical."""
+        from spark_kinesis_article_analysis_spark.functions.weburl import (
+            canonical_url_col,
+            raw_url_col,
+        )
+        from spark_kinesis_article_analysis_spark.catalog import load
+
+        d = load(spark, SF_CORRECTNESS, "documents").where(F.col("doc_id").isNotNull())
+        once = d.select(raw_url_col().alias("raw")).select(
+            canonical_url_col().alias("raw")
+        )
+        moved = once.select(
+            F.col("raw").alias("c1"), canonical_url_col().alias("c2")
+        ).where(F.col("c1") != F.col("c2"))
+        assert moved.count() == 0, moved.limit(5).collect()
+
+    def test_dedup_groups_consistent(self, spark):
+        """Every canonical group keeps exactly one doc, and it's the min
+        doc_id of the group."""
+        rows = SPECS["dedup_url_canonical"].build(spark, SF_CORRECTNESS).collect()
+        by_canon: dict[str, list] = {}
+        for r in rows:
+            by_canon.setdefault(r.canonical_url, []).append(r)
+        assert any(len(v) > 1 for v in by_canon.values()), (
+            "fixture must produce real duplicate groups"
+        )
+        for canon, members in by_canon.items():
+            keepers = [m for m in members if m.kept]
+            assert len(keepers) == 1, canon
+            assert keepers[0].doc_id == min(m.doc_id for m in members), canon
+            assert all(m.n_dups == len(members) for m in members), canon
+
+
+class TestIntervalInvariants:
+    def test_islands_disjoint_ordered_and_cover_inputs(self, spark):
+        """Per user: merged islands are strictly separated (half-open —
+        gap > 0), n_events sums to the interval count, and every gap
+        matches next.start - this.end."""
+        rows = (
+            SPECS["interval_coalesce"]
+            .build(spark, SF_CORRECTNESS)
+            .orderBy("user_id", "merged_start_us")
+            .collect()
+        )
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for r in rows:
+            by_user[r.user_id].append(r)
+        merged_any = False
+        for u, isl in by_user.items():
+            for a, b in zip(isl, isl[1:]):
+                assert a.merged_end_us < b.merged_start_us, (u, a, b)
+                assert a.gap_to_next_us == b.merged_start_us - a.merged_end_us
+            assert isl[-1].gap_to_next_us is None
+            merged_any |= any(r.n_events > 1 for r in isl)
+        assert merged_any, "fixture durations must actually merge intervals"
+
+    def test_depth_consistent_with_coalesce(self, spark):
+        """A user whose max sweep depth is 1 has zero overlapping pairs,
+        so every island must be a single event; depth >= 2 implies some
+        island merged."""
+        depth = {
+            r.user_id: r
+            for r in SPECS["interval_overlap_depth"].build(spark, SF_CORRECTNESS).collect()
+        }
+        from collections import defaultdict
+
+        islands = defaultdict(list)
+        for r in SPECS["interval_coalesce"].build(spark, SF_CORRECTNESS).collect():
+            islands[r.user_id].append(r)
+        assert set(depth) == set(islands)
+        for u, d in depth.items():
+            isl = islands[u]
+            assert d.n_intervals == sum(r.n_events for r in isl)
+            if d.max_depth == 1:
+                # touching ([a,b) meeting [b,c)) merges islands without
+                # overlap, so only the converse holds strictly
+                assert all(
+                    r.n_events == 1 or r.merged_end_us - r.merged_start_us > 0
+                    for r in isl
+                )
+            else:
+                assert any(r.n_events > 1 for r in isl), (u, d)
+
+
+class TestSemanticRetention:
+    def test_dropped_iff_dominated(self, spark):
+        """Recompute the dominance rule in Python over the collected
+        chunk frame: a vector is dropped exactly when some same-chunk
+        partner with rounded cosine >= tau sits strictly closer to the
+        centroid (vec_id tiebreak)."""
+        import math
+        from collections import defaultdict
+
+        from spark_kinesis_article_analysis_spark.functions.semantic import (
+            SEM_TAU,
+            _semantic_chunks,
+        )
+
+        ck = _semantic_chunks(spark, SF_CORRECTNESS).collect()
+        got = {
+            r.vec_id: r.kept
+            for r in SPECS["dedup_semantic_cluster"].build(spark, SF_CORRECTNESS).collect()
+        }
+        chunks = defaultdict(list)
+        for r in ck:
+            chunks[(r.cluster, r.sub)].append(r)
+
+        def cos(a, b):
+            dot = math.fsum(p * q for p, q in zip(a.v, b.v))
+            return round(dot / (a.nrm * b.nrm), 6)
+
+        n_dropped = 0
+        for members in chunks.values():
+            for a in members:
+                dominated = any(
+                    b.vec_id != a.vec_id
+                    and cos(a, b) >= SEM_TAU
+                    and (
+                        b.cos_cent > a.cos_cent
+                        or (b.cos_cent == a.cos_cent and b.vec_id < a.vec_id)
+                    )
+                    for b in members
+                )
+                assert got[a.vec_id] == (not dominated), a.vec_id
+                n_dropped += dominated
+        assert n_dropped > 0, "fixture must produce real semantic drops"
+
+
+class TestHashedScorerPortability:
+    def test_three_way_weight_agreement(self, spark):
+        """The md5->bucket->weight arithmetic must agree across Spark
+        (conv), DuckDB (hex cast — covered by the oracle), and Python's
+        hashlib — recomputed here feature by feature for a corpus
+        sample."""
+        from spark_kinesis_article_analysis_spark.functions.ranking import (
+            HASH_BUCKETS,
+            _W_MOD,
+            _W_MUL,
+        )
+        from spark_kinesis_article_analysis_spark.catalog import load
+
+        docs = {
+            r.doc_id: r.text
+            for r in load(spark, SF_CORRECTNESS, "documents")
+            .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+            .limit(25)
+            .collect()
+        }
+        got = {
+            r.doc_id: r
+            for r in SPECS["text_hashed_ngram_score"].build(spark, SF_CORRECTNESS).collect()
+        }
+
+        def weight(feat: str) -> int:
+            bucket = int(hashlib.md5(feat.encode()).hexdigest()[:6], 16) % HASH_BUCKETS
+            return bucket * _W_MUL % _W_MOD - _W_MOD // 2
+
+        import re
+
+        for doc_id, text in docs.items():
+            toks = re.split(r"\s+", text)
+            feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            assert got[doc_id].n_feats == len(feats)
+            assert got[doc_id].wsum == sum(weight(f) for f in feats), doc_id
+
+
+class TestBm25Sanity:
+    def test_scores_positive_and_rank_consistent(self, spark):
+        rows = SPECS["text_bm25_topk"].build(spark, SF_CORRECTNESS).collect()
+        assert 0 < len(rows) <= 20
+        ordered = sorted(rows, key=lambda r: (-r.score, r.doc_id))
+        for want_rank, r in enumerate(ordered, start=1):
+            assert r.rank == want_rank
+            assert r.score > 0
