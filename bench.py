@@ -98,6 +98,19 @@ HEADLINE = [
     "sql_recursive_reachability", # BFS fixpoint w/ UNION-dedup semantics
     "dedup_containment",          # directional containment over the inverted index
     "corpus_domain_cap",          # sharded-rank per-domain budget
+    # round-9 additions (totals comparable to r8 only on shared keys)
+    "interval_coalesce",          # gaps-and-islands merge, one user exchange
+    "interval_overlap_depth",     # sweep-line peak concurrency
+    "dedup_url_canonical",        # URL canonicalize + first-occurrence fold
+    "text_bm25_topk",             # BM25 retrieval (filtered postings + broadcasts)
+    "text_hashed_ngram_score",    # hashed linear scorer, map-only integer fold
+    "dedup_semantic_cluster",     # SemDeDup retention over capped cluster chunks
+    "multimodal_codec_bmp",       # real BMP codec round trip
+    "multimodal_resize_nearest",  # PNG decode + nearest 2x resize
+    "graph_triangle_stats",       # degree-oriented triangle counting
+    "sketch_countmin_portable",   # relational CMS build + probes
+    "corpus_token_budget_mix",    # source-budget prefix-sum selection
+    "seq_pattern_events",         # fold-to-string regex sequence match
 ]
 
 

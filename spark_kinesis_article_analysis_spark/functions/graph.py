@@ -147,3 +147,124 @@ def _pagerank_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
             (F.lit(_TELEPORT) + F.coalesce("c", F.lit(0))).cast("long").alias("rank"),
         )
     return r, edges
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_stats — degree-oriented triangle counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_stats",
+    oracle=f"""
+WITH nodes AS (
+    SELECT c_custkey AS node FROM customer
+    WHERE c_custkey BETWEEN 1 AND {PR_NODE_MAX}
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+raw_edges AS (
+    SELECT node AS src, (node * 7) % (SELECT n FROM nn) + 1 AS dst FROM nodes
+    UNION ALL
+    SELECT node AS src, node // 2 AS dst FROM nodes WHERE node >= 2
+),
+-- simple undirected edge set: drop self-loops, collapse parallels
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM raw_edges WHERE src <> dst
+),
+deg AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+    ) GROUP BY v
+),
+-- orient every edge from the (degree, id)-smaller endpoint: out-degree
+-- is bounded by O(sqrt(m)), which bounds the wedge join
+oriented AS (
+    SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+           CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v
+    FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+),
+wedges AS (
+    SELECT e1.v AS x, e2.v AS y
+    FROM oriented e1 JOIN oriented e2
+      ON e1.u = e2.u AND e1.v < e2.v
+),
+tri AS (
+    SELECT count(*) AS n FROM wedges w
+    JOIN und e ON e.a = least(w.x, w.y) AND e.b = greatest(w.x, w.y)
+)
+SELECT CAST((SELECT count(*) FROM und) AS BIGINT)    AS n_edges,
+       CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges,
+       CAST((SELECT n FROM tri) AS BIGINT)           AS n_triangles
+""",
+    tags=("graph", "triangle", "north-star"),
+    doc=(
+        "Degree-oriented triangle counting over the PageRank spec's "
+        "key-derived graph: simple undirected edges (self-loops dropped, "
+        "parallels collapsed), every edge oriented from its (degree, id)-"
+        "smaller endpoint, wedges enumerated per oriented source, and each "
+        "wedge closed against the edge set. The orientation bounds any "
+        "vertex's out-degree at O(sqrt(m)), so wedge work is O(m^1.5) "
+        "worst-case instead of sum(deg^2) — the standard distributed "
+        "triangle recipe; every join is an equi-join, counts are exact "
+        "BIGINTs."
+    ),
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("node"))
+        .where((F.col("node") >= 1) & (F.col("node") <= PR_NODE_MAX))
+    )
+    nn = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    mod_edges = nodes.join(nn).select(
+        F.col("node").alias("src"),
+        ((F.col("node") * 7) % F.col("n") + 1).alias("dst"),
+    )
+    tree_edges = nodes.where(F.col("node") >= 2).select(
+        F.col("node").alias("src"), F.expr("node div 2").alias("dst")
+    )
+    raw = mod_edges.unionByName(tree_edges)
+    und = (
+        raw.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        # consumed 3x (degree fold, orientation, wedge closing) — pin it
+        # so the dedup shuffle runs once; released when the frame is GC'd
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.alias("da")
+    db = deg.alias("db")
+    a_first = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v"))
+    ).select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
+    tri = wedges.join(
+        und,
+        (F.col("a") == F.least("x", "y")) & (F.col("b") == F.greatest("x", "y")),
+    )
+    return (
+        und.agg(F.count("*").alias("n_edges"))
+        .join(F.broadcast(wedges.agg(F.count("*").alias("n_wedges"))))
+        .join(F.broadcast(tri.agg(F.count("*").alias("n_triangles"))))
+    )

@@ -185,6 +185,17 @@ def _load_all() -> None:
         semantic,
         multimodal_image,
     )
+    # Round-9 batch 2: portable count-min sketch, token-budget mixing,
+    # regex sequence patterns (new modules); triangle counting joins
+    # graph.py (stales only graph_pagerank_portable, which holds local
+    # parity and re-verifies inside the window).
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        sketches,
+        mixing,
+    )
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        sequence,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -225,6 +236,9 @@ _MODULE_ORDER: tuple[str, ...] = (
     "ranking.py",
     "semantic.py",
     "multimodal_image.py",
+    "sketches.py",
+    "mixing.py",
+    "sequence.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

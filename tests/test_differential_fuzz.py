@@ -237,6 +237,11 @@ _DOC_SPECS = [
     # contract on every random corpus
     "multimodal_codec_bmp",
     "multimodal_resize_nearest",
+    # r9 batch 2: the narrow CMS matrix (md5 column hashing + min-fold)
+    # and the source-keyed token-budget prefix rule, both under hostile
+    # unicode tokens / NULL sources
+    "sketch_countmin_portable",
+    "corpus_token_budget_mix",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
@@ -263,6 +268,10 @@ _EVENT_SPECS = [
     # identically and pre-epoch timestamps ride exact epoch-micros
     "interval_coalesce",
     "interval_overlap_depth",
+    # r9: the fold-to-string + regex sequence matcher — NULL-type rows
+    # drop, tied timestamps break on event_id, and the regex count
+    # semantics (non-overlapping greedy) must agree RE2-vs-Java
+    "seq_pattern_events",
 ]
 
 
@@ -595,6 +604,13 @@ class TestWindowFuzz:
             "topk_per_group_sharded",
             "distinct_projection",
             "agg_grouping_sets",
+            # r9: the key-derived graph family — random customer-key
+            # universes resize the modular/tree edge sets (N=1 collapses
+            # to self-loops, small N makes dense parallel edges); both
+            # the integer PageRank rounds and the degree-oriented
+            # triangle pipeline must agree exactly
+            "graph_pagerank_portable",
+            "graph_triangle_stats",
         ):
             _assert_parity(spark, name, sf, "customer")
 

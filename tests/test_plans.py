@@ -517,3 +517,33 @@ class TestRound9PlanShape:
         assert inspect.has_broadcast_join(df), inspect.explain_str(df)
         assert inspect.count_exchanges(df) <= 2, inspect.explain_str(df)
         assert "CartesianProduct" not in inspect.explain_str(df, "simple")
+
+
+class TestRound9Batch2PlanShape:
+    def test_triangle_pipeline_all_equi_joins(self, spark):
+        """Degree orientation, wedge enumeration, and wedge closing are
+        equi-joins over bounded keys — no cartesian product anywhere, and
+        the 3x-consumed simple-edge set is pinned (localCheckpoint) so
+        the dedup shuffle runs once."""
+        df = SPECS["graph_triangle_stats"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, plan
+
+    def test_cms_matrix_broadcasts_to_probes(self, spark):
+        """The folded d x w cell matrix is tiny by construction — the
+        probe lookup must consume it broadcast, never co-shuffle the
+        probe set."""
+        df = SPECS["sketch_countmin_portable"].build(spark, SF_CORRECTNESS)
+        assert inspect.has_broadcast_join(df), inspect.explain_str(df)
+
+    def test_token_budget_mix_single_source_exchange(self, spark):
+        """Token counts are map-side; the only shuffle is the source-keyed
+        prefix-sum window."""
+        df = SPECS["corpus_token_budget_mix"].build(spark, SF_CORRECTNESS)
+        assert inspect.count_exchanges(df) == 1, inspect.explain_str(df)
+
+    def test_seq_pattern_single_user_exchange(self, spark):
+        """Fold-to-string is one user-keyed aggregate; the regexes are
+        map-side over the folded row."""
+        df = SPECS["seq_pattern_events"].build(spark, SF_CORRECTNESS)
+        assert inspect.count_exchanges(df) == 1, inspect.explain_str(df)

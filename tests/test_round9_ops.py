@@ -285,3 +285,130 @@ class TestBm25Sanity:
         for want_rank, r in enumerate(ordered, start=1):
             assert r.rank == want_rank
             assert r.score > 0
+
+
+class TestCountMinProperties:
+    def test_one_sided_error_and_collision_visible(self, spark):
+        """CMS never under-estimates (min over depths of sums that each
+        include the key's own count), and the fixture width is narrow
+        enough that SOME probe actually over-estimates — otherwise the
+        spec demonstrates nothing about the sketch."""
+        rows = SPECS["sketch_countmin_portable"].build(spark, SF_CORRECTNESS).collect()
+        assert {r.term for r in rows} == set(
+            __import__(
+                "spark_kinesis_article_analysis_spark.functions.sketches",
+                fromlist=["CMS_PROBES"],
+            ).CMS_PROBES
+        )
+        for r in rows:
+            assert r.cms_estimate >= r.true_count, r
+            assert r.over_estimate == r.cms_estimate - r.true_count
+        assert any(r.over_estimate > 0 for r in rows), (
+            "fixture width must force at least one visible collision"
+        )
+
+
+class TestTriangleBruteForce:
+    def test_matches_naive_enumeration(self, spark):
+        """Recompute edges/wedges/triangles with a naive O(n^3)-ish Python
+        closure over the same key-derived graph at sf0.001 — catches an
+        orientation or closing bug the (identically-oriented) oracle
+        would replicate."""
+        from itertools import combinations
+
+        from spark_kinesis_article_analysis_spark.catalog import load
+        from spark_kinesis_article_analysis_spark.functions.graph import PR_NODE_MAX
+
+        sf = "/root/testdata/sf0.001"
+        keys = [
+            r.c_custkey
+            for r in load(spark, sf, "customer").select("c_custkey").collect()
+            if r.c_custkey is not None and 1 <= r.c_custkey <= PR_NODE_MAX
+        ]
+        n = len(keys)
+        edges = set()
+        for u in keys:
+            v = (u * 7) % n + 1
+            if u != v:
+                edges.add((min(u, v), max(u, v)))
+            if u >= 2 and u // 2 != u:
+                edges.add((min(u, u // 2), max(u, u // 2)))
+        tris = sum(
+            1
+            for a, b, c in combinations(sorted({x for e in edges for x in e}), 3)
+            if (a, b) in edges and (b, c) in edges and (a, c) in edges
+        )
+        got = SPECS["graph_triangle_stats"].build(spark, sf).collect()[0]
+        assert got.n_edges == len(edges)
+        assert got.n_triangles == tris
+
+
+class TestTokenBudgetMix:
+    def test_prefix_rule_and_budget_range(self, spark):
+        """Within each source (md5 order): kept is a PREFIX property —
+        once a doc overflows the budget every later doc in hash order is
+        also unkept IF its own cumulative total overflows (cum is
+        monotone, so kept rows are exactly the cum <= budget prefix);
+        budgets sit in [200, 1000)."""
+        import hashlib
+
+        rows = SPECS["corpus_token_budget_mix"].build(spark, SF_CORRECTNESS).collect()
+        from collections import defaultdict
+
+        by_src = defaultdict(list)
+        for r in rows:
+            by_src[r.source].append(r)
+        kept_some, cut_some = False, False
+        for src, ms in by_src.items():
+            ms.sort(key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+            assert 200 <= ms[0].budget < 1000
+            cum = 0
+            for r in ms:
+                cum += r.n_tokens
+                assert r.cum_tokens == cum, (src, r)
+                assert r.kept == (cum <= r.budget), (src, r)
+            kept_some |= any(r.kept for r in ms)
+            cut_some |= any(not r.kept for r in ms)
+        assert kept_some and cut_some, "budgets must land mid-source"
+
+
+class TestSequencePatterns:
+    def test_counts_match_python_re(self, spark):
+        """Recompute every pattern with Python's re over independently
+        re-sorted sequences — a third regex engine agreeing with both
+        Spark (Java) and the oracle (RE2)."""
+        import re
+        from collections import defaultdict
+
+        from spark_kinesis_article_analysis_spark.catalog import load
+        from spark_kinesis_article_analysis_spark.operators.sequence import (
+            P_CONVERT,
+            P_ERRBURST,
+            P_FUNNEL,
+        )
+
+        ev = (
+            load(spark, SF_CORRECTNESS, "events")
+            .where("ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL"
+                   " AND event_type IS NOT NULL")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        )
+        seqs = defaultdict(list)
+        for r in ev:
+            seqs[r.user_id].append((r.ts, r.event_id, r.event_type[0]))
+        got = {
+            r.user_id: r
+            for r in SPECS["seq_pattern_events"].build(spark, SF_CORRECTNESS).collect()
+        }
+        assert set(got) == set(seqs)
+        hit_any = burst_any = False
+        for u, items in seqs.items():
+            s = "".join(ini for _, _, ini in sorted(items))
+            assert got[u].seq_len == len(s)
+            assert got[u].n_conversions == len(re.findall(P_CONVERT, s)), u
+            assert got[u].n_error_bursts == len(re.findall(P_ERRBURST, s)), u
+            assert got[u].funnel_hit == bool(re.search(P_FUNNEL, s)), u
+            hit_any |= got[u].funnel_hit
+            burst_any |= got[u].n_error_bursts > 0
+        assert hit_any and burst_any, "fixture must exercise both patterns"
