@@ -70,6 +70,12 @@ PROBE = [
     "text_segment_dedup",          # segment-grain aggregate dedup
     "corpus_prep_end_to_end",      # composed corpus pipeline
     "cluster_kmeans_lloyd",        # bounded iterative Lloyd
+    # round-9 shuffle-heavy additions
+    "interval_coalesce",           # user-keyed prefix windows (10x denser events)
+    "dedup_url_canonical",         # canonical-key fold + annotate join
+    "text_bm25_topk",              # filtered postings + broadcast stats
+    "dedup_semantic_cluster",      # capped intra-cluster pair join
+    "graph_triangle_stats",        # wedge join (graph is key-BOUNDED: see note)
 ]
 
 
