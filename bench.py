@@ -111,6 +111,7 @@ HEADLINE = [
     "sketch_countmin_portable",   # relational CMS build + probes
     "corpus_token_budget_mix",    # source-budget prefix-sum selection
     "seq_pattern_events",         # fold-to-string regex sequence match
+    "rank_fusion_rrf",            # RRF over BM25 + quality rankings
 ]
 
 

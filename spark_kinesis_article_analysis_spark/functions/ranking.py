@@ -67,10 +67,11 @@ def _bm25_terms_sql() -> str:
     return ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
-WITH d AS (
+#: Shared BM25 oracle CTE chain ending in ``scored(doc_id, score)`` —
+#: reused by text_bm25_topk and rank_fusion_rrf.
+def _bm25_scored_sql() -> str:
+    return f"""
+d AS (
     SELECT doc_id, {_TOK_SQL} AS toks FROM documents WHERE doc_id IS NOT NULL
 ),
 stats AS (
@@ -98,7 +99,13 @@ scored AS (
     JOIN dl USING (doc_id)
     CROSS JOIN stats s
     GROUP BY tf.doc_id
-)
+)"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH {_bm25_scored_sql()}
 SELECT doc_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
 FROM scored
@@ -117,6 +124,21 @@ LIMIT {BM25_TOPK}
     ),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    # Global top-k: limit() cuts the candidate set first (Spark's
+    # TakeOrderedAndProject — no single-partition sort of the full set),
+    # then a window numbers the <= K survivors.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_TOPK)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) BM25 sum over the query vocabulary — the shared
+    pre-top-k stage (text_bm25_topk ranks it; rank_fusion_rrf fuses it
+    with the quality ranking)."""
     d = (
         load(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull())
@@ -143,20 +165,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     denom = F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom), 6).alias("score"))
-    )
-    # Global top-k: limit() cuts the candidate set first (Spark's
-    # TakeOrderedAndProject — no single-partition sort of the full set),
-    # then a window numbers the <= K survivors.
-    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_TOPK)
-    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return top.select(
-        "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
     )
 
 
@@ -167,10 +181,11 @@ def _bucket_sql(feat: str) -> str:
     return f"CAST(('0x' || substr(md5({feat}), 1, 6)) AS BIGINT) % {HASH_BUCKETS}"
 
 
-@register(
-    "text_hashed_ngram_score",
-    oracle=f"""
-WITH d AS (
+#: Shared hashed-scorer oracle CTE chain ending in
+#: ``weighted(doc_id, n_feats, wsum)`` — reused by rank_fusion_rrf.
+def _hashed_weighted_sql() -> str:
+    return f"""
+hd AS (
     SELECT doc_id, {_TOK_SQL} AS toks FROM documents WHERE doc_id IS NOT NULL
 ),
 feats AS (
@@ -180,7 +195,7 @@ feats AS (
                list_transform(generate_series(1, len(toks) - 1),
                               i -> toks[i] || ' ' || toks[i + 1])
            ) AS fs
-    FROM d
+    FROM hd
 ),
 weighted AS (
     SELECT doc_id,
@@ -189,7 +204,13 @@ weighted AS (
                f -> ({_bucket_sql('f')}) * {_W_MUL} % {_W_MOD} - {_W_MOD // 2}
            )) AS BIGINT) AS wsum
     FROM feats
-)
+)"""
+
+
+@register(
+    "text_hashed_ngram_score",
+    oracle=f"""
+WITH {_hashed_weighted_sql()}
 SELECT doc_id, n_feats, wsum,
        CASE WHEN n_feats > 0
             THEN round(wsum / (n_feats * CAST({_W_MOD} AS DOUBLE)), 6) END AS score,
@@ -211,6 +232,21 @@ FROM weighted
     ),
 )
 def text_hashed_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weighted = _hashed_weighted(spark, sf_dir)
+    nz = F.col("n_feats") > 0
+    return weighted.select(
+        "doc_id",
+        "n_feats",
+        "wsum",
+        F.when(nz, F.round(F.col("wsum") / (F.col("n_feats") * float(_W_MOD)), 6)).alias(
+            "score"
+        ),
+        F.when(nz, F.col("wsum") > 0).alias("label"),
+    )
+
+
+def _hashed_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, wsum) — the shared map-only weight fold."""
     d = (
         load(spark, sf_dir, "documents")
         .where(F.col("doc_id").isNotNull())
@@ -229,20 +265,102 @@ def text_hashed_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = d.select("doc_id", F.concat(F.col("toks"), bigrams).alias("fs"))
     bucket = lambda f: F.conv(F.substring(F.md5(f), 1, 6), 16, 10).cast("long") % HASH_BUCKETS  # noqa: E731
     weight = lambda f: bucket(f) * _W_MUL % _W_MOD - _W_MOD // 2  # noqa: E731
-    weighted = feats.select(
+    return feats.select(
         "doc_id",
         F.size("fs").cast("long").alias("n_feats"),
         F.aggregate("fs", F.lit(0).cast("long"), lambda acc, f: acc + weight(f)).alias(
             "wsum"
         ),
     )
-    nz = F.col("n_feats") > 0
-    return weighted.select(
+
+
+#: RRF constant (Cormack et al.'s standard 60) and candidate-list size.
+RRF_K = 60
+RRF_LIST = 100
+RRF_TOPK = 20
+
+
+@register(
+    "rank_fusion_rrf",
+    oracle=f"""
+WITH {_bm25_scored_sql()},
+{_hashed_weighted_sql().lstrip()},
+la AS (
+    SELECT doc_id, ra FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS ra
+        FROM scored
+    ) WHERE ra <= {RRF_LIST}
+),
+lb AS (
+    SELECT doc_id, rb FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY round(wsum / (n_feats * CAST({_W_MOD} AS DOUBLE)), 6) DESC,
+                            doc_id ASC) AS rb
+        FROM weighted WHERE n_feats > 0
+    ) WHERE rb <= {RRF_LIST}
+),
+fused AS (
+    SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id, ra, rb,
+           round(coalesce(1.0 / ({RRF_K} + ra), 0.0)
+                 + coalesce(1.0 / ({RRF_K} + rb), 0.0), 6) AS rrf
+    FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id
+)
+SELECT doc_id, CAST(ra AS BIGINT) AS bm25_rank, CAST(rb AS BIGINT) AS quality_rank,
+       rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fused
+ORDER BY rank
+LIMIT {RRF_TOPK}
+""",
+    tags=("ranking", "fusion", "rrf", "retrieval", "north-star"),
+    doc=(
+        "Reciprocal-rank fusion (k=60) of two candidate rankings — the "
+        "BM25 lexical top-100 and the hashed-quality-score top-100 — the "
+        "standard way a retrieval stack combines signals without score "
+        "calibration: rrf = sum over lists of 1/(k + rank), missing "
+        "membership contributes 0, top-20 by (rrf, doc_id). Both "
+        "candidate lists cut with TakeOrderedAndProject (no global "
+        "sort); the fusion joins two <= 100-row sets — broadcastable at "
+        "any corpus size."
+    ),
+)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wa = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    la = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RRF_LIST)
+        .select("doc_id", F.row_number().over(wa).alias("ra"))
+    )
+    weighted = _hashed_weighted(spark, sf_dir).where(F.col("n_feats") > 0)
+    qscore = F.round(F.col("wsum") / (F.col("n_feats") * float(_W_MOD)), 6)
+    wb = W.orderBy(F.col("qs").desc(), F.col("doc_id").asc())
+    lb = (
+        weighted.select("doc_id", qscore.alias("qs"))
+        .orderBy(F.col("qs").desc(), F.col("doc_id").asc())
+        .limit(RRF_LIST)
+        .select("doc_id", F.row_number().over(wb).alias("rb"))
+    )
+    fused = la.join(lb, "doc_id", "full").select(
         "doc_id",
-        "n_feats",
-        "wsum",
-        F.when(nz, F.round(F.col("wsum") / (F.col("n_feats") * float(_W_MOD)), 6)).alias(
-            "score"
-        ),
-        F.when(nz, F.col("wsum") > 0).alias("label"),
+        "ra",
+        "rb",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("ra")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rb")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = W.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            F.col("ra").cast("long").alias("bm25_rank"),
+            F.col("rb").cast("long").alias("quality_rank"),
+            "rrf",
+            F.row_number().over(wf).cast("long").alias("rank"),
+        )
     )

@@ -242,6 +242,10 @@ _DOC_SPECS = [
     # unicode tokens / NULL sources
     "sketch_countmin_portable",
     "corpus_token_budget_mix",
+    # r9: RRF fuses the BM25 and hashed-quality rankings — rank
+    # boundary ties, the missing-membership convention, and both
+    # upstream float chains on one hostile corpus
+    "rank_fusion_rrf",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",

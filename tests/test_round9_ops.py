@@ -412,3 +412,57 @@ class TestSequencePatterns:
             hit_any |= got[u].funnel_hit
             burst_any |= got[u].n_error_bursts > 0
         assert hit_any and burst_any, "fixture must exercise both patterns"
+
+
+class TestRankFusion:
+    def test_rrf_recomputed_from_member_lists(self, spark):
+        """Rebuild both candidate lists from the member specs' outputs
+        and recompute RRF in Python — catches a fusion-side rank or
+        coalesce bug that identical oracle SQL would replicate."""
+        from spark_kinesis_article_analysis_spark.functions.ranking import (
+            RRF_K,
+            RRF_LIST,
+            RRF_TOPK,
+            _bm25_scored,
+            _hashed_weighted,
+            _W_MOD,
+        )
+
+        a_rows = _bm25_scored(spark, SF_CORRECTNESS).collect()
+        la = {
+            r.doc_id: i + 1
+            for i, r in enumerate(
+                sorted(a_rows, key=lambda r: (-r.score, r.doc_id))[:RRF_LIST]
+            )
+        }
+        b_rows = [r for r in _hashed_weighted(spark, SF_CORRECTNESS).collect() if r.n_feats > 0]
+        lb = {
+            r.doc_id: i + 1
+            for i, r in enumerate(
+                sorted(
+                    b_rows,
+                    key=lambda r: (-round(r.wsum / (r.n_feats * float(_W_MOD)), 6), r.doc_id),
+                )[:RRF_LIST]
+            )
+        }
+        want = {}
+        for d in set(la) | set(lb):
+            want[d] = round(
+                (1.0 / (RRF_K + la[d]) if d in la else 0.0)
+                + (1.0 / (RRF_K + lb[d]) if d in lb else 0.0),
+                6,
+            )
+        top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOPK]
+        got = SPECS["rank_fusion_rrf"].build(spark, SF_CORRECTNESS).collect()
+        assert len(got) == len(top)
+        fused_from_both = 0
+        for r, (doc, rrf) in zip(sorted(got, key=lambda r: r.rank), top):
+            assert (r.doc_id, r.rrf) == (doc, rrf), (r, doc, rrf)
+            assert r.bm25_rank == la.get(doc) and r.quality_rank == lb.get(doc)
+            fused_from_both += r.bm25_rank is not None and r.quality_rank is not None
+        assert fused_from_both > 0, (
+            "fixture lists must overlap enough that some top-20 doc "
+            "carries both ranks"
+        )
+        assert any(r.bm25_rank is not None for r in got)
+        assert any(r.quality_rank is not None for r in got)
