@@ -112,6 +112,7 @@ HEADLINE = [
     "corpus_token_budget_mix",    # source-budget prefix-sum selection
     "seq_pattern_events",         # fold-to-string regex sequence match
     "rank_fusion_rrf",            # RRF over BM25 + quality rankings
+    "multimodal_codec_gif",       # real GIF87a codec (LZW round trip)
 ]
 
 

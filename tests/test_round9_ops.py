@@ -466,3 +466,68 @@ class TestRankFusion:
         )
         assert any(r.bm25_rank is not None for r in got)
         assert any(r.quality_rank is not None for r in got)
+
+
+class TestGifLzwUnits:
+    def test_lzw_round_trip_random_and_adversarial(self):
+        import random
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            _lzw_decode_gif,
+            _lzw_encode_gif,
+        )
+
+        rng = random.Random(99)
+        cases = [
+            b"",
+            b"\x00",
+            b"a" * 1000,                      # KwKwK chains
+            b"abababababab" * 50,             # classic KwKwK trigger
+            bytes(rng.randrange(256) for _ in range(10_000)),  # table overflow -> CLEAR
+            bytes(range(256)) * 20,
+        ]
+        for data in cases:
+            enc = _lzw_encode_gif(data)
+            assert _lzw_decode_gif(enc) == data, f"len={len(data)}"
+
+    def test_lzw_decoder_rejects_malformed(self):
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            _lzw_decode_gif,
+            _lzw_encode_gif,
+        )
+
+        good = _lzw_encode_gif(b"hello world hello world")
+        assert _lzw_decode_gif(good[:-2]) is None  # truncated before EOI
+        assert _lzw_decode_gif(b"") is None
+        # a code far beyond the next unassigned entry: craft 9-bit
+        # stream [CLEAR=256, 300] — 300 > len(table) right after clear
+        bits = (256) | (300 << 9)
+        bad = bytes([bits & 0xFF, (bits >> 8) & 0xFF, (bits >> 16) & 0xFF])
+        assert _lzw_decode_gif(bad) is None
+
+    def test_gif_container_round_trip_and_corruption(self):
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_gif87a,
+            encode_gif87a,
+        )
+
+        w, h, r0, g0 = 19, 7, 250, 77
+        idx = ((r0 + np.arange(w) + np.arange(h)[:, None]) % 256).astype(np.uint8)
+        payload = encode_gif87a(w, h, idx, g0)
+        dec = decode_gif87a(payload)
+        assert dec is not None
+        rw, rh, raster = dec
+        assert (rw, rh) == (w, h)
+        assert np.array_equal(raster[:, :, 0], idx)          # palette r = index
+        assert (raster[:, :, 1] == g0).all()                 # g constant
+        assert np.array_equal(raster[:, :, 2], 255 - idx)    # b = 255 - index
+        for bad in (
+            b"BAD" + payload[3:],     # smashed signature
+            payload[:-1],             # missing trailer
+            payload[:40],             # cut inside palette
+            payload[:-2] + b"\x01",   # block structure broken
+            b"",
+        ):
+            assert decode_gif87a(bad) is None
