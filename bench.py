@@ -113,6 +113,7 @@ HEADLINE = [
     "seq_pattern_events",         # fold-to-string regex sequence match
     "rank_fusion_rrf",            # RRF over BM25 + quality rankings
     "multimodal_codec_gif",       # real GIF87a codec (LZW round trip)
+    "corpus_source_divergence",   # per-source entropy/KL, ordered folds
 ]
 
 

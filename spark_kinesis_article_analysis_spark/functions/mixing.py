@@ -118,3 +118,103 @@ def corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("budget").cast("long").alias("budget"),
         (F.col("cum_tokens") <= F.col("budget")).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_source_divergence — mixture diagnostics (entropy + KL vs corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_divergence",
+    oracle=f"""
+WITH tok AS (
+    SELECT source, tkn AS term
+    FROM (SELECT source, {_TOK_SQL} AS toks FROM documents WHERE doc_id IS NOT NULL),
+         LATERAL unnest(toks) AS u(tkn)
+),
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source, term),
+s_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY source),
+corpus AS (SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM st GROUP BY term),
+n_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+contrib AS (
+    SELECT st.source, st.term,
+           (st.c / CAST(s_tot.n_s AS DOUBLE))
+               * ln((st.c / CAST(s_tot.n_s AS DOUBLE))
+                    / (corpus.cc / CAST(n_tot.n AS DOUBLE))) AS kl_part,
+           -(st.c / CAST(s_tot.n_s AS DOUBLE))
+               * ln(st.c / CAST(s_tot.n_s AS DOUBLE))        AS h_part
+    FROM st JOIN s_tot USING (source) JOIN corpus USING (term) CROSS JOIN n_tot
+)
+SELECT c.source,
+       s_tot.n_s                                  AS n_tokens,
+       CAST(count(*) AS BIGINT)                   AS n_terms,
+       round(list_reduce(list_prepend(0.0, list(h_part ORDER BY term)),
+                         (x, y) -> x + y), 6)     AS entropy,
+       round(list_reduce(list_prepend(0.0, list(kl_part ORDER BY term)),
+                         (x, y) -> x + y), 6)     AS kl_vs_corpus
+FROM contrib c JOIN s_tot USING (source)
+GROUP BY c.source, s_tot.n_s
+""",
+    tags=("curation", "mixing", "divergence", "entropy", "north-star", "portable-twin"),
+    doc=(
+        "Mixture diagnostics per source: unigram entropy and KL(source || "
+        "corpus) — the numbers a data-mixing recipe watches to spot a "
+        "source whose token distribution collapsed or drifted. Per-term "
+        "contributions are exact-count ratios through ln; the per-source "
+        "sums run as TERM-ORDERED 0.0-seeded folds on both engines (the "
+        "cluster_kmeans_portable float discipline), so partial-sum order "
+        "cannot perturb the hash. One (source, term) shuffle; the corpus "
+        "vocabulary aggregate derives from the same counts and broadcasts "
+        "back. The ordered fold costs a collect_list per source "
+        "(vocabulary-bounded); production at 100 TB would accept "
+        "nondeterministic sum() — this spec VERIFIES the arithmetic and "
+        "documents the price, exactly like cluster_kmeans_portable."
+    ),
+)
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select("source", F.explode(tokens_col()).alias("term"))
+    )
+    st = d.groupBy("source", "term").agg(F.count("*").alias("c"))
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corpus = st.groupBy("term").agg(F.sum("c").alias("cc"))
+    n_tot = F.broadcast(st.agg(F.sum("c").alias("n")))
+    p = F.col("c") / F.col("n_s").cast("double")
+    q = F.col("cc") / F.col("n").cast("double")
+    contrib = (
+        st.join(s_tot, "source")
+        .join(F.broadcast(corpus), "term")
+        .join(n_tot)
+        .select(
+            "source",
+            "term",
+            "n_s",
+            (p * F.log(p / q)).alias("kl_part"),
+            (-p * F.log(p)).alias("h_part"),
+        )
+    )
+    fold = lambda col: F.round(  # noqa: E731
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", col))),
+                lambda s: s[col],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    return contrib.groupBy("source", "n_s").agg(
+        F.count("*").alias("n_terms"),
+        fold("h_part").alias("entropy"),
+        fold("kl_part").alias("kl_vs_corpus"),
+    ).select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "n_terms",
+        "entropy",
+        "kl_vs_corpus",
+    )

@@ -247,6 +247,10 @@ _DOC_SPECS = [
     # boundary ties, the missing-membership convention, and both
     # upstream float chains on one hostile corpus
     "rank_fusion_rrf",
+    # r9: per-source entropy/KL — the ln float chain under the
+    # term-ordered-fold discipline, NULL sources grouped as their own
+    # distribution
+    "corpus_source_divergence",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
