@@ -114,6 +114,7 @@ HEADLINE = [
     "rank_fusion_rrf",            # RRF over BM25 + quality rankings
     "multimodal_codec_gif",       # real GIF87a codec (LZW round trip)
     "corpus_source_divergence",   # per-source entropy/KL, ordered folds
+    "quality_gopher_gate",        # consolidated Gopher rule gate, map-only
 ]
 
 

@@ -196,6 +196,10 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         sequence,
     )
+    # Round-9 batch 3: the consolidated Gopher rule gate (new module).
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        gopher,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -239,6 +243,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "sketches.py",
     "mixing.py",
     "sequence.py",
+    "gopher.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

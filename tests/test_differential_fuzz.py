@@ -251,6 +251,10 @@ _DOC_SPECS = [
     # term-ordered-fold discipline, NULL sources grouped as their own
     # distribution
     "corpus_source_divergence",
+    # r9: the consolidated Gopher gate — line-grain splits, token
+    # folds, and the replace-arithmetic ellipsis count over hostile
+    # unicode/control-char corpora
+    "quality_gopher_gate",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
