@@ -115,6 +115,7 @@ HEADLINE = [
     "multimodal_codec_gif",       # real GIF87a codec (LZW round trip)
     "corpus_source_divergence",   # per-source entropy/KL, ordered folds
     "quality_gopher_gate",        # consolidated Gopher rule gate, map-only
+    "agg_audience_overlap",       # exact set-op overlap matrix
 ]
 
 

@@ -196,9 +196,13 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         sequence,
     )
-    # Round-9 batch 3: the consolidated Gopher rule gate (new module).
+    # Round-9 batch 3: the consolidated Gopher rule gate and the exact
+    # audience-overlap matrix (new modules).
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         gopher,
+    )
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        audience,
     )
 
 
@@ -244,6 +248,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "mixing.py",
     "sequence.py",
     "gopher.py",
+    "audience.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

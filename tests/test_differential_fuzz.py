@@ -281,6 +281,9 @@ _EVENT_SPECS = [
     # identically and pre-epoch timestamps ride exact epoch-micros
     "interval_coalesce",
     "interval_overlap_depth",
+    # r9: exact audience-overlap matrix — the distinct fold + bounded
+    # self-join under NULL users/types and tiny type universes
+    "agg_audience_overlap",
     # r9: the fold-to-string + regex sequence matcher — NULL-type rows
     # drop, tied timestamps break on event_id, and the regex count
     # semantics (non-overlapping greedy) must agree RE2-vs-Java
