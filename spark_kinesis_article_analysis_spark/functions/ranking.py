@@ -333,7 +333,20 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_LIST)
         .select("doc_id", F.row_number().over(wa).alias("ra"))
     )
-    weighted = _hashed_weighted(spark, sf_dir).where(F.col("n_feats") > 0)
+    # Materialize the hashed fold ONCE behind a checkpoint barrier
+    # before filtering/sorting on its outputs: a filter or sort key on a
+    # HOF-derived column re-inlines the whole uni+bigram md5 fold via
+    # projection collapse (higher-order functions are CodegenFallback,
+    # no common-subexpression elimination) — measured 6.5x on this list
+    # (the corpus_ingest_batch_form / dedup_fuzzy trap). The barrier is
+    # doc-grain (doc_id + two longs), released by the ContextCleaner on
+    # GC; the BM25 side needs none because its aggregation is already an
+    # exchange barrier.
+    weighted = (
+        _hashed_weighted(spark, sf_dir)
+        .localCheckpoint(eager=True)
+        .where(F.col("n_feats") > 0)
+    )
     qscore = F.round(F.col("wsum") / (F.col("n_feats") * float(_W_MOD)), 6)
     wb = W.orderBy(F.col("qs").desc(), F.col("doc_id").asc())
     lb = (
