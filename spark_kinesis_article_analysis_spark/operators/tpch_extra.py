@@ -657,7 +657,9 @@ SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND l_suppkey IS NOT NULL
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
 GROUP BY 1, 2, 3
 """,
     tags=("tpch", "q16", "anti-join", "count-distinct"),
@@ -668,16 +670,26 @@ GROUP BY 1, 2, 3
         "for the complaints filter). The exclusion list is dim-sized — "
         "a broadcast anti-join, which (unlike generic NOT IN) cannot "
         "degrade to a nested loop; count(DISTINCT) expands to the usual "
-        "two-phase exact plan."
+        "two-phase exact plan. NULL keys are carved out on BOTH sides "
+        "(fuzz find #26): a NULL l_suppkey identifies no supplier to "
+        "count or exclude — Spark's anti-join would KEEP it (NULL never "
+        "equals an exclusion key) where SQL NOT IN evaluates NULL and "
+        "drops the row, surfacing ghost supplier_cnt=0 groups; and one "
+        "NULL in the exclusion set would turn SQL NOT IN into "
+        "reject-everything while the anti-join ignores it."
     ),
 )
 def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
     )
-    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
+        .select("s_suppkey")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")

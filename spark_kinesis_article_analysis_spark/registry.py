@@ -318,6 +318,11 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # ASCII translate on BOTH sides (JVM full case mapping vs
         # utf8proc simple mapping diverges on ß/ᾚ/... — un-mirrorable)
         "scalar_array_setops",
+        # r9 fuzz find #26 (4x hunt): NULL l_suppkey rows survived
+        # Spark's NOT-IN anti-join (NULL never equals an exclusion key)
+        # but fail SQL NOT IN's NULL evaluation — ghost supplier_cnt=0
+        # groups. NULL keys now carved out on BOTH sides.
+        "tpch_q16_supplier_part_counts",
     }
 )
 

@@ -1927,6 +1927,19 @@ class TestTpchWideShapeFuzz:
         max_examples=_ex(5), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
     )
     @given(_cust_rows, _wide_order_rows, _wide_supp_rows, _wide_li_rows, _wide_part_rows)
+    # pinned fuzz find #26 (r9, 4x hunt): a lineitem with a MATCHING part
+    # but NULL l_suppkey, plus a non-empty exclusion set — Spark's
+    # NOT-IN anti-join kept the row (NULL never equals an exclusion key)
+    # and emitted a ghost (Brand#9, 25, NULL, supplier_cnt=0) group,
+    # where SQL NOT IN evaluates NULL and drops it. NULL keys are now
+    # carved out on both sides of q16.
+    @example(
+        cust=[],
+        orders=[],
+        supp=[(None, None, -5.5)],
+        li=[(10, 1, None, None, None, None, "R", "O", None)],
+        part=[(None, "Brand#9", None, 25, None)],
+    )
     def test_part_shapes_parity_on_dirty_graphs(
         self, spark, tmp_path_factory, cust, orders, supp, li, part
     ):
