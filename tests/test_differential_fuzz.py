@@ -3383,3 +3383,81 @@ class TestStreamingLshFuzz:
         batch = {(r.doc_a, r.doc_b) for r in cands.collect()}
         cands.unpersist()
         assert streamed == batch
+
+
+class TestStreamingCmsFuzz:
+    @settings(
+        max_examples=_ex(4), deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+    )
+    @given(_doc_rows, st.lists(st.integers(1, 4), min_size=1, max_size=8))
+    def test_stream_matrix_matches_batch_across_splits(
+        self, spark, tmp_path_factory, rows, sizes
+    ):
+        """Streaming CMS (streaming/sketch_stream.py): the streamed
+        (depth, col, cell) matrix must equal the batch matrix for ANY
+        hypothesis-chosen corpus and micro-batch slicing — integer cell
+        sums commute, so batch boundaries cannot matter. Hostile text
+        (unicode, NULLs, empties) rides the same md5-column arithmetic
+        the oracle-backed batch spec verifies."""
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from spark_kinesis_article_analysis_spark.streaming.sketch_stream import (
+            cms_cell_updates,
+            cms_stream,
+        )
+
+        docs = [(i, text) for i, (text, _lang) in enumerate(rows)]
+        chunks, pos, si = [], 0, 0
+        while pos < len(docs):
+            n = sizes[si % len(sizes)]
+            chunks.append(docs[pos : pos + n])
+            pos += n
+            si += 1
+
+        pdir = tmp_path_factory.mktemp("fuzz_cms_stream") / "docs"
+        pdir.mkdir()
+        t0 = time.time()
+        for i, chunk in enumerate(chunks):
+            f = pdir / f"chunk{i:03d}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([d for d, _ in chunk], pa.int64()),
+                        "text": pa.array([t for _, t in chunk], pa.string()),
+                    }
+                ),
+                f,
+            )
+            os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+        name = f"cms_split_{next(_disorder_seq)}"
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(pdir))
+        )
+        q = (
+            cms_stream(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "AvailableNow drain did not terminate"
+        streamed = {
+            (r.depth, r.col): r.cell
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        batch = {
+            (r.depth, r.col): r.cell
+            for r in cms_cell_updates(d)
+            .groupBy("depth", "col")
+            .agg(F.count("*").cast("long").alias("cell"))
+            .collect()
+        }
+        assert streamed == batch
