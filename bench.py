@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_source_divergence",   # per-source entropy/KL, ordered folds
     "quality_gopher_gate",        # consolidated Gopher rule gate, map-only
     "agg_audience_overlap",       # exact set-op overlap matrix
+    "multimodal_codec_jpeg",      # real baseline JPEG (DCT + Huffman)
 ]
 
 

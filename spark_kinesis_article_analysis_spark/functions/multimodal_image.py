@@ -1,5 +1,6 @@
-"""Round-9 image surface: a real BMP (Windows DIB) codec and a real
-nearest-neighbor resize stage over decoded rasters.
+"""Round-9 image surface: real BMP, GIF87a (full LZW), and baseline
+JPEG (real DCT/Huffman) codecs, plus a real nearest-neighbor resize
+stage over decoded rasters.
 
 Raises the honest-codec ceiling the same way WAV/PPM (r7) and PNG (r8)
 did — stdlib-only encoders/decoders for formats whose specs allow it,
@@ -767,4 +768,518 @@ def multimodal_codec_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return synthesize_gif_payloads(docs).mapInPandas(
         make_gif_decoder(), schema=GIF_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec — real DCT / quantization / Huffman entropy coding
+# ---------------------------------------------------------------------------
+
+JPEG_SCHEMA = (
+    "doc_id bigint, valid boolean, width int, height int, "
+    "n_blocks_x int, mean_luma double"
+)
+
+#: Per-block-column luma step — blocks differ so a decoder that
+#: misorders blocks, botches the DC DPCM chain, or mis-crops the MCU
+#: padding changes the mean and hash-fails.
+_JPEG_BLOCK_STEP = 17
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Canonical DC table: category n -> n-bit code (categories 0..11).
+_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]  # BITS[1..16]
+_DC_VALS = list(range(12))
+#: Minimal AC table: the single EOB symbol (run=0, size=0) as a 1-bit
+#: code — legal baseline JPEG (DHT tables are per-file), and all this
+#: encoder ever emits since constant blocks have no AC energy. The
+#: DECODER builds whatever tables the file declares, so it stays a
+#: general baseline-grayscale reader.
+_AC_BITS = [0, 1] + [0] * 15
+_AC_VALS = [0x00]
+
+
+def _dct_cos(k: int, n: int) -> float:
+    import math
+
+    return math.cos((2 * n + 1) * k * math.pi / 16)
+
+
+_DCT_C = None
+
+
+def _dct_tables():
+    """(C[k], cos[k][n]) for the 8-point DCT-II pair."""
+    global _DCT_C
+    if _DCT_C is None:
+        import math
+
+        c = [math.sqrt(0.5) if k == 0 else 1.0 for k in range(8)]
+        cos = [[_dct_cos(k, n) for n in range(8)] for k in range(8)]
+        _DCT_C = (c, cos)
+    return _DCT_C
+
+
+def _fdct8x8(block: "object") -> "object":
+    """Forward 8x8 DCT (JPEG A.3.3), float64, on a level-shifted block."""
+    import numpy as np
+
+    c, cos = _dct_tables()
+    cosm = np.asarray(cos)
+    cv = np.asarray(c)
+    b = np.asarray(block, dtype=np.float64)
+    # F = 1/4 * C u C v * cos_u . b . cos_v^T
+    out = 0.25 * np.outer(cv, cv) * (cosm @ b @ cosm.T)
+    return out
+
+
+def _idct8x8(coef: "object") -> "object":
+    import numpy as np
+
+    c, cos = _dct_tables()
+    cosm = np.asarray(cos)
+    cv = np.asarray(c)
+    f = np.asarray(coef, dtype=np.float64) * 0.25 * np.outer(cv, cv)
+    return cosm.T @ f @ cosm
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bits: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((bits >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _canonical_codes(bits: "list[int]", vals: "list[int]") -> "dict[int, tuple[int, int]]":
+    """symbol -> (code, length) per the JPEG canonical construction
+    (C.2): codes of each length assigned in value order."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length] if length < len(bits) else 0):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dht_segment(tc_th: int, bits: "list[int]", vals: "list[int]") -> bytes:
+    body = bytes([tc_th]) + bytes(bits[1:17]) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_gray(width: int, height: int, raster: "object") -> bytes:
+    """Real baseline grayscale JPEG writer: SOI, DQT (unit quant table —
+    lossless for DC-only blocks), SOF0, two DHT segments (canonical DC
+    table + minimal AC table), SOS, Huffman-entropy-coded scan with DC
+    DPCM and byte stuffing, EOI. MCU padding replicates edge pixels."""
+    import numpy as np
+
+    px = np.asarray(raster, dtype=np.uint8).reshape(height, width)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    padded = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    padded[:height, :width] = px
+    if bw * 8 > width:
+        padded[:height, width:] = px[:, -1:]
+    if bh * 8 > height:
+        padded[height:, :] = padded[height - 1 : height, :]
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            coef = np.rint(_fdct8x8(block)).astype(np.int64)  # quant table = 1
+            zz = [int(coef.flat[i]) for i in _ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            mag = abs(diff)
+            t = mag.bit_length()
+            code, length = dc_codes[t]
+            w.put(code, length)
+            if t:
+                w.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            # AC: emit EOB unless any nonzero AC survives (constant
+            # blocks never have any; a general encoder would run-length
+            # code here)
+            if any(zz[1:]):
+                raise ValueError(
+                    "encode_jpeg_gray only encodes DC-only (per-block-constant) rasters"
+                )
+            acode, alen = ac_codes[0x00]
+            w.put(acode, alen)
+    scan = w.flush()
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([1, 1, 0x11, 0])  # 1 component, 1x1 sampling, qtable 0
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    return b"".join(
+        [
+            b"\xff\xd8",  # SOI
+            dqt,
+            sof0,
+            _dht_segment(0x00, _DC_BITS, _DC_VALS),
+            _dht_segment(0x10, _AC_BITS, _AC_VALS),
+            sos,
+            scan,
+            b"\xff\xd9",  # EOI
+        ]
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> "int | None":
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                return None
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    return None  # marker inside scan — malformed here
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> "int | None":
+        v = 0
+        for _ in range(k):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+
+def _build_decode_table(bits: "list[int]", vals: "list[int]"):
+    """(code, length) -> symbol map for Huffman decoding."""
+    return {v: k for k, v in _canonical_codes(bits, vals).items()}
+
+
+def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, object] | None":
+    """Real baseline grayscale JPEG reader: marker walk (DQT/SOF0/DHT/
+    SOS, skipping APPn/COM), declared-table Huffman decode of the
+    entropy stream (DC DPCM + AC run-length incl. ZRL/EOB), dequant,
+    inverse zigzag, float IDCT, level shift, clamp, and MCU crop.
+    Returns (width, height, HxW uint8 raster) or None for anything
+    undecodable."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt: "dict[int, list[int]]" = {}
+    huff: "dict[tuple[int, int], dict]" = {}
+    width = height = None
+    comp_q = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + seglen > len(payload):
+            return None
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (8-bit tables only)
+            b = 0
+            while b < len(body):
+                pq_tq = body[b]
+                if pq_tq >> 4 != 0 or b + 65 > len(body):
+                    return None
+                qt[pq_tq & 0x0F] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 8 or body[0] != 8 or body[5] != 1:
+                return None  # 8-bit, single component only
+            height, width = struct.unpack(">HH", body[1:5])
+            if not width or not height or body[7] != 0x11:
+                return None  # 1x1 sampling only
+            comp_q = body[8] if len(body) > 8 else 0
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return None  # non-baseline frame types
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc_th = body[b]
+                if b + 17 > len(body):
+                    return None
+                bits = [0] + list(body[b + 1 : b + 17])
+                n = sum(bits)
+                if b + 17 + n > len(body):
+                    return None
+                vals = list(body[b + 17 : b + 17 + n])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _build_decode_table(bits, vals)
+                b += 17 + n
+        elif marker == 0xDA:  # SOS
+            if len(body) < 4 or body[0] != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + seglen
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if scan_start is None or width is None or comp_q is None:
+        return None
+    if comp_q not in qt or (0, dc_id) not in huff or (1, ac_id) not in huff:
+        return None
+    # find EOI (scan data may contain stuffed FF00 but no other markers)
+    end = payload.rfind(b"\xff\xd9")
+    if end <= scan_start:
+        return None
+    dc_table = huff[(0, dc_id)]
+    ac_table = huff[(1, ac_id)]
+    quant = qt[comp_q]
+    r = _BitReader(payload[scan_start:end])
+
+    def read_symbol(table) -> "int | None":
+        code = 0
+        for length in range(1, 17):
+            b = r.bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            if (code, length) in table:
+                return table[(code, length)]
+        return None
+
+    def extend(v: int, t: int) -> int:
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            t = read_symbol(dc_table)
+            if t is None or t > 11:
+                return None
+            if t:
+                v = r.bits(t)
+                if v is None:
+                    return None
+                prev_dc += extend(v, t)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = read_symbol(ac_table)
+                if rs is None:
+                    return None
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 0:  # EOB
+                        break
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    return None
+                k += run
+                if k >= 64:
+                    return None
+                v = r.bits(size)
+                if v is None:
+                    return None
+                zz[k] = extend(v, size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            for i, zi in enumerate(_ZIGZAG):
+                coef[zi] = zz[i] * quant[i]
+            block = _idct8x8(coef.reshape(8, 8)) + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    return width, height, out[:height, :width]
+
+
+def make_jpeg_synthesizer() -> "Callable[..., pd.Series]":
+    """pandas_udf(BINARY) body: packs real baseline JPEGs. The raster is
+    constant per 8x8 block column — v(bx) = (r_byte + 17*bx) % 256 —
+    which the unit quant table preserves EXACTLY through the real
+    DCT/Huffman pipeline (constant blocks carry only DC energy), so the
+    decoded means stay closed-form while markers, canonical Huffman
+    tables, DC DPCM, byte stuffing, and MCU padding are all genuinely
+    exercised. Corrupt rows get the SOI marker smashed; NULL-keyed rows
+    get 4 junk bytes."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-local import
+
+    def synth(
+        corrupt: pd.Series,
+        width: pd.Series,
+        height: pd.Series,
+        r_byte: pd.Series,
+    ) -> pd.Series:
+        out: list[bytes] = []
+        for i in range(len(corrupt)):
+            if pd.isna(width.iloc[i]) or pd.isna(height.iloc[i]):
+                out.append(b"DEAD")
+                continue
+            w, h = int(width.iloc[i]), int(height.iloc[i])
+            bw = (w + 7) // 8
+            cols = (int(r_byte.iloc[i]) + 17 * np.arange(bw, dtype=np.int64)) % 256
+            px = np.repeat(cols, 8)[:w][None, :].repeat(h, axis=0).astype(np.uint8)
+            payload = encode_jpeg_gray(w, h, px)
+            if bool(corrupt.iloc[i]):
+                payload = b"XX" + payload[2:]
+            out.append(payload)
+        return pd.Series(out)
+
+    return synth
+
+
+def synthesize_jpeg_payloads(docs: DataFrame) -> DataFrame:
+    synth_udf = F.pandas_udf(make_jpeg_synthesizer(), "binary")
+    p = _bmp_params(docs)  # same JVM-computed parameter family
+    return p.select(
+        "doc_id",
+        synth_udf("corrupt", "width", "height", "r_byte").alias("payload"),
+    )
+
+
+def make_jpeg_decoder() -> "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-local import
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "valid", "width", "height", "n_blocks_x", "mean_luma",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                feat = dict.fromkeys(cols)
+                feat.update(doc_id=doc_id, valid=False)
+                dec = decode_jpeg_gray(b)
+                if dec is not None:
+                    w, h, raster = dec
+                    feat.update(
+                        valid=True,
+                        width=w,
+                        height=h,
+                        n_blocks_x=(w + 7) // 8,
+                        mean_luma=float(raster.astype(np.float64).mean()),
+                    )
+                for k, v in feat.items():
+                    cols[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(cols["doc_id"], dtype="Int64"),
+                    "valid": pd.array(cols["valid"], dtype="boolean"),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "n_blocks_x": pd.array(cols["n_blocks_x"], dtype="Int32"),
+                    "mean_luma": pd.array(cols["mean_luma"], dtype="Float64"),
+                }
+            )
+
+    return decode
+
+
+@register(
+    "multimodal_codec_jpeg",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         {_CORRUPT}  AS corrupt,
+         {_WIDTH}    AS width,
+         {_HEIGHT}   AS height,
+         {_R_BYTE}   AS r_byte
+  FROM documents
+),
+-- per-block-column constant luma v(bx) = (r_byte + 17*bx) % 256, each
+-- column covering min(8, width - 8*bx) pixels of every row
+sums AS (
+  SELECT p.doc_id,
+         CAST(sum(((p.r_byte + 17 * bx.bx) % 256) * least(8, p.width - 8 * bx.bx))
+              AS BIGINT) AS luma_sum
+  FROM p, LATERAL unnest(generate_series(0, 3)) AS bx(bx)
+  WHERE NOT coalesce(corrupt, TRUE) AND bx.bx < (p.width + 7) // 8
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       coalesce(NOT corrupt, FALSE)                                  AS valid,
+       CAST(CASE WHEN NOT corrupt THEN width  END AS INTEGER)        AS width,
+       CAST(CASE WHEN NOT corrupt THEN height END AS INTEGER)        AS height,
+       CAST(CASE WHEN NOT corrupt THEN (width + 7) // 8 END
+            AS INTEGER)                                              AS n_blocks_x,
+       -- rows are identical, so the raster mean is the per-row mean
+       CAST(CASE WHEN NOT corrupt THEN s.luma_sum / CAST(width AS DOUBLE) END
+            AS DOUBLE)                                               AS mean_luma
+FROM p LEFT JOIN sums s ON s.doc_id = p.doc_id
+""",
+    tags=("multimodal", "codec", "jpeg", "dct", "huffman", "mapInPandas", "north-star"),
+    doc=(
+        "REAL baseline JPEG codec, oracle-verified: rows synthesize "
+        "actual grayscale JPEGs — DQT, SOF0, canonical Huffman DHT "
+        "segments, and a genuinely entropy-coded scan (DC DPCM, byte "
+        "stuffing, MCU edge padding) through a real float DCT; the "
+        "decoder walks markers, rebuilds the DECLARED Huffman tables, "
+        "decodes the bitstream (EOB/ZRL/DPCM), dequantizes, inverse- "
+        "zigzags, runs the IDCT, and crops the MCU padding. The raster "
+        "is constant per 8x8 block column with a unit quant table, so "
+        "the lossy pipeline is exact by construction (DC-only blocks) "
+        "and the oracle states the decoded mean in closed form — while "
+        "a decoder that misorders blocks, breaks the DPCM chain, or "
+        "mis-crops padding changes the mean and hash-fails. Corrupt-"
+        "marker rows decode to valid=false + NULL features."
+    ),
+)
+def multimodal_codec_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return synthesize_jpeg_payloads(docs).mapInPandas(
+        make_jpeg_decoder(), schema=JPEG_SCHEMA
     )

@@ -531,3 +531,110 @@ class TestGifLzwUnits:
             b"",
         ):
             assert decode_gif87a(bad) is None
+
+
+class TestJpegCodecUnits:
+    def test_constant_block_round_trips_exact(self):
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        rng = np.random.default_rng(7)
+        for w, h in [(32, 7), (4, 3), (8, 8), (17, 5), (1, 1), (9, 16)]:
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            blocks = rng.integers(0, 256, size=(bh, bw))
+            px = (
+                np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+            ).astype(np.uint8)
+            dec = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+            assert dec is not None and dec[:2] == (w, h)
+            assert np.array_equal(dec[2], px), (w, h)
+
+    def test_encoder_refuses_ac_energy(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            encode_jpeg_gray,
+        )
+
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)  # non-constant
+        with _pytest.raises(ValueError):
+            encode_jpeg_gray(8, 8, px)
+
+    def test_corruption_taxonomy(self):
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        good = encode_jpeg_gray(16, 7, np.full((7, 16), 99, np.uint8))
+        assert decode_jpeg_gray(good) is not None
+        for name, bad in {
+            "magic": b"XX" + good[2:],
+            "cut-in-headers": good[:30],
+            "no-eoi": good[:-2],
+            "empty": b"",
+            "scan-truncated": good[: good.index(b"\xff\xda") + 12],
+        }.items():
+            assert decode_jpeg_gray(bad) is None, name
+
+    def test_decoder_general_ac_path(self):
+        """Craft an entropy stream with a real AC coefficient using a
+        custom DHT — the decoder's run-length/extend path must
+        reconstruct exactly the IDCT our reference arithmetic gives,
+        proving the general baseline reader isn't dead code beyond the
+        DC-only encoder."""
+        import struct
+
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            _BitWriter,
+            _DC_BITS,
+            _DC_VALS,
+            _ZIGZAG,
+            _canonical_codes,
+            _dht_segment,
+            _idct8x8,
+            decode_jpeg_gray,
+        )
+
+        # AC table with EOB (0x00) and (run=0, size=1) (0x01)
+        ac_bits = [0, 0, 2] + [0] * 14
+        ac_vals = [0x00, 0x01]
+        dcc = _canonical_codes(_DC_BITS, _DC_VALS)
+        acc = _canonical_codes(ac_bits, ac_vals)
+        w = _BitWriter()
+        code, ln = dcc[0]  # DC diff 0 -> luma 128 after level shift
+        w.put(code, ln)
+        code, ln = acc[0x01]  # one AC coef, size 1
+        w.put(code, ln)
+        w.put(1, 1)  # value +1 at zigzag index 1
+        code, ln = acc[0x00]  # EOB
+        w.put(code, ln)
+        scan = w.flush()
+        payload = b"".join(
+            [
+                b"\xff\xd8",
+                b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64),
+                b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+                + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]),
+                _dht_segment(0x00, _DC_BITS, _DC_VALS),
+                _dht_segment(0x10, ac_bits, ac_vals),
+                b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0]),
+                scan,
+                b"\xff\xd9",
+            ]
+        )
+        dec = decode_jpeg_gray(payload)
+        assert dec is not None
+        coef = np.zeros((8, 8))
+        coef.flat[_ZIGZAG[1]] = 1.0
+        want = np.clip(np.rint(_idct8x8(coef) + 128.0), 0, 255).astype(np.uint8)
+        assert np.array_equal(dec[2], want)
