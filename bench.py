@@ -117,6 +117,7 @@ HEADLINE = [
     "quality_gopher_gate",        # consolidated Gopher rule gate, map-only
     "agg_audience_overlap",       # exact set-op overlap matrix
     "multimodal_codec_jpeg",      # real baseline JPEG (DCT + Huffman)
+    "multimodal_codec_avi_frames",  # real AVI container, 1-to-N frames
 ]
 
 

@@ -1283,3 +1283,291 @@ def multimodal_codec_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_jpeg_payloads(docs).mapInPandas(
         make_jpeg_decoder(), schema=JPEG_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI video container — real RIFF walk, uncompressed DIB frames, 1-to-N
+# ---------------------------------------------------------------------------
+
+AVI_SCHEMA = (
+    "doc_id bigint, frame_idx int, valid boolean, width int, height int, "
+    "n_frames int, mean_r double"
+)
+
+#: Per-frame red-channel shift — consecutive frames differ, so a
+#: decoder that drops, duplicates, or reorders '00db' chunks moves the
+#: per-frame means and hash-fails.
+_AVI_FRAME_SHIFT = 7
+#: Frame count per document (bounded 2..5 — the wrap analysis in the
+#: oracle relies on r_byte + width-1 + 7*(n_frames-1) < 512).
+_AVI_N_FRAMES = "2 + abs(doc_id % 4)"
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""  # RIFF word alignment
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_dib(width: int, height: int, frames: "list[object]") -> bytes:
+    """Real AVI writer: RIFF 'AVI ' with an 'hdrl' LIST (avih main
+    header + one 'vids'/'DIB ' stream with its BITMAPINFOHEADER) and a
+    'movi' LIST of '00db' chunks, each an uncompressed bottom-up BGR
+    DIB frame with 4-byte row padding (the BMP body convention)."""
+    import numpy as np
+
+    stride = (width * 3 + 3) // 4 * 4
+    frame_bytes = []
+    for raster in frames:
+        px = np.asarray(raster, dtype=np.uint8).reshape(height, width, 3)
+        body = bytearray()
+        pad = b"\x00" * (stride - width * 3)
+        for y in range(height - 1, -1, -1):
+            body += px[y, :, ::-1].tobytes()
+            body += pad
+        frame_bytes.append(bytes(body))
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        40_000, stride * height, 0, 0x10, len(frames), 0, 1, stride * height,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        # flags, prio, lang, initial frames, scale, rate, start, length,
+        # suggested buffer, quality, sample size
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0, 0, 1, 25, 0, len(frames), stride * height, 0xFFFFFFFF, 0,
+        )
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", fb) for fb in frame_bytes))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_dib(payload: bytes) -> "tuple[int, int, list] | None":
+    """Real AVI reader: RIFF signature + declared-size check, chunk walk
+    through 'hdrl' (avih geometry, strf DIB validation: 24 bpp BI_RGB)
+    and 'movi' ('00db' frames, bottom-up flip + BGR->RGB swap, stride
+    validation). Returns (width, height, [HxWx3 uint8 raster, ...]) or
+    None for anything undecodable."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if 8 + riff_size > len(payload):
+        return None
+    width = height = None
+    frames: list = []
+    saw_strf = False
+
+    def walk(buf: bytes) -> bool:
+        nonlocal width, height, saw_strf
+        off = 0
+        while off + 8 <= len(buf):
+            fourcc = buf[off : off + 4]
+            (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
+            data = buf[off + 8 : off + 8 + size]
+            if len(data) != size:
+                return False
+            if fourcc == b"LIST":
+                if not walk(data[4:]):
+                    return False
+            elif fourcc == b"avih":
+                if size < 40:
+                    return False
+                width, height = struct.unpack("<II", data[32:40])
+            elif fourcc == b"strf":
+                if size < 20:
+                    return False
+                bi_size, w2, h2, planes, bpp = struct.unpack("<IiiHH", data[:16])
+                if bi_size != 40 or bpp != 24 or planes != 1:
+                    return False
+                (compression,) = struct.unpack("<I", data[16:20])
+                if compression != 0:
+                    return False
+                saw_strf = True
+            elif fourcc == b"00db":
+                frames.append(data)
+            off += 8 + size + (size % 2)  # word alignment
+        return True
+
+    if not walk(payload[12 : 8 + riff_size]):
+        return None
+    if not width or not height or not saw_strf or not frames:
+        return None
+    stride = (width * 3 + 3) // 4 * 4
+    out = []
+    for fb in frames:
+        if len(fb) != stride * height:
+            return None
+        rows = [fb[y * stride : y * stride + width * 3] for y in range(height)]
+        bgr = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(height, width, 3)
+        out.append(bgr[::-1, :, ::-1])
+    return width, height, out
+
+
+def make_avi_synthesizer() -> "Callable[..., pd.Series]":
+    """pandas_udf(BINARY) body: packs real AVI bytes — frame f's red
+    channel ramps as (r_byte + x + 7*f) % 256 (G constant, B zero), so
+    consecutive frames shift and the per-frame means stay closed-form.
+    Corrupt rows get the RIFF signature smashed; NULL-keyed rows get 4
+    junk bytes."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-local import
+
+    def synth(
+        corrupt: pd.Series,
+        width: pd.Series,
+        height: pd.Series,
+        r_byte: pd.Series,
+        g_byte: pd.Series,
+        n_frames: pd.Series,
+    ) -> pd.Series:
+        out: list[bytes] = []
+        for i in range(len(corrupt)):
+            if pd.isna(width.iloc[i]) or pd.isna(n_frames.iloc[i]):
+                out.append(b"DEAD")
+                continue
+            w, h = int(width.iloc[i]), int(height.iloc[i])
+            frames = []
+            for f in range(int(n_frames.iloc[i])):
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = (
+                    int(r_byte.iloc[i])
+                    + _AVI_FRAME_SHIFT * f
+                    + np.arange(w, dtype=np.int64)
+                ) % 256
+                px[:, :, 1] = int(g_byte.iloc[i])
+                px[:, :, 2] = 0
+                frames.append(px)
+            payload = encode_avi_dib(w, h, frames)
+            if bool(corrupt.iloc[i]):
+                payload = b"XXXX" + payload[4:]
+            out.append(payload)
+        return pd.Series(out)
+
+    return synth
+
+
+def synthesize_avi_payloads(docs: DataFrame) -> DataFrame:
+    synth_udf = F.pandas_udf(make_avi_synthesizer(), "binary")
+    p = _bmp_params(docs).withColumn("n_frames", F.expr(_AVI_N_FRAMES).cast("int"))
+    return p.select(
+        "doc_id",
+        synth_udf("corrupt", "width", "height", "r_byte", "g_byte", "n_frames").alias(
+            "payload"
+        ),
+    )
+
+
+def make_avi_frame_extractor() -> (
+    "Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]"
+):
+    """mapInPandas body: real AVI decode, ONE OUTPUT ROW PER FRAME (the
+    1-to-N video frame-sampling shape). Undecodable payloads emit a
+    single valid=false row so corruption stays visible per document."""
+    import numpy as np
+    import pandas as pd  # noqa: F811 — worker-local import
+
+    def frames(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                dec = decode_avi_dib(b)
+                if dec is None:
+                    rows.append(
+                        dict(doc_id=doc_id, frame_idx=None, valid=False, width=None,
+                             height=None, n_frames=None, mean_r=None)
+                    )
+                    continue
+                w, h, frs = dec
+                for f, raster in enumerate(frs):
+                    rows.append(
+                        dict(
+                            doc_id=doc_id, frame_idx=f, valid=True, width=w, height=h,
+                            n_frames=len(frs),
+                            mean_r=float(raster[:, :, 0].astype(np.float64).mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array([r["doc_id"] for r in rows], dtype="Int64"),
+                    "frame_idx": pd.array([r["frame_idx"] for r in rows], dtype="Int32"),
+                    "valid": pd.array([r["valid"] for r in rows], dtype="boolean"),
+                    "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                    "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                    "n_frames": pd.array([r["n_frames"] for r in rows], dtype="Int32"),
+                    "mean_r": pd.array([r["mean_r"] for r in rows], dtype="Float64"),
+                }
+            )
+
+    return frames
+
+
+@register(
+    "multimodal_codec_avi_frames",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id,
+         {_CORRUPT}       AS corrupt,
+         {_WIDTH}         AS width,
+         {_HEIGHT}        AS height,
+         {_R_BYTE}        AS r_byte,
+         {_AVI_N_FRAMES}  AS n_frames
+  FROM documents
+),
+-- frame f's red ramp starts at r2 = (r_byte + 7f) % 256 and wraps mod
+-- 256 at most once across the width (r2 + w - 1 <= 255 + 31 < 512)
+good AS (
+  SELECT p.doc_id, f.f AS frame_idx, p.width, p.height, p.n_frames,
+         (p.r_byte + {_AVI_FRAME_SHIFT} * f.f) % 256 AS r2
+  FROM p, LATERAL unnest(generate_series(0, 4)) AS f(f)
+  WHERE NOT coalesce(corrupt, TRUE) AND f.f < p.n_frames
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, TRUE AS valid,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST((width * r2 + (width * (width - 1)) // 2
+             - 256 * greatest(0, r2 + width - 256)) / CAST(width AS DOUBLE)
+            AS DOUBLE) AS mean_r
+FROM good
+UNION ALL
+SELECT doc_id, CAST(NULL AS INTEGER), FALSE, CAST(NULL AS INTEGER),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)
+FROM p WHERE coalesce(corrupt, TRUE)
+""",
+    tags=("multimodal", "codec", "avi", "video", "frames", "mapInPandas", "north-star"),
+    doc=(
+        "REAL video container codec, oracle-verified: rows synthesize "
+        "actual AVI files (RIFF 'AVI ' with hdrl/avih/strl stream "
+        "headers and a movi LIST of uncompressed 24-bit DIB '00db' "
+        "frames — bottom-up BGR rows, 4-byte stride, RIFF word "
+        "alignment); the decoder walks the chunk tree recursively, "
+        "validates the stream format, un-flips every frame, and emits "
+        "ONE ROW PER FRAME with geometry and the frame's red-channel "
+        "mean — the 1-to-N frame-sampling shape of "
+        "multimodal_frame_sample made real for video. Frame f's ramp "
+        "shifts by 7f, so dropped/duplicated/reordered frames hash-"
+        "fail; corrupt-signature rows emit a single valid=false row."
+    ),
+)
+def multimodal_codec_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return synthesize_avi_payloads(docs).mapInPandas(
+        make_avi_frame_extractor(), schema=AVI_SCHEMA
+    )

@@ -239,6 +239,7 @@ _DOC_SPECS = [
     "multimodal_resize_nearest",
     "multimodal_codec_gif",
     "multimodal_codec_jpeg",
+    "multimodal_codec_avi_frames",
     # r9 batch 2: the narrow CMS matrix (md5 column hashing + min-fold)
     # and the source-keyed token-budget prefix rule, both under hostile
     # unicode tokens / NULL sources

@@ -638,3 +638,66 @@ class TestJpegCodecUnits:
         coef.flat[_ZIGZAG[1]] = 1.0
         want = np.clip(np.rint(_idct8x8(coef) + 128.0), 0, 255).astype(np.uint8)
         assert np.array_equal(dec[2], want)
+
+
+class TestAviCodecUnits:
+    def _frames(self, w, h, n, r0=200):
+        import numpy as np
+
+        out = []
+        for f in range(n):
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[:, :, 0] = (r0 + 7 * f + np.arange(w)) % 256
+            px[:, :, 1] = 50
+            px[:, :, 2] = 0
+            out.append(px)
+        return out
+
+    def test_round_trip_exact_multi_frame(self):
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_avi_dib,
+            encode_avi_dib,
+        )
+
+        for w, h, n in [(5, 3, 1), (32, 7, 5), (4, 4, 2), (1, 1, 3)]:
+            frames = self._frames(w, h, n)
+            dec = decode_avi_dib(encode_avi_dib(w, h, frames))
+            assert dec is not None, (w, h, n)
+            rw, rh, got = dec
+            assert (rw, rh, len(got)) == (w, h, n)
+            for a, b in zip(got, frames):
+                assert np.array_equal(a, b)
+
+    def test_corruption_taxonomy(self):
+        import struct
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_avi_dib,
+            encode_avi_dib,
+        )
+
+        good = encode_avi_dib(6, 4, self._frames(6, 4, 2))
+        assert decode_avi_dib(good) is not None
+        # a '00db' whose data does not match stride*height must fail:
+        # append a bogus short frame chunk inside a fresh movi LIST
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            _riff_chunk,
+            _riff_list,
+        )
+
+        hdrl_end = good.index(b"LIST", 12 + 4)  # start of the movi LIST
+        bad_movi = _riff_list(b"movi", _riff_chunk(b"00db", b"\x00" * 10))
+        body = good[12:hdrl_end] + bad_movi
+        short_frame = _riff_chunk(b"RIFF", b"AVI " + body)
+        for name, bad in {
+            "magic": b"XXXX" + good[4:],
+            "not-avi": good[:8] + b"WAVE" + good[12:],
+            "truncated": good[:40],
+            "declared-size-overrun": good[:4] + struct.pack("<I", 10**6) + good[8:],
+            "frame-stride-mismatch": short_frame,
+            "last-chunk-cut": good[:-2],
+            "empty": b"",
+        }.items():
+            assert decode_avi_dib(bad) is None, name
