@@ -701,3 +701,70 @@ class TestAviCodecUnits:
             "empty": b"",
         }.items():
             assert decode_avi_dib(bad) is None, name
+
+
+class TestImageCodecByteFlipFuzz:
+    """Robustness hardening for the 100 TB error-row contract: ANY
+    mutation of a valid payload must produce either a clean None or a
+    successfully decoded result — never an exception. One bad object
+    must never kill a scan; these decoders run inside mapInPandas where
+    an uncaught error fails the whole task."""
+
+    def _mutants(self, payload: bytes, rng, n=120):
+        for _ in range(n):
+            kind = rng.randrange(4)
+            b = bytearray(payload)
+            if kind == 0 and len(b) > 1:  # flip a random byte
+                i = rng.randrange(len(b))
+                b[i] ^= 1 << rng.randrange(8)
+            elif kind == 1:  # truncate at a random point
+                b = b[: rng.randrange(len(b))]
+            elif kind == 2 and len(b) > 4:  # overwrite a random u32
+                i = rng.randrange(len(b) - 4)
+                b[i : i + 4] = rng.randbytes(4)
+            else:  # append junk
+                b = b + rng.randbytes(rng.randrange(1, 9))
+            yield bytes(b)
+
+    def test_all_four_decoders_never_raise(self):
+        import random
+
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_avi_dib,
+            decode_bmp_24,
+            decode_gif87a,
+            decode_jpeg_gray,
+            encode_avi_dib,
+            encode_bmp_24,
+            encode_gif87a,
+            encode_jpeg_gray,
+        )
+
+        rng = random.Random(2026)
+        w, h = 11, 5
+        grad = np.empty((h, w, 3), dtype=np.uint8)
+        grad[:, :, 0] = (40 + np.arange(w)) % 256
+        grad[:, :, 1] = 7
+        grad[:, :, 2] = ((99 + np.arange(h)) % 256)[:, None]
+        idx = ((250 + np.arange(w) + np.arange(h)[:, None]) % 256).astype(np.uint8)
+        const_cols = np.repeat(
+            (np.arange((w + 7) // 8) * 31 % 256), 8
+        )[:w][None, :].repeat(h, axis=0).astype(np.uint8)
+        payloads = {
+            "bmp": (encode_bmp_24(w, h, grad), decode_bmp_24),
+            "gif": (encode_gif87a(w, h, idx, 7), decode_gif87a),
+            "jpeg": (encode_jpeg_gray(w, h, const_cols), decode_jpeg_gray),
+            "avi": (encode_avi_dib(w, h, [grad, grad]), decode_avi_dib),
+        }
+        for name, (payload, decode) in payloads.items():
+            assert decode(payload) is not None, name
+            for mutant in self._mutants(payload, rng):
+                try:
+                    decode(mutant)  # None or a decoded result — both fine
+                except Exception as e:  # pragma: no cover
+                    raise AssertionError(
+                        f"{name} decoder raised {type(e).__name__} on a "
+                        f"{len(mutant)}-byte mutant"
+                    ) from e
