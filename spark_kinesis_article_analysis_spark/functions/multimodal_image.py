@@ -459,10 +459,18 @@ def _lzw_encode_gif(indices: "bytes", min_code_size: int = GIF_MIN_CODE_SIZE) ->
     return bytes(out)
 
 
-def _lzw_decode_gif(data: bytes, min_code_size: int = GIF_MIN_CODE_SIZE) -> "bytes | None":
+def _lzw_decode_gif(
+    data: bytes,
+    min_code_size: int = GIF_MIN_CODE_SIZE,
+    max_output: "int | None" = None,
+) -> "bytes | None":
     """Inverse of :func:`_lzw_encode_gif`, including the KwKwK case
     (code == next unassigned entry) and mid-stream CLEARs. None on any
-    malformed stream."""
+    malformed stream. ``max_output`` is the decompression-bomb guard: a
+    crafted stream of long table entries expands quadratically in its
+    input size, so the caller passes the raster size it is willing to
+    hold and the decode aborts the moment output exceeds it (one bad
+    object must bound MEMORY, not just avoid exceptions)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     pos = 0
@@ -510,6 +518,8 @@ def _lzw_decode_gif(data: bytes, min_code_size: int = GIF_MIN_CODE_SIZE) -> "byt
         else:
             return None  # code beyond next unassigned entry
         out += entry
+        if max_output is not None and len(out) > max_output:
+            return None  # decompression bomb / wrong declared geometry
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
@@ -600,7 +610,7 @@ def decode_gif87a(payload: bytes) -> "tuple[int, int, object] | None":
         off += n
     if off >= len(payload) or payload[off] != 0x3B:
         return None  # missing trailer
-    indices = _lzw_decode_gif(bytes(lzw), min_code)
+    indices = _lzw_decode_gif(bytes(lzw), min_code, max_output=width * height)
     if indices is None or len(indices) != width * height:
         return None
     idx = np.frombuffer(indices, dtype=np.uint8).reshape(height, width)
@@ -1097,6 +1107,12 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, object] | None":
 
     bw = (width + 7) // 8
     bh = (height + 7) // 8
+    # allocation guard: SOF0 dims are attacker-controlled u16s — a
+    # 65535 x 65535 declaration would try a 4 GiB canvas before a single
+    # scan bit is validated. Production decoders impose a pixel limit;
+    # 1 << 26 (~64 MP) is far above any legitimate payload here.
+    if bw * bh * 64 > (1 << 26):
+        return None
     out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
     prev_dc = 0
     for by in range(bh):

@@ -768,3 +768,56 @@ class TestImageCodecByteFlipFuzz:
                         f"{name} decoder raised {type(e).__name__} on a "
                         f"{len(mutant)}-byte mutant"
                     ) from e
+
+
+class TestDecoderMemoryBounds:
+    def test_jpeg_huge_declared_dims_rejected_without_allocation(self):
+        """A crafted SOF0 declaring 65535x65535 must return None before
+        attempting the 4 GiB canvas."""
+        import struct
+
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        good = encode_jpeg_gray(8, 8, np.full((8, 8), 5, np.uint8))
+        sof = good.index(b"\xff\xc0")
+        bad = (
+            good[: sof + 5]
+            + struct.pack(">HH", 65535, 65535)
+            + good[sof + 9 :]
+        )
+        assert decode_jpeg_gray(bad) is None
+
+    def test_gif_lzw_bomb_aborts_at_declared_raster_size(self):
+        """An LZW stream expanding far past width*height must abort
+        mid-decode (bounded memory), not decode gigabytes then fail the
+        length check."""
+        import numpy as np
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            _lzw_decode_gif,
+            _lzw_encode_gif,
+            decode_gif87a,
+            encode_gif87a,
+        )
+
+        # a large repetitive index stream compresses tiny but expands big
+        bomb = _lzw_encode_gif(b"\x01" * 100_000)
+        assert _lzw_decode_gif(bomb, max_output=64) is None
+        # splice it into a 4x4 GIF container: decode must return None
+        idx = np.zeros((4, 4), dtype=np.uint8)
+        payload = encode_gif87a(4, 4, idx, 0)
+        # locate the image data: min-code byte follows the descriptor
+        desc = payload.index(b"\x2c")
+        head = payload[: desc + 11]
+        blocks = bytearray()
+        for off in range(0, len(bomb), 255):
+            chunk = bomb[off : off + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        assert decode_gif87a(bytes(head) + bytes(blocks) + b"\x3b") is None
