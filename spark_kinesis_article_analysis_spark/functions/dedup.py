@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.functions.folds import materialize_fold
 from spark_kinesis_article_analysis_spark.registry import register
 
 #: SimHash signature width (bits). 32 keeps the generated SQL compact and
@@ -757,13 +758,13 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("ntb"))
     lev = F.levenshtein("nta", "ntb")
     longer = F.greatest(F.length("nta"), F.length("ntb"))
-    # Materialize the O(len^2) edit distance ONCE behind a cache barrier:
-    # a plain filter + projection re-inlines the deterministic expression
-    # on both sides (3 levenshtein evaluations per candidate pair in the
-    # executed plan — the documented filter-re-inline trap). The cached
-    # frame is candidate-pair grain, bounded by the LSH banding, so the
-    # barrier costs a small in-memory frame, not a corpus materialization.
-    pairs = (
+    # Materialize the O(len^2) edit distance ONCE: the filter +
+    # projection below would otherwise re-inline it on both sides (3
+    # levenshtein evaluations per candidate pair in the executed plan —
+    # see functions/folds.py). persist, not checkpoint: the frame is
+    # candidate-pair grain (bounded by the LSH banding) and lineage
+    # stays recomputable on executor loss.
+    pairs = materialize_fold(
         candidates.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -771,8 +772,8 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             lev.alias("edit_distance"),
             longer.alias("__longer"),
-        )
-        .persist()
+        ),
+        method="persist",
     )
     return pairs.filter(F.col("edit_distance") <= 0.25 * F.col("__longer")).select(
         "doc_a",

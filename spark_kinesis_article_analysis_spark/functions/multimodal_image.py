@@ -610,6 +610,13 @@ def decode_gif87a(payload: bytes) -> "tuple[int, int, object] | None":
         off += n
     if off >= len(payload) or payload[off] != 0x3B:
         return None  # missing trailer
+    # width/height are attacker-declared u16s: without an absolute cap a
+    # ~1 MB crafted stream (LZW amplifies ~2700x at a full 4096-entry
+    # table) could grow the output buffer to declared-raster size — up to
+    # multiple GB — before the relative guard fires. Same 1<<26-pixel
+    # ceiling as the JPEG decoder.
+    if width * height > (1 << 26):
+        return None
     indices = _lzw_decode_gif(bytes(lzw), min_code, max_output=width * height)
     if indices is None or len(indices) != width * height:
         return None
@@ -1390,8 +1397,15 @@ def decode_avi_dib(payload: bytes) -> "tuple[int, int, list] | None":
     frames: list = []
     saw_strf = False
 
-    def walk(buf: bytes) -> bool:
+    def walk(buf: bytes, depth: int = 0) -> bool:
         nonlocal width, height, saw_strf
+        # Legitimate AVI nests <= 3 LIST levels (hdrl>strl, movi>rec);
+        # a crafted payload of back-to-back LIST headers (12 bytes buys a
+        # level) would otherwise recurse ~len/12 deep and raise
+        # RecursionError out of the scan. The cap also bounds the slice
+        # copies each level makes.
+        if depth > 32:
+            return False
         off = 0
         while off + 8 <= len(buf):
             fourcc = buf[off : off + 4]
@@ -1400,7 +1414,7 @@ def decode_avi_dib(payload: bytes) -> "tuple[int, int, list] | None":
             if len(data) != size:
                 return False
             if fourcc == b"LIST":
-                if not walk(data[4:]):
+                if not walk(data[4:], depth + 1):
                     return False
             elif fourcc == b"avih":
                 if size < 40:

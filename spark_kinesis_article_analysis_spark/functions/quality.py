@@ -215,9 +215,12 @@ FROM (
         "The gate filter runs ABOVE the dedup window, not below it: "
         "identical texts have identical stats, so gate and dedup commute "
         "on output — but a filter directly on a projection re-inlines the "
-        "repetition fold (higher-order functions are CodegenFallback, no "
-        "common-subexpression elimination), a measured 10x slowdown. The "
-        "window is the plan barrier that makes the stats evaluate once."
+        "repetition fold (a measured 10x slowdown; the trap is documented "
+        "once in functions/folds.py). This site deliberately does NOT use "
+        "folds.materialize_fold: the survivor window's exchange is already "
+        "a once-only barrier over exactly the columns a checkpoint would "
+        "write, so a checkpoint here would pay the doc-grain "
+        "materialization twice."
     ),
 )
 def corpus_ingest_batch_form(spark: SparkSession, sf_dir: str) -> DataFrame:

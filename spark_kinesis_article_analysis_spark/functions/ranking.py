@@ -42,6 +42,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.functions.folds import materialize_fold
 from spark_kinesis_article_analysis_spark.functions.text import tokens_col
 from spark_kinesis_article_analysis_spark.registry import register
 
@@ -333,19 +334,13 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_LIST)
         .select("doc_id", F.row_number().over(wa).alias("ra"))
     )
-    # Materialize the hashed fold ONCE behind a checkpoint barrier
-    # before filtering/sorting on its outputs: a filter or sort key on a
-    # HOF-derived column re-inlines the whole uni+bigram md5 fold via
-    # projection collapse (higher-order functions are CodegenFallback,
-    # no common-subexpression elimination) — measured 6.5x on this list
-    # (the corpus_ingest_batch_form / dedup_fuzzy trap). The barrier is
-    # doc-grain (doc_id + two longs), released by the ContextCleaner on
-    # GC; the BM25 side needs none because its aggregation is already an
-    # exchange barrier.
-    weighted = (
-        _hashed_weighted(spark, sf_dir)
-        .localCheckpoint(eager=True)
-        .where(F.col("n_feats") > 0)
+    # Materialize the uni+bigram md5 fold ONCE before filtering/sorting
+    # on its outputs (measured 6.5x re-evaluation otherwise — see
+    # functions/folds.py for the CodegenFallback/no-CSE mechanics). The
+    # barrier is doc-grain (doc_id + two longs); the BM25 side needs
+    # none because its aggregation is already an exchange barrier.
+    weighted = materialize_fold(_hashed_weighted(spark, sf_dir)).where(
+        F.col("n_feats") > 0
     )
     qscore = F.round(F.col("wsum") / (F.col("n_feats") * float(_W_MOD)), 6)
     wb = W.orderBy(F.col("qs").desc(), F.col("doc_id").asc())

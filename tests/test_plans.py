@@ -246,9 +246,13 @@ class TestIvfAssignmentMapOnly:
         df = SPECS["sim_ivf_topk"].build(spark, SF_CORRECTNESS)
         plan = inspect.explain_str(df)
         assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
-        assert plan.count("hashpartitioning") == 1, plan
-        # centroid-set aggregations are the only (SinglePartition, <= K
-        # partial rows) exchanges besides the final window's.
+        # r10: exactly TWO hash exchanges — the multi-assignment dedup
+        # (HashAggregate distinct at candidate grain) and the final
+        # top-k window's. The trained-centroid subtree sits behind a
+        # lineage-cutting checkpoint (Scan ExistingRDD), so its
+        # single-row aggs never re-enter this plan.
+        assert plan.count("hashpartitioning") == 2, plan
+        assert "ExistingRDD" in plan, plan
         assert inspect.count_exchanges(df) <= 3, plan
 
     def test_probe_side_filter_pushes_to_scan(self, spark):
@@ -547,3 +551,63 @@ class TestRound9Batch2PlanShape:
         map-side over the folded row."""
         df = SPECS["seq_pattern_events"].build(spark, SF_CORRECTNESS)
         assert inspect.count_exchanges(df) == 1, inspect.explain_str(df)
+
+
+class TestFoldMaterializationHelper:
+    """functions/folds.py — the one shared barrier for the HOF
+    filter-re-inline trap (r10, VERDICT r9 #4). The three queries that
+    each independently paid the re-evaluation surprise now share one
+    documented helper; this class pins the once-only evaluation."""
+
+    def test_rrf_weighted_fold_not_reinlined_past_the_barrier(self, spark):
+        """After materialize_fold, the filter/sort consumers must scan
+        the checkpointed RDD — the uni+bigram md5 `aggregate(` fold must
+        appear ZERO times downstream of the barrier (it was 3x, a
+        measured 6.5x slowdown, before r9's fix)."""
+        from spark_kinesis_article_analysis_spark.functions.folds import (
+            materialize_fold,
+        )
+        from spark_kinesis_article_analysis_spark.functions.ranking import (
+            _hashed_weighted,
+        )
+
+        weighted = materialize_fold(_hashed_weighted(spark, SF_CORRECTNESS))
+        consumer = (
+            weighted.where(F.col("n_feats") > 0)
+            .orderBy(F.col("wsum").desc(), F.col("doc_id").asc())
+            .limit(5)
+        )
+        plan = consumer._jdf.queryExecution().executedPlan().toString()
+        assert "aggregate(" not in plan, plan
+        assert "ExistingRDD" in plan, plan
+
+    def test_rrf_full_query_evaluates_hashed_fold_once(self, spark):
+        """The registered rank_fusion_rrf plan: the hashed-model fold's
+        weight arithmetic (the `conv(substring(md5(...)))` bucket) must
+        survive in at most one plan subtree — on the checkpoint-producer
+        side, never re-inlined into both rank consumers."""
+        spark.catalog.clearCache()
+        df = SPECS["rank_fusion_rrf"].build(spark, SF_CORRECTNESS)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the fold ran at barrier-creation time; the final plan reads the
+        # materialized RDD
+        assert plan.count("aggregate(") == 0, plan
+
+    def test_persist_method_marks_frame_cached(self, spark):
+        from spark_kinesis_article_analysis_spark.functions.folds import (
+            materialize_fold,
+        )
+
+        df = materialize_fold(spark.range(3).toDF("x"), method="persist")
+        assert df.storageLevel.useMemory
+        df.unpersist()
+
+    def test_unknown_method_rejected(self, spark):
+        import pytest
+
+        from spark_kinesis_article_analysis_spark.functions.folds import (
+            materialize_fold,
+        )
+
+        with pytest.raises(ValueError):
+            materialize_fold(spark.range(1), method="cache-me-maybe")

@@ -821,3 +821,54 @@ class TestDecoderMemoryBounds:
             blocks += chunk
         blocks.append(0)
         assert decode_gif87a(bytes(head) + bytes(blocks) + b"\x3b") is None
+
+    def test_avi_nested_list_bomb_returns_none_not_recursionerror(self):
+        """~60 KB of back-to-back nested LIST headers (12 bytes buys a
+        level => ~5000 deep) must hit the walk depth cap and return None,
+        not blow the interpreter recursion limit out of a mapInPandas
+        task (ADVICE r9 medium)."""
+        import struct
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            decode_avi_dib,
+        )
+
+        depth = 5000
+        body = b""
+        for _ in range(depth):
+            # LIST <size> 'bomb' wrapping the previous level
+            body = b"LIST" + struct.pack("<I", len(body) + 4) + b"bomb" + body
+        payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+        assert decode_avi_dib(payload) is None
+
+    def test_gif_huge_declared_dims_rejected_before_lzw(self):
+        """A GIF declaring a 65535x65535 raster (u16 maxima => ~4.3e9
+        pixels) must return None at the absolute 1<<26-pixel cap before
+        the LZW output buffer can grow toward declared-raster size
+        (ADVICE r9 low — the relative guard alone lets a ~1 MB stream
+        allocate GBs)."""
+        import struct
+
+        from spark_kinesis_article_analysis_spark.functions.multimodal_image import (
+            GIF_MIN_CODE_SIZE,
+            _lzw_encode_gif,
+            decode_gif87a,
+        )
+
+        w = h = 65535
+        head = (
+            b"GIF87a"
+            + struct.pack("<HHBBB", w, h, 0x80, 0, 0)  # 2-entry global table
+            + b"\x00\x00\x00\xff\xff\xff"
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([GIF_MIN_CODE_SIZE])
+        )
+        bomb = _lzw_encode_gif(b"\x01" * 200_000)
+        blocks = bytearray()
+        for off in range(0, len(bomb), 255):
+            chunk = bomb[off : off + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        assert decode_gif87a(bytes(head) + bytes(blocks) + b"\x3b") is None

@@ -70,7 +70,11 @@ def main(argv: list[str]) -> int:
             if name in osql:
                 compare(spark, _Shim(name, qs[name], osql[name]), SF_DIR)
             else:
-                assert qs[name](spark, SF_DIR).count() >= 0
+                # rows-only check: executes the full plan end-to-end; any
+                # exception is the failure signal (count() can't tell us
+                # more — the 10 oracle-less specs are nondeterministic by
+                # design and their VALUE semantics live in pytest).
+                qs[name](spark, SF_DIR).count()
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             fails.append((name, f"{type(e).__name__}: {str(e)[:200]}"))
     dt = time.perf_counter() - t0
