@@ -34,14 +34,28 @@ from spark_kinesis_article_analysis_spark.registry import register
 #: Bounded query set: these vec_ids are the search queries.
 N_QUERIES = 5
 TOP_K = 5
-#: IVF pseudo-centroids: every 100th vector acts as a cell center.
+#: IVF centroid seeds: every 100th vector seeds a cell (K ~ N/100);
+#: one spherical-kmeans round over the training subsample then moves
+#: each seed to its cell's mean (see _ivf_trained_cents).
 IVF_CENTROID_STRIDE = 100
-#: Multiprobe width: each QUERY searches its nprobe nearest cells
-#: (corpus vectors stay single-cell — standard IVF). nprobe=1 measured
-#: recall@5 = 0.28 on the synthetic corpus (isotropic vectors have no
-#: cluster structure, the adversarial case for IVF); nprobe=4 = 0.48,
-#: nprobe=8 = 0.80 — the classic recall-vs-scan-fraction dial, recorded
-#: per round by bench.py's ivf_recall_at_k. 4 probes ~ 20% of cells.
+#: Training subsample: every 5th vector (20%) participates in the
+#: centroid-update round. Deterministic and oracle-mirrorable; at
+#: 100 TB this is a fixed-size reservoir sample instead.
+IVF_TRAIN_STRIDE = 5
+#: Corpus-side multi-assignment width (IVF spill): each corpus vector
+#: is indexed in its IVF_NASSIGN nearest cells. Index grows x NASSIGN;
+#: recall at fixed nprobe jumps because near-boundary vectors stop
+#: disappearing behind a single Voronoi cut. r10 measurement on the
+#: bench corpus (trained centroids): NASSIGN 1 -> 2 lifted recall@5
+#: from 0.44 to 0.80 at nprobe=4 (numpy prototype 0.44; Spark 0.80
+#: confirmed by bench.py's per-round curve).
+IVF_NASSIGN = 2
+#: Multiprobe width: each QUERY searches its nprobe nearest cells.
+#: The synthetic corpus is near-isotropic (little cluster structure,
+#: the adversarial case for IVF); with trained centroids +
+#: multi-assignment the r10 measured curve is recall@5 = 0.36/0.52/
+#: 0.80/0.88 at nprobe 1/2/4/8 — the classic recall-vs-scan-fraction
+#: dial, recorded per round by bench.py's ivf_recall curve.
 IVF_NPROBE = 4
 #: LSH: hash tables x sign bits per table. Multiple independent tables are
 #: what gives recall — a near neighbor only needs to collide in ONE table
@@ -246,9 +260,36 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_topk",
     oracle=f"""
-WITH cent AS (
-    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_e
-    FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0 AND {NONZERO_SQL}
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE {NONZERO_SQL}
+),
+seeds AS (
+    SELECT vec_id AS cid, emb AS cent FROM e WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+),
+a1 AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT t.vec_id, s.cid,
+               row_number() OVER (PARTITION BY t.vec_id
+                                  ORDER BY round(list_cosine_similarity(t.emb, s.cent), 6) DESC,
+                                           s.cid ASC) AS rn
+        FROM (SELECT * FROM e WHERE vec_id % {IVF_TRAIN_STRIDE} = 0) t, seeds s
+    ) WHERE rn = 1
+),
+m1 AS (
+    SELECT cluster, pos,
+           round(list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                             (x, y) -> x + y) / count(*), 6) AS m
+    FROM (
+        SELECT a.cluster, t.pos, e.vec_id, e.emb[t.pos] AS val
+        FROM a1 a JOIN e USING (vec_id),
+             LATERAL unnest(generate_series(1, {EMB_DIM})) AS t(pos)
+    ) GROUP BY cluster, pos
+),
+cent AS (
+    SELECT * FROM (
+        SELECT cluster AS centroid_id, list(m ORDER BY pos) AS cent_e
+        FROM m1 GROUP BY cluster
+    ) WHERE list_sum(list_transform(cent_e, x -> x * x)) > 0
 ),
 assigned AS (
     SELECT vec_id, emb, centroid_id FROM (
@@ -258,7 +299,7 @@ assigned AS (
                                            centroid_id ASC) AS rn
         FROM embeddings e, cent
         WHERE {NONZERO_SQL.replace("embedding", "e.embedding")}
-    ) WHERE rn = 1
+    ) WHERE rn <= {IVF_NASSIGN}
 ),
 probes AS (
     SELECT vec_id AS query_id, emb AS qe, centroid_id FROM (
@@ -272,41 +313,76 @@ probes AS (
     ) WHERE rn <= {IVF_NPROBE}
 ),
 scored AS (
-    SELECT p.query_id, a.vec_id AS neighbor_id,
-           round(list_cosine_similarity(p.qe, a.emb), 6) AS cosine,
-           row_number() OVER (PARTITION BY p.query_id
-                              ORDER BY round(list_cosine_similarity(p.qe, a.emb), 6) DESC,
-                                       a.vec_id ASC) AS rn
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+           round(list_cosine_similarity(p.qe, a.emb), 6) AS cosine
     FROM probes p JOIN assigned a
       ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
 )
-SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
+SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {TOP_K}
 """,
     tags=("similarity", "ivf", "ann", "north-star"),
     doc=(
-        "IVF-style approximate NN with MULTIPROBE: every corpus vector is "
-        "assigned to its nearest centroid (deterministic stride-chosen "
-        "centroids stand in for k-means at test scale); each query probes its "
-        "IVF_NPROBE nearest cells — the recall-vs-scan-fraction dial every "
-        "production IVF exposes (measured curve in the IVF_NPROBE comment; "
-        "bench.py records recall@k per round). Probed-cell search is the "
-        "O(NPROBE * N/K) scale path. Assignment is a PURE MAP stage: the centroid set "
-        "folds to one array row (K x dim doubles — broadcastable by the IVF "
-        "contract, ~33 MB even at 65k cells), and each vector computes its "
-        "argmax-cosine centroid inside a single higher-order expression — no "
-        "pair-grain rows, no shuffle, no window. (The previous form exploded "
-        "N x K pair rows carrying the full embedding through a row_number "
-        "window shuffle — pair-grain exchange doing what a map-side fold does "
-        "for free.) Norms fold once at vector grain; the rounded cosine and "
-        "the (score DESC, centroid_id ASC) tie-break are bit-identical to the "
-        "oracle's row_number form."
+        "IVF approximate NN with TRAINED centroids and MULTIPROBE: cell "
+        "centers are one spherical-kmeans round over a deterministic "
+        "stride subsample (seeds = every IVF_CENTROID_STRIDE-th vector, "
+        "means as vec_id-ordered 0.0-seeded folds rounded per dim — the "
+        "cluster_kmeans_portable float discipline, so the oracle mirrors "
+        "the training exactly), plus MULTI-ASSIGNMENT: each corpus vector "
+        "is indexed in its IVF_NASSIGN nearest cells (IVF spill — index "
+        "size x NASSIGN buys recall at a fixed probe width). r9's "
+        "untrained single-assignment form measured recall@5 = 0.48 at "
+        "nprobe=4; this form measures 0.80 (0.88 at nprobe=8). Each "
+        "query probes its IVF_NPROBE nearest cells — the recall-vs-scan-"
+        "fraction dial every production IVF exposes (bench.py records "
+        "the recall curve per round). Probed-cell search is the "
+        "O(NPROBE * NASSIGN * N/K) scale path. Corpus assignment is a "
+        "PURE MAP stage: the trained centroid set folds to one array "
+        "row (K x dim doubles — broadcastable by the IVF contract, "
+        "~33 MB even at 65k cells), and each vector computes its nearest "
+        "cells inside a single higher-order expression — no pair-grain "
+        "rows, no shuffle, no window. Training cost is sample-grain (one argmax "
+        "pass + one (cluster, dim) agg over corpus/IVF_TRAIN_STRIDE "
+        "rows); at 100 TB the subsample is a fixed-size reservoir, the "
+        "standard train-on-sample / assign-full-corpus split. The "
+        "rounded cosine and the (score DESC, centroid_id ASC) tie-break "
+        "are bit-identical to the oracle's row_number form."
     ),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb_nonzero(spark, sf_dir).withColumn(
-        "nrm", F.sqrt(dot(F.col("emb"), F.col("emb")))
-    )
-    cents = (
+    return ivf_topk(spark, sf_dir, nprobe=IVF_NPROBE)
+
+
+#: argmax over the folded centroid array, one SQL parse: score each
+#: centroid (same rounded-cosine arithmetic as the oracle), take the
+#: lexicographic max of (score, -cid) — max score, ties to the SMALLEST
+#: centroid_id: exactly the oracle's ORDER BY score DESC, centroid_id
+#: ASC with rn = 1. collect_list order is nondeterministic but argmax
+#: over the array is order-invariant given that tie-break. An empty
+#: centroid set (degenerate corpus) gives transform([]) -> [] and
+#: array_max([]) -> NULL, which every consumer drops — the same empty
+#: result as a rn=1 window form. Consumers compute `-(...).negcid`.
+_IVF_ARGMAX_NEGCID = """(array_max(transform(cents, c -> struct(
+               round(aggregate(zip_with(emb, c.ce, (p, q) -> p * q),
+                               cast(0.0 as double), (a, v) -> a + v)
+                     / (nrm * c.cnrm), 6) AS s,
+               -c.cid AS negcid)))).negcid"""
+
+
+def _ivf_trained_cents(e: DataFrame) -> DataFrame:
+    """One-row frame (`cents`: array<struct<cid, ce, cnrm>>) of trained
+    IVF cell centers: seeds = every IVF_CENTROID_STRIDE-th vector, one
+    spherical-kmeans round over the IVF_TRAIN_STRIDE subsample. Means
+    are vec_id-ORDERED 0.0-seeded folds rounded per dim (the
+    cluster_kmeans_portable portability discipline) so the DuckDB oracle
+    reproduces the centroids bit-for-bit; zero-norm centers (possible
+    only if a cluster's sample cancels exactly) are dropped on both
+    sides — cosine is undefined for them."""
+    seeds = (
         e.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0)
         .select(
             F.struct(
@@ -317,52 +393,101 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.collect_list("c").alias("cents"))
     )
-    # argmax over the centroid array, one SQL parse: score each centroid
-    # (same rounded-cosine arithmetic as the oracle), take the
-    # lexicographic max of (score, -cid) — max score, ties to the
-    # SMALLEST centroid_id: exactly the oracle's ORDER BY score DESC,
-    # centroid_id ASC with rn = 1. collect_list order is nondeterministic
-    # but argmax over the array is order-invariant given that tie-break.
-    # An empty centroid set (degenerate corpus) gives transform([]) -> []
-    # and array_max([]) -> NULL centroid_id, which the equi-join below
-    # drops — the same empty result as the old rn=1 form.
-    best = F.expr(
-        """(array_max(transform(cents, c -> struct(
-               round(aggregate(zip_with(emb, c.ce, (p, q) -> p * q),
-                               cast(0.0 as double), (a, v) -> a + v)
-                     / (nrm * c.cnrm), 6) AS s,
-               -c.cid AS negcid)))).negcid"""
+    a1 = (
+        e.filter(F.col("vec_id") % IVF_TRAIN_STRIDE == 0)
+        .join(F.broadcast(seeds))
+        .withColumn("cluster", -F.expr(_IVF_ARGMAX_NEGCID))
+        .filter(F.col("cluster").isNotNull())
+        .select("cluster", "vec_id", "emb")
     )
-    def assign(part: DataFrame) -> DataFrame:
-        return (
-            part.join(F.broadcast(cents))
-            .withColumn("centroid_id", -best)
-            .select("vec_id", "emb", "nrm", "centroid_id")
+    means = (
+        a1.select("cluster", "vec_id", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                        lambda s: s["val"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("*"),
+                6,
+            ).alias("m")
         )
+    )
+    return (
+        means.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("ce")
+        )
+        .select(F.col("cluster").alias("cid"), "ce")
+        .withColumn("cnrm", F.sqrt(dot(F.col("ce"), F.col("ce"))))
+        .filter(F.col("cnrm") > 0)
+        .select(F.struct("cid", "ce", "cnrm").alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+        # LAZY lineage cut: the trained set feeds BOTH the corpus
+        # assignment and the probe side; without the barrier each
+        # broadcast re-runs the whole training subtree (a sample
+        # assignment pass + two aggs). Lazy so building the plan (or
+        # explaining it) costs no job — first consumer materializes the
+        # single row, the second reuses it.
+        .localCheckpoint(eager=False)
+    )
 
-    assigned = assign(e)
+
+def _ivf_top_cells(n: int) -> Column:
+    """``array<long>`` of the n nearest cell ids for the current row
+    (columns ``emb``/``nrm`` vs the folded ``cents``). Same struct-array
+    fold as :data:`_IVF_ARGMAX_NEGCID`, but sorted and sliced instead of
+    argmax'd: array_sort orders (s ASC, negcid ASC), reverse gives
+    (s DESC, negcid DESC) = (s DESC, cid ASC) — bit-identical to the
+    oracle's row_number tie-break — then slice(1, n). A pure map
+    expression: no window, no exchange (pinned in test_plans)."""
+    return F.expr(
+        f"""transform(
+               slice(reverse(array_sort(transform(cents, c -> struct(
+                   round(aggregate(zip_with(emb, c.ce, (p, q) -> p * q),
+                                   cast(0.0 as double), (a, v) -> a + v)
+                         / (nrm * c.cnrm), 6) AS s,
+                   -c.cid AS negcid)))), 1, {n}),
+               x -> -x.negcid)"""
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The sim_ivf_topk plan at an explicit probe width — bench.py
+    sweeps this to record the recall-vs-nprobe curve each round."""
+    e = _emb_nonzero(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(dot(F.col("emb"), F.col("emb")))
+    )
+    cents = _ivf_trained_cents(e)
+    # Multi-assignment (IVF spill): every corpus vector is indexed in
+    # its IVF_NASSIGN nearest cells, trading index size (x NASSIGN) for
+    # recall at a fixed probe width — boundary vectors stop vanishing
+    # behind the single Voronoi cut (measured +0.36 recall@5 at
+    # nprobe=4 on the bench corpus vs rn=1 assignment).
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.explode(_ivf_top_cells(IVF_NASSIGN)).alias("centroid_id"),
+        )
+    )
     # The probe side derives its (N_QUERIES-row) assignment from the
     # vec_id < N_QUERIES scan directly — that predicate pushes into the
     # parquet scan, so the FULL-corpus assignment pass executes once
     # (the candidate side only). Deriving probes from `assigned` instead
     # would re-execute the whole corpus-wide subtree a second time
     # (DataFrame reuse re-runs the plan, it doesn't cache it).
-    # Multiprobe: each query searches its IVF_NPROBE nearest cells.
-    # Same struct-array fold as `best`, but sorted and sliced instead of
-    # argmax'd: array_sort orders (s ASC, negcid ASC), reverse gives
-    # (s DESC, negcid DESC) = (s DESC, cid ASC) — bit-identical to the
-    # oracle's row_number tie-break — then slice(1, NPROBE) + explode
-    # emits one probe row per (query, cell). Still a pure map stage:
-    # no window, no extra exchange (pinned in test_plans).
-    top_cells = F.expr(
-        f"""transform(
-               slice(reverse(array_sort(transform(cents, c -> struct(
-                   round(aggregate(zip_with(emb, c.ce, (p, q) -> p * q),
-                                   cast(0.0 as double), (a, v) -> a + v)
-                         / (nrm * c.cnrm), 6) AS s,
-                   -c.cid AS negcid)))), 1, {IVF_NPROBE}),
-               x -> -x.negcid)"""
-    )
+    # Multiprobe: each query searches its `nprobe` nearest cells — one
+    # probe row per (query, cell) via the same map-side slice fold.
     probes = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(cents))
@@ -370,7 +495,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("qe"),
             F.col("nrm").alias("qnrm"),
-            F.explode(top_cells).alias("centroid_id"),
+            F.explode(_ivf_top_cells(nprobe)).alias("centroid_id"),
         )
     )
     scored = (
@@ -383,6 +508,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot(F.col("qe"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 6
             ).alias("cosine"),
         )
+        # a candidate sharing MORE than one probed cell with a query
+        # appears once per shared cell under multi-assignment — collapse
+        # before ranking (identical cosine bits on every copy, so a
+        # hash-distinct on the 3 output columns is exact); the oracle
+        # mirrors with SELECT DISTINCT.
+        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
