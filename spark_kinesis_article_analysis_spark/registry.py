@@ -204,6 +204,12 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         audience,
     )
+    # Round-10: the real-wire-protocol Kinesis round trip (moto-served
+    # AWS API + the kinesis_api Python DataSource) — new module, rank-0
+    # entry, nothing existing re-staled.
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        kinesis_batch,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -249,6 +255,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "sequence.py",
     "gopher.py",
     "audience.py",
+    "kinesis_batch.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver
