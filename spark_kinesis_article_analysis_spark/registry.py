@@ -210,6 +210,14 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         kinesis_batch,
     )
+    # Round-10 batch 2: skew diagnostics and OHLC resampling — new
+    # modules, rank-0 entries, nothing re-staled. (NB functions/splits.py
+    # deliberately registers nothing — see its docstring; the split
+    # queries live in pipeline.py.)
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        diagnostics,
+        resample,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -256,6 +264,8 @@ _MODULE_ORDER: tuple[str, ...] = (
     "gopher.py",
     "audience.py",
     "kinesis_batch.py",
+    "diagnostics.py",
+    "resample.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

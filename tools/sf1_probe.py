@@ -76,6 +76,16 @@ PROBE = [
     "text_bm25_topk",              # filtered postings + broadcast stats
     "dedup_semantic_cluster",      # capped intra-cluster pair join
     "graph_triangle_stats",        # wedge join (graph is key-BOUNDED: see note)
+    # round-9 batch-2/3 additions (VERDICT r9 #6) + the r10 retrained IVF
+    "rank_fusion_rrf",             # two bounded rank lists + checkpointed fold
+    "quality_gopher_gate",         # consolidated map-only rule gate
+    "agg_audience_overlap",        # exact segment-pair set ops
+    "corpus_source_divergence",    # per-source ordered entropy folds
+    "multimodal_codec_jpeg",       # real DCT/Huffman python codec, map-only
+    "multimodal_codec_avi_frames", # container walk, 1-to-N frame rows
+    "sketch_countmin_portable",    # d x w folded matrix + broadcast probes
+    "seq_pattern_events",          # user-keyed fold-to-string + regex
+    "sim_ivf_topk",                # r10: trained centroids + spill assignment
 ]
 
 
@@ -123,6 +133,22 @@ def build_replica() -> None:
     con.close()
 
 
+def _selected() -> list[str]:
+    """PROBE, optionally restricted to the names passed as argv (after
+    any --scale pair) — re-probing a few new queries must not re-pay the
+    whole list."""
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--scale" in sys.argv:
+        i = sys.argv.index("--scale")
+        names = [a for a in names if a != sys.argv[i + 1]]
+    if not names:
+        return PROBE
+    unknown = [n for n in names if n not in PROBE]
+    if unknown:
+        raise SystemExit(f"not in PROBE: {unknown}")
+    return names
+
+
 def run_one_scale(sf_dir: str) -> None:
     """Child-process mode: time every PROBE query at one scale factor in
     a FRESH Spark session (one JVM per scale — a shared session lets the
@@ -135,7 +161,7 @@ def run_one_scale(sf_dir: str) -> None:
     spark = get_spark(app_name="sf1_probe")
     specs = all_specs()
     out: dict[str, float] = {}
-    for name in PROBE:
+    for name in _selected():
         build = specs[name].build
         # warmup (codegen) at the smallest SF
         build(spark, "/root/testdata/sf0.001").write.format("noop").mode(
@@ -159,7 +185,7 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
         proc = subprocess.run(
-            [sys.executable, __file__, "--scale", sf_dir],
+            [sys.executable, __file__, "--scale", sf_dir, *_selected()],
             capture_output=True,
             text=True,
             check=True,
@@ -172,7 +198,7 @@ def main() -> None:
             "sf1": results["sf1"][name],
             "ratio": round(results["sf1"][name] / results["sf0.1"][name], 2),
         }
-        for name in PROBE
+        for name in _selected()
     }
     print(json.dumps({"probe": "sf1_scaling", "replicas": REPLICAS, "queries": out}))
 
