@@ -611,3 +611,54 @@ class TestFoldMaterializationHelper:
 
         with pytest.raises(ValueError):
             materialize_fold(spark.range(1), method="cache-me-maybe")
+
+
+class TestRound10PlanShape:
+    def test_key_skew_bounded_exchanges_and_topk_cut(self, spark):
+        """Key-grain count shuffles + the single-row stats fold; the
+        stats come back as a broadcast (never a co-shuffle) and the
+        output is a TakeOrderedAndProject cut, not a global sort. The
+        initial plan prints the count subtree twice (stats branch +
+        join branch — identical exchanges, deduped by ReuseExchange at
+        runtime), hence <= 3 exchanges, not 2."""
+        df = SPECS["diag_key_skew"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert inspect.has_broadcast_join(df), plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert inspect.count_exchanges(df) <= 3, plan
+
+    def test_ohlc_is_one_grouped_aggregation(self, spark):
+        """The whole bar computes in ONE aggregation on (bucket, series)
+        — exactly one exchange with a map-side PARTIAL aggregate below
+        it, no window, no join. (struct-min/max plans as SortAggregate —
+        per-partition sorts, but the partial/final combine split is
+        intact, which is what matters for skewed buckets at scale.)"""
+        import re
+
+        df = SPECS["ts_resample_ohlc"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert inspect.count_exchanges(df) == 1, plan
+        assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0, plan
+        assert "Join" not in plan, plan
+        # partial (map-side) aggregate functions exist (partial_min/...)
+        assert "partial_min" in plan and "partial_sum" in plan, plan
+
+    def test_kinesis_batch_read_is_shard_parallel(self, spark):
+        """The kinesis_api batch scan must expose one input partition
+        per shard (N_SHARDS), not a single-slot read."""
+        from spark_kinesis_article_analysis_spark.operators.kinesis_batch import (
+            N_SHARDS,
+            _ingested_stream,
+            kinesis_options,
+        )
+        from pyspark import cloudpickle
+
+        from spark_kinesis_article_analysis_spark.sources import (
+            kinesis_source as _ks,
+        )
+
+        cloudpickle.register_pickle_by_value(_ks)
+        spark.dataSource.register(_ks.KinesisApiDataSource)
+        stream = _ingested_stream(spark, SF_CORRECTNESS)
+        reader = _ks.KinesisApiBatchReader(kinesis_options(stream))
+        assert len(reader.partitions()) == N_SHARDS
