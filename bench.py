@@ -122,6 +122,10 @@ HEADLINE = [
     "agg_audience_overlap",       # exact set-op overlap matrix
     "multimodal_codec_jpeg",      # real baseline JPEG (DCT + Huffman)
     "multimodal_codec_avi_frames",  # real AVI container, 1-to-N frames
+    # round-10 additions (totals comparable to r9 only on shared keys)
+    "kinesis_api_batch",          # real wire-protocol round trip (moto endpoint)
+    "diag_key_skew",              # key-skew profile, bounded two-phase
+    "ts_resample_ohlc",           # OHLC bars, one SortAggregate exchange
 ]
 
 
