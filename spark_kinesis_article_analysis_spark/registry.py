@@ -218,6 +218,9 @@ def _load_all() -> None:
         diagnostics,
         resample,
     )
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        hash_embed,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -266,6 +269,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "kinesis_batch.py",
     "diagnostics.py",
     "resample.py",
+    "hash_embed.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver
