@@ -9,10 +9,12 @@ with map-side partials as any grouped agg; the struct min/max partials
 combine associatively, so skewed buckets still stream through combiners.
 
 Row discipline (mirrored exactly in the oracle): NULL ts has no bucket,
-NULL value has no place in a price bar, and NULL event_id would break
-the deterministic (ts, event_id, value) tie order — all three are
-excluded up front (the scd2_history / funnel precedent for
-order-sensitive operators).
+NULL value has no place in a price bar, NULL event_id would break the
+deterministic (ts, event_id, value) tie order, and a NULL series key is
+not a series (fuzz find #27: Spark's groupBy keeps a NULL event_type
+group that the oracle's equi-join on the series key silently drops) —
+all four are excluded up front (the scd2_history / funnel precedent for
+key- and order-sensitive operators).
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ WITH b AS (
            event_type, ts, event_id, value
     FROM events
     WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+      AND event_type IS NOT NULL
 ),
 o AS (
     SELECT bucket_start, event_type, value AS open, ts AS open_ts FROM (
@@ -75,6 +78,7 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").isNotNull()
         & F.col("value").isNotNull()
         & F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
     )
     bars = (
         ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")

@@ -257,6 +257,10 @@ _DOC_SPECS = [
     # folds, and the replace-arithmetic ellipsis count over hostile
     # unicode/control-char corpora
     "quality_gopher_gate",
+    # r10: hashing-trick embeddings — md5 bucket -> (dim, sign) integer
+    # sums over the same hostile unicode token stream the hashed scorer
+    # rides; all-integer so any divergence is a bucket-parity bug
+    "text_embed_feature_hash",
 ]
 _EVENT_SPECS = [
     "time_window_tumbling",
@@ -290,6 +294,12 @@ _EVENT_SPECS = [
     # drop, tied timestamps break on event_id, and the regex count
     # semantics (non-overlapping greedy) must agree RE2-vs-Java
     "seq_pattern_events",
+    # r10: OHLC bars — struct-min/max open/close selection over the
+    # (ts, event_id, value) total order with NULL ts/value carve-outs
+    # (dyadic values keep min/max/sum exact), and the key-skew profile —
+    # integer counts, two division chains, ties at the top-20 boundary
+    "ts_resample_ohlc",
+    "diag_key_skew",
 ]
 
 
