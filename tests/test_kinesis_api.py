@@ -223,3 +223,48 @@ class TestOptionMapping:
         assert seen["aws_secret_access_key"] == "SECRET"
         assert seen["region_name"] == "eu-west-1"
         assert seen["endpoint_url"] == "http://x"
+
+    def test_merge_shards_seals_parents_and_read_terminates(self):
+        """merge_shards closure bookkeeping: both parents (ShardToMerge
+        + AdjacentShardToMerge) must land in the offset's closed set and
+        subsequent reads must reach a stable fixpoint.
+
+        Payload exactness is deliberately NOT asserted here: moto's
+        merge_shards diverges from the Kinesis contract — it copies the
+        first parent's records into the child shard and routes
+        post-merge puts into the SEALED parents — so an exactly-once
+        assertion would be testing the mock's bug, not the reader
+        (split_shard is faithful and exactness is asserted in
+        test_split_shard_drains_parent_then_children_no_dups). Against
+        real Kinesis the same reader logic applies: parents drain to
+        their seal, children start fresh."""
+        stream, client = _fresh_stream(shards=2)
+        before = _put(client, stream, 8, "pre")
+        r = KinesisApiStreamReader(kinesis_options(stream))
+        rows1, off1 = r.read(r.initialOffset())
+        assert {row[0] for row in rows1} == before
+        desc = client.describe_stream(StreamName=stream)["StreamDescription"]
+        open_shards = [
+            s for s in desc["Shards"]
+            if "EndingSequenceNumber" not in s["SequenceNumberRange"]
+        ]
+        assert len(open_shards) == 2
+        client.merge_shards(
+            StreamName=stream,
+            ShardToMerge=open_shards[0]["ShardId"],
+            AdjacentShardToMerge=open_shards[1]["ShardId"],
+        )
+        _put(client, stream, 9, "post")
+        rows2, off2 = r.read(off1)
+        list(rows2)
+        for s in open_shards:
+            assert s["ShardId"] in off2["closed"]
+        # fixpoint: once everything is drained the offset stops moving
+        prev = off2
+        for _ in range(3):
+            rows, nxt = r.read(prev)
+            if list(rows) == [] and nxt == prev:
+                break
+            prev = nxt
+        else:
+            raise AssertionError(f"read never reached a fixpoint: {prev}")
