@@ -126,6 +126,7 @@ HEADLINE = [
     "kinesis_api_batch",          # real wire-protocol round trip (moto endpoint)
     "diag_key_skew",              # key-skew profile, bounded two-phase
     "ts_resample_ohlc",           # OHLC bars, one SortAggregate exchange
+    "s3_manifest_roundtrip",      # object-store sink round trip (manifest commit)
 ]
 
 

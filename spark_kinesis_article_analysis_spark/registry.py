@@ -221,6 +221,9 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         hash_embed,
     )
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        s3_batch,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -270,6 +273,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "diagnostics.py",
     "resample.py",
     "hash_embed.py",
+    "s3_batch.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver
