@@ -216,6 +216,8 @@ class KinesisApiBatchReader(DataSourceReader):
         return [KinesisShardPartition(s["ShardId"]) for s in shards]
 
     def read(self, partition: KinesisShardPartition) -> Iterator[tuple]:
+        if partition is None:
+            return  # empty-partitions probe (see s3_objects read note)
         stream = self.options["streamname"]
         client = _client(self.options)
         recs, _last, _closed = _drain_shard(client, stream, partition.shard_id, None)

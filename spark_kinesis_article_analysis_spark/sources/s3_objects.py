@@ -189,6 +189,12 @@ class S3ManifestReader(DataSourceReader):
     def read(self, partition: _ObjectPartition) -> Iterator:
         import pyarrow.parquet as pq
 
+        if partition is None:
+            # the DataSource API probes read() with None when
+            # partitions() returned [] (empty table — e.g. a manifest
+            # committed over an empty write); same quirk replay_source
+            # documents
+            return
         body = _s3(self.options).get_object(
             Bucket=self.options["bucket"], Key=partition.key
         )["Body"].read()
