@@ -30,13 +30,15 @@ Two readers:
   partition per shard; boto3 clients are constructed inside ``read()``
   on the worker, never pickled.
 * **streaming** (``spark.readStream.format("kinesis_api")``): a
-  :class:`SimpleDataSourceStreamReader` with per-shard sequence-number
-  offsets — exactly-once across restarts (``readBetweenOffsets``
-  replays a committed range by fencing on the recorded end sequence
-  numbers). Driver-side by design: the Simple reader is the
-  offset/restart CONTRACT proof against the real wire protocol; the
-  shard-parallel scale path is the batch reader (and, in a jar-equipped
-  deployment, the JVM connector — swap documented in MIGRATION.md).
+  partition-based :class:`DataSourceStreamReader` — per-shard input
+  partitions whose GetRecords run ON THE EXECUTORS, with arrival-time
+  fence offsets (see :class:`KinesisApiParallelStreamReader`). The
+  driver's per-batch work is metadata only (one ListShards); at real
+  shard counts the read bandwidth scales with the cluster, not the
+  driver. ``option("readerMode", "simple")`` selects the previous
+  :class:`SimpleDataSourceStreamReader` (driver-side, per-shard
+  sequence-number offsets) — kept as the offset/restart CONTRACT proof
+  and for debugging, not as the scale path.
 
 Resharding: a split/merge closes the parent shard (it gains an
 ``EndingSequenceNumber`` and its iterator eventually returns a null
@@ -56,9 +58,11 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 from typing import TYPE_CHECKING
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -76,6 +80,11 @@ ENVELOPE_SCHEMA = (
 #: GetRecords page size. 1000 keeps round trips low; Kinesis caps the
 #: call at 10k records / 10 MB either way.
 _GET_LIMIT = 1000
+
+#: PutRecords retry budget per flush (exponential backoff between
+#: attempts). Throttles clear in well under this; anything still
+#: failing is a permanent rejection that must surface.
+_PUT_MAX_ATTEMPTS = 8
 
 
 def _client(options: dict):
@@ -174,12 +183,15 @@ def _drain_shard(
 
 def _envelope(rec: dict, stream: str, shard_id: str) -> tuple:
     ts = rec.get("ApproximateArrivalTimestamp")
-    if ts is not None and ts.tzinfo is not None:
-        # Spark converts naive datetimes in the session zone; normalize
-        # to naive UTC so the envelope is session-tz independent.
+    if ts is not None and ts.tzinfo is None:
+        # Yield tz-AWARE datetimes: Spark converts aware values to the
+        # correct instant regardless of the session timezone, whereas a
+        # naive datetime is interpreted in the session zone (shifting
+        # the instant under non-UTC sessions). boto3 normally returns
+        # aware timestamps; attach UTC if a server handed back naive.
         import datetime as _dt
 
-        ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
     return (
         bytes(rec["Data"]),
         stream,
@@ -316,6 +328,179 @@ class KinesisApiStreamReader(SimpleDataSourceStreamReader):
         pass  # offsets live in the checkpoint; Kinesis retention is time-based
 
 
+def _ts_micros(ts) -> int:
+    """Arrival timestamp -> integer epoch microseconds (naive = UTC).
+    Integer comparisons on both the fence and the record side keep the
+    inclusion rule exact — no float-equality edge at the boundary."""
+    import datetime as _dt
+
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    return int(round(ts.timestamp() * 1_000_000))
+
+
+class KinesisShardRangePartition(InputPartition):
+    """One shard × one arrival-time range ``[start_us, end_us)`` — the
+    executor-side read unit of :class:`KinesisApiParallelStreamReader`.
+    Carries the (string-only, picklable) connector options so ``read``
+    can build its own boto3 client on the worker."""
+
+    def __init__(self, shard_id: str, start_us: int, end_us: int, options: dict) -> None:
+        self.shard_id = shard_id
+        self.start_us = start_us
+        self.end_us = end_us
+        self.options = options
+
+
+class KinesisApiParallelStreamReader(DataSourceStreamReader):
+    """Executor-parallel streaming read: per-shard input partitions,
+    arrival-time fence offsets.
+
+    Why fences, not sequence numbers: in the partition-based API the
+    driver must fix the batch's END offset *before* any data is read
+    (``latestOffset`` -> ``partitions`` -> executor ``read``), and
+    Kinesis has no cheap "tip sequence number per shard" call — finding
+    it means reading the records, which is exactly the driver-side
+    bottleneck this reader removes (the Simple reader's documented
+    limit). The service DOES give a deterministic time axis for free:
+    ``ApproximateArrivalTimestamp`` is server-assigned at append and
+    non-decreasing within a shard, and ``AT_TIMESTAMP`` shard iterators
+    seek straight to a fence. So:
+
+    * offset        = ``{"fence_us": T, "sealed": {shard_id: obs_T}}``
+      (primitives only, as the offset contract requires)
+    * batch [a, b)  = every record with arrival ts in ``[a, b)``
+    * ``latestOffset`` = one ListShards + a clock read — METADATA ONLY,
+      no GetRecords ever runs on the driver
+    * ``read``      = executor-side ``AT_TIMESTAMP(a)`` drain, stopping
+      at the first record with ts >= b (per-shard ts monotonicity)
+
+    Determinism of replay: every record with ts < b was already
+    appended (and immutable) when the driver stamped fence b = "now",
+    and records appended later necessarily get ts >= b — so re-running
+    ``partitions(a, b) -> read`` after a failure yields the same rows.
+    Shards created after b can't hold rows with ts < b, so a changed
+    ListShards view can't change the replayed batch either.
+
+    Clock caveat (documented, configurable): the fence is driver time
+    while arrival stamps are server time. A producer whose PutRecords
+    lands server-side *after* the driver stamped the fence but with an
+    arrival ts *before* it (driver clock ahead of server clock) would
+    fall between batches. ``fenceLagMs`` (default 0) plans each fence
+    that many ms in the past — set it >= the deployment's clock-skew +
+    put-latency bound. Against the in-process test endpoint both clocks
+    are the same host clock and puts happen-before the fence read, so
+    the default is exact.
+
+    Sealed-shard pruning: a reshard seals parents. A shard observed
+    sealed at fence T has every record ts < T (appends happen-before
+    the seal, the seal happens-before the observation), so once the
+    batch start moves strictly past T the shard can never contribute
+    again — ``partitions`` skips it, bounding per-batch API calls by
+    the number of LIVE shards, not reshard history. The observation
+    fence rides in the offset itself, so pruning survives restarts."""
+
+    def __init__(self, options: dict) -> None:
+        self.options = _norm_options(options)
+        if not self.options.get("streamname"):
+            raise ValueError("kinesis_api requires the streamName option")
+        self._lag_us = int(float(self.options.get("fencelagms", "0")) * 1000)
+        #: first-observed-sealed fences, memoized driver-side; merged
+        #: into each latestOffset so the durable copy lives in the
+        #: checkpointed offset (self-heals after restart: re-observed
+        #: seals re-enter pruning one batch later).
+        self._sealed: dict[str, int] = {}
+        self._last_fence_us = 0
+
+    def _now_fence_us(self) -> int:
+        import time
+
+        now = int(time.time() * 1_000_000) - self._lag_us
+        # strictly monotonic even against clock steps: a fence that
+        # moved backwards would re-open an already-committed range
+        self._last_fence_us = max(now, self._last_fence_us + 1)
+        return self._last_fence_us
+
+    def initialOffset(self) -> dict:
+        pos = self.options.get("startingposition", "TRIM_HORIZON").upper()
+        if pos == "TRIM_HORIZON":
+            return {"fence_us": 0, "sealed": {}}
+        if pos == "LATEST":
+            # unlike the Simple reader, LATEST needs no draining — the
+            # current tip is simply "everything with ts < now"
+            return {"fence_us": self._now_fence_us(), "sealed": {}}
+        raise ValueError(f"unsupported startingPosition {pos!r}")
+
+    def latestOffset(self) -> dict:
+        client = _client(self.options)
+        shards = _list_shards_parent_first(client, self.options["streamname"])
+        fence = self._now_fence_us()
+        listed = set()
+        for s in shards:
+            sid = s["ShardId"]
+            listed.add(sid)
+            if "EndingSequenceNumber" in s.get("SequenceNumberRange", {}):
+                self._sealed.setdefault(sid, fence)
+        # prune memo to still-listed shards: a shard aged out of
+        # ListShards (retention) can't be returned by partitions() at all
+        self._sealed = {k: v for k, v in self._sealed.items() if k in listed}
+        return {"fence_us": fence, "sealed": dict(self._sealed)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[KinesisShardRangePartition]:
+        start_us = int(start.get("fence_us", 0))
+        end_us = int(end.get("fence_us", 0))
+        if end_us <= start_us:
+            return []
+        sealed = {k: int(v) for k, v in (start.get("sealed") or {}).items()}
+        client = _client(self.options)
+        shards = _list_shards_parent_first(client, self.options["streamname"])
+        out = []
+        for s in shards:
+            sid = s["ShardId"]
+            if sid in sealed and sealed[sid] < start_us:
+                continue  # sealed strictly before the range: nothing left
+            out.append(KinesisShardRangePartition(sid, start_us, end_us, self.options))
+        return out
+
+    def read(self, partition: KinesisShardRangePartition) -> Iterator[tuple]:
+        if partition is None:
+            return  # empty-partitions probe (see s3_objects read note)
+        opts = partition.options
+        stream = opts["streamname"]
+        client = _client(opts)
+        if partition.start_us <= 0:
+            it = client.get_shard_iterator(
+                StreamName=stream,
+                ShardId=partition.shard_id,
+                ShardIteratorType="TRIM_HORIZON",
+            )["ShardIterator"]
+        else:
+            it = client.get_shard_iterator(
+                StreamName=stream,
+                ShardId=partition.shard_id,
+                ShardIteratorType="AT_TIMESTAMP",
+                Timestamp=partition.start_us / 1_000_000,
+            )["ShardIterator"]
+        while it:
+            resp = client.get_records(ShardIterator=it, Limit=_GET_LIMIT)
+            recs = resp.get("Records", [])
+            for r in recs:
+                ts_us = _ts_micros(r["ApproximateArrivalTimestamp"])
+                if ts_us < partition.start_us:
+                    continue  # AT_TIMESTAMP seeked at-or-before the fence
+                if ts_us >= partition.end_us:
+                    return  # per-shard ts monotonicity: nothing further qualifies
+                yield _envelope(r, stream, partition.shard_id)
+            it = resp.get("NextShardIterator")
+            if it is None:
+                return  # SHARD_END
+            if not recs and resp.get("MillisBehindLatest", 0) == 0:
+                return  # caught up: later appends get ts >= end fence anyway
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; Kinesis retention is time-based
+
+
 class KinesisApiDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -326,6 +511,19 @@ class KinesisApiDataSource(DataSource):
 
     def reader(self, schema: "StructType") -> KinesisApiBatchReader:
         return KinesisApiBatchReader(self.options)
+
+    def streamReader(self, schema: "StructType") -> KinesisApiParallelStreamReader:
+        """Default streaming path: the executor-parallel reader.
+        ``option("readerMode", "simple")`` falls back to the driver-side
+        Simple reader (Spark routes to ``simpleStreamReader`` when this
+        method raises PySparkNotImplementedError — the documented
+        dispatch in pyspark.sql.datasource_internal._streamReader)."""
+        if _norm_options(self.options).get("readermode", "parallel") == "simple":
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (readerMode=simple)"},
+            )
+        return KinesisApiParallelStreamReader(self.options)
 
     def simpleStreamReader(self, schema: "StructType") -> KinesisApiStreamReader:
         return KinesisApiStreamReader(self.options)
@@ -348,15 +546,30 @@ def put_records_partition(options: dict, rows: "Iterator") -> int:
         nonlocal batch
         pending = batch
         batch = []
+        attempts = 0
         while pending:
             resp = client.put_records(StreamName=stream, Records=pending)
             if not resp.get("FailedRecordCount"):
                 return
-            pending = [
-                rec
+            failed = [
+                (rec, r)
                 for rec, r in zip(pending, resp["Records"])
                 if "ErrorCode" in r  # throttled/internal-error rows retry
             ]
+            pending = [rec for rec, _ in failed]
+            attempts += 1
+            # bounded: a permanently-rejected record (e.g. ValidationException
+            # on an oversized payload) must fail the task visibly, not spin it
+            if attempts >= _PUT_MAX_ATTEMPTS:
+                code = failed[0][1].get("ErrorCode", "?")
+                msg = failed[0][1].get("ErrorMessage", "")
+                raise RuntimeError(
+                    f"PutRecords: {len(pending)} record(s) still failing after "
+                    f"{attempts} attempts (first error {code}: {msg})"
+                )
+            import time
+
+            time.sleep(min(0.05 * (2 ** (attempts - 1)), 1.0))
 
     for row in rows:
         data = row.data if hasattr(row, "data") else row[1]

@@ -21,6 +21,7 @@ from spark_kinesis_article_analysis_spark.operators.kinesis_batch import (  # no
 )
 from spark_kinesis_article_analysis_spark.sources.kinesis_source import (  # noqa: E402
     KinesisApiBatchReader,
+    KinesisApiParallelStreamReader,
     KinesisApiStreamReader,
     put_records_partition,
 )
@@ -192,6 +193,234 @@ class TestStreamReader:
         run_once()
         got = [r.payload for r in spark.read.parquet(sink).collect()]
         assert len(got) == 21 and len(set(got)) == 21
+
+
+def _faithful_split(stream: str, shard_id: str) -> tuple[str, str]:
+    """Perform a split per the REAL Kinesis contract, directly on the
+    in-process moto backend: seal the parent, create two children over
+    its hash halves, and LEAVE the parent's records untouched (original
+    sequence numbers and arrival timestamps).
+
+    Needed because moto's ``split_shard`` diverges from the service: it
+    re-puts the parent's records (re-stamping ``created_at`` to the
+    split time and re-assigning sequence numbers), which fabricates
+    records arriving in a sealed shard after its seal — impossible
+    against real Kinesis, where a split never touches existing records.
+    Same infidelity class as its documented ``merge_shards`` one (see
+    TestOptionMapping.test_merge_shards_seals_parents_and_read_terminates).
+    The ThreadedMotoServer shares this process, so backend state is
+    directly reachable. Children are inserted BEFORE the parent in the
+    shard map because moto routes puts to the first shard covering the
+    key hash regardless of ``is_open`` — the real service routes new
+    puts to the open children. Returns the two child shard ids."""
+    from collections import OrderedDict
+
+    from moto.kinesis.models import Shard, kinesis_backends
+
+    backend = kinesis_backends["123456789012"]["us-east-1"]
+    s = backend.describe_stream(stream_arn=None, stream_name=stream)
+    parent = s.shards[shard_id]
+    assert parent.is_open
+    last_id = max(sh._shard_id for sh in s.shards.values())
+    mid = (parent.starting_hash + parent.ending_hash) // 2
+    c1 = Shard(last_id + 1, parent.starting_hash, mid - 1, parent=parent.shard_id)
+    c2 = Shard(last_id + 2, mid, parent.ending_hash, parent=parent.shard_id)
+    parent.is_open = False
+    reordered = OrderedDict()
+    reordered[c1.shard_id] = c1
+    reordered[c2.shard_id] = c2
+    for k, v in s.shards.items():
+        reordered[k] = v
+    s.shards = reordered
+    return c1.shard_id, c2.shard_id
+
+
+class TestParallelStreamReader:
+    """The executor-parallel DataSourceStreamReader: per-shard input
+    partitions, arrival-time fence offsets, metadata-only driver."""
+
+    def _batch(self, r, start, end):
+        return [row for p in r.partitions(start, end) for row in r.read(p)]
+
+    def test_one_partition_per_shard_and_batch_exactness(self):
+        stream, client = _fresh_stream(shards=3)
+        first = _put(client, stream, 18, "a")
+        r = KinesisApiParallelStreamReader(kinesis_options(stream))
+        start = r.initialOffset()
+        assert start == {"fence_us": 0, "sealed": {}}
+        end1 = r.latestOffset()
+        parts = r.partitions(start, end1)
+        assert len(parts) == 3  # the scale contract: one input partition per shard
+        assert {p.shard_id for p in parts} == {
+            s["ShardId"]
+            for s in client.describe_stream(StreamName=stream)["StreamDescription"]["Shards"]
+        }
+        rows1 = self._batch(r, start, end1)
+        assert {row[0] for row in rows1} == first and len(rows1) == 18
+        for p in parts:  # envelope shard field matches the partition
+            assert all(row[5] == p.shard_id for row in r.read(p))
+        second = _put(client, stream, 7, "b")
+        end2 = r.latestOffset()
+        rows2 = self._batch(r, end1, end2)
+        assert {row[0] for row in rows2} == second  # nothing re-read
+        assert r.partitions(end2, end2) == []  # empty range plans no work
+
+    def test_replay_of_committed_range_is_exact(self):
+        stream, client = _fresh_stream(shards=2)
+        _put(client, stream, 9, "a")
+        r = KinesisApiParallelStreamReader(kinesis_options(stream))
+        start = r.initialOffset()
+        end = r.latestOffset()
+        original = sorted(row[3] for row in self._batch(r, start, end))
+        _put(client, stream, 5, "later")  # must NOT leak into the replay
+        replay = sorted(row[3] for row in self._batch(r, start, end))
+        assert replay == original
+        # a FRESH reader (fresh driver after restart) replays identically
+        r2 = KinesisApiParallelStreamReader(kinesis_options(stream))
+        replay2 = sorted(row[3] for row in self._batch(r2, start, end))
+        assert replay2 == original
+
+    def test_latest_starting_position_skips_history(self):
+        stream, client = _fresh_stream(shards=2)
+        _put(client, stream, 8, "old")
+        opts = dict(kinesis_options(stream))
+        opts["startingPosition"] = "LATEST"
+        r = KinesisApiParallelStreamReader(opts)
+        start = r.initialOffset()
+        fresh = _put(client, stream, 3, "new")
+        end = r.latestOffset()
+        rows = self._batch(r, start, end)
+        assert {row[0] for row in rows} == fresh
+
+    def test_latest_offset_never_reads_records_on_the_driver(self, monkeypatch):
+        """The point of the parallel reader: the driver's per-batch work
+        is ListShards + a clock read — GetRecords happens only inside
+        partition read() on executors."""
+        from spark_kinesis_article_analysis_spark.sources import kinesis_source
+
+        stream, client = _fresh_stream(shards=2)
+        _put(client, stream, 5, "a")
+        real_client = kinesis_source._client
+
+        class NoRecordsClient:
+            def __init__(self, inner):
+                self._inner = inner
+
+            def __getattr__(self, name):
+                if name in ("get_records", "get_shard_iterator"):
+                    raise AssertionError(f"driver-side {name} call")
+                return getattr(self._inner, name)
+
+        monkeypatch.setattr(
+            kinesis_source, "_client", lambda opts: NoRecordsClient(real_client(opts))
+        )
+        r = KinesisApiParallelStreamReader(kinesis_options(stream))
+        end = r.latestOffset()  # must not touch record APIs
+        parts = r.partitions(r.initialOffset(), end)  # nor planning
+        assert len(parts) == 2
+
+    def test_split_before_consumption_prunes_parent_after_grace_batch(self):
+        stream, client = _fresh_stream(shards=1)
+        sent = _put(client, stream, 6, "pre")
+        desc = client.describe_stream(StreamName=stream)["StreamDescription"]
+        parent = desc["Shards"][0]
+        mid = (
+            int(parent["HashKeyRange"]["StartingHashKey"])
+            + int(parent["HashKeyRange"]["EndingHashKey"])
+        ) // 2
+        client.split_shard(
+            StreamName=stream,
+            ShardToSplit=parent["ShardId"],
+            NewStartingHashKey=str(mid),
+        )
+        r = KinesisApiParallelStreamReader(kinesis_options(stream))
+        start = r.initialOffset()
+        end1 = r.latestOffset()
+        rows1 = self._batch(r, start, end1)
+        assert {row[0] for row in rows1} == sent and len(rows1) == 6
+        assert parent["ShardId"] in end1["sealed"]
+        post = _put(client, stream, 10, "post")
+        end2 = r.latestOffset()
+        rows2 = self._batch(r, end1, end2)
+        assert {row[0] for row in rows2} == post and len(rows2) == 10
+        # grace batch passed: the sealed parent leaves the plan entirely
+        end3 = r.latestOffset()
+        parts3 = r.partitions(end2, end3)
+        assert parent["ShardId"] not in {p.shard_id for p in parts3}
+        assert self._batch(r, end2, end3) == []
+
+    def test_faithful_midstream_split_is_exactly_once(self):
+        """Split DURING consumption under the real service contract
+        (parent sealed in place, records untouched — see
+        _faithful_split): no duplicate, no loss, parent pruned."""
+        stream, client = _fresh_stream(shards=1)
+        before = _put(client, stream, 6, "pre")
+        r = KinesisApiParallelStreamReader(kinesis_options(stream))
+        start = r.initialOffset()
+        end1 = r.latestOffset()
+        rows1 = self._batch(r, start, end1)
+        assert {row[0] for row in rows1} == before
+        parent_id = client.describe_stream(StreamName=stream)[
+            "StreamDescription"
+        ]["Shards"][0]["ShardId"]
+        children = _faithful_split(stream, parent_id)
+        after = _put(client, stream, 10, "post")
+        end2 = r.latestOffset()
+        rows2 = self._batch(r, end1, end2)
+        assert {row[0] for row in rows2} == after and len(rows2) == 10
+        assert {row[5] for row in rows2} <= set(children)  # routed to children
+        assert parent_id in end2["sealed"]
+        # fixpoint + pruning
+        end3 = r.latestOffset()
+        assert self._batch(r, end2, end3) == []
+        end4 = r.latestOffset()
+        assert parent_id not in {p.shard_id for p in r.partitions(end3, end4)}
+
+    def test_pruning_survives_restart_via_the_offset(self):
+        """The sealed map rides in the checkpointed offset, so a fresh
+        reader (post-restart, empty memo) still skips dead shards."""
+        stream, client = _fresh_stream(shards=1)
+        _put(client, stream, 4, "pre")
+        r = KinesisApiParallelStreamReader(kinesis_options(stream))
+        end1 = r.latestOffset()
+        self._batch(r, r.initialOffset(), end1)
+        parent_id = client.describe_stream(StreamName=stream)[
+            "StreamDescription"
+        ]["Shards"][0]["ShardId"]
+        _faithful_split(stream, parent_id)
+        end2 = r.latestOffset()
+        end3 = r.latestOffset()
+        assert parent_id in end2["sealed"]
+        # start=end3: its sealed obs fence (stamped at end2) is strictly
+        # below end3's fence, so the grace batch has passed
+        r2 = KinesisApiParallelStreamReader(kinesis_options(stream))  # fresh driver
+        end4 = r2.latestOffset()
+        parts = r2.partitions(end3, end4)
+        assert parent_id not in {p.shard_id for p in parts}
+
+    def test_stream_reader_dispatch(self):
+        """Default streaming dispatch is the parallel reader; the
+        readerMode=simple option falls back to the Simple (driver-side)
+        reader through pyspark's documented NotImplemented fallback."""
+        from pyspark.sql.datasource_internal import (
+            _SimpleStreamReaderWrapper,
+            _streamReader,
+        )
+        from pyspark.sql.types import StructType
+
+        from spark_kinesis_article_analysis_spark.sources.kinesis_source import (
+            ENVELOPE_SCHEMA,
+            KinesisApiDataSource,
+        )
+
+        _ = ENVELOPE_SCHEMA
+        ds = KinesisApiDataSource({"streamname": "s"})
+        assert isinstance(
+            _streamReader(ds, StructType()), KinesisApiParallelStreamReader
+        )
+        ds_simple = KinesisApiDataSource({"streamname": "s", "readermode": "simple"})
+        wrapped = _streamReader(ds_simple, StructType())
+        assert isinstance(wrapped, _SimpleStreamReaderWrapper)
 
 
 class TestOptionMapping:
