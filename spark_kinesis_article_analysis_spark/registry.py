@@ -224,6 +224,11 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         s3_batch,
     )
+    # Round-11: snapshot-read + compaction proofs for the manifest table
+    # format — new module, rank-0 entries, nothing existing re-staled.
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        s3_snapshot,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -274,6 +279,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "resample.py",
     "hash_embed.py",
     "s3_batch.py",
+    "s3_snapshot.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -21,26 +21,48 @@ invisible by construction, and appends are one manifest each.
 
 This module implements that protocol as a Spark 4 Python DataSource:
 
-* write: each task serializes its partition to parquet bytes (pyarrow)
-  and PUTs ``<prefix>/data/part-<uuid>.parquet``; the driver's
-  ``commit`` PUTs ``<prefix>/manifests/manifest-<uuid>.json`` carrying
-  the object list, row counts, and the Spark schema DDL. ``abort``
-  deletes the task objects.
-* read: list the manifests (paginated), one Spark input partition per
-  data object, each read as pyarrow RecordBatches (Arrow path, no
-  per-row Python). ``schema()`` comes from the newest manifest, so
-  ``spark.read.format("s3_parquet_manifest")`` needs no user schema.
+* batch write: each task streams its partition into a parquet object —
+  row-group chunks through a multipart upload, so task memory is
+  bounded by the part size, not the partition size — and the driver's
+  ``commit`` PUTs ``<prefix>/manifests/manifest-<ts>-<uuid>.json``
+  carrying the object list, row counts, commit time, and the Spark
+  schema DDL. ``abort`` deletes the task objects.
+* streaming write (``writeStream.format("s3_parquet_manifest")``): the
+  reference's sink (``process_articles.py:85-91``) re-expressed on the
+  manifest protocol — the per-epoch commit point is ONE manifest PUT at
+  the EPOCH-KEYED name ``manifest-epoch-<batchId>.json``. The key is
+  the fence: a restart that replays epoch N re-commits the SAME key
+  (idempotent overwrite listing the replay's objects), so at most one
+  manifest per epoch ever exists and the sink is exactly-once end to
+  end when the source replays offsets deterministically. The first
+  attempt's now-unreferenced objects stay invisible by construction.
+* read: list the manifests (paginated), drop manifests tombstoned by a
+  later manifest's ``replaces`` list (compaction), union the surviving
+  object lists, one Spark input partition per data object, each read as
+  pyarrow RecordBatches (Arrow path, no per-row Python). ``schema()``
+  comes from the NEWEST manifest by commit time (manifest bodies carry
+  ``committed_at_us``; names alone are not ordered across writer
+  kinds). ``option("snapshotManifest", <key>)`` reads the table AS OF
+  that manifest: only manifests committed at-or-before it are
+  considered — time travel over the append-only manifest log.
+* compaction: :func:`compact_manifests` rewrites the current manifest
+  set into ONE manifest whose ``replaces`` tombstones the old ones —
+  bounding reader manifest enumeration, which otherwise grows one
+  manifest per append/epoch forever. Old manifests stay in place, so
+  pre-compaction snapshot reads still resolve.
 
 Options (shared surface with the kinesis source): ``bucket``,
 ``prefix``, ``endpointUrl``, ``regionName``, ``awsAccessKeyId``,
-``awsSecretKey``. Tested against the real S3 API served by moto
-(``tests/test_s3_manifest.py``), including abort/rogue-object
-invisibility and append semantics.
+``awsSecretKey``, plus ``snapshotManifest`` (read). Tested against the
+real S3 API served by moto (``tests/test_s3_manifest.py``), including
+abort/rogue-object invisibility, append semantics, epoch-fenced
+restart, snapshot reads, and compaction invisibility.
 """
 
 from __future__ import annotations
 
 import io
+import itertools
 import json
 import uuid
 from collections.abc import Iterator, Sequence
@@ -50,6 +72,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -57,6 +80,14 @@ from pyspark.sql.datasource import (
 
 if TYPE_CHECKING:
     from pyspark.sql.types import StructType
+
+#: Multipart part size: the bound on task write memory. 8 MB clears
+#: S3's 5 MB minimum-part rule with headroom for a large final row group.
+_PART_SIZE = 8 * 1024 * 1024
+
+#: Rows per parquet row-group chunk — bounds the Python-tuple staging
+#: list; the Arrow/parquet buffer beyond it is bounded by _PART_SIZE.
+_CHUNK_ROWS = 65536
 
 
 def _s3(options: dict):
@@ -79,6 +110,12 @@ def _norm(options: dict) -> dict:
     return opts
 
 
+def _now_us() -> int:
+    import time
+
+    return time.time_ns() // 1_000
+
+
 def _manifest_keys(client, bucket: str, prefix: str) -> list[str]:
     keys: list[str] = []
     token = None
@@ -94,12 +131,174 @@ def _manifest_keys(client, bucket: str, prefix: str) -> list[str]:
     return sorted(keys)
 
 
-def _load_manifests(client, bucket: str, prefix: str) -> list[dict]:
+def _load_manifests(client, bucket: str, prefix: str) -> list[tuple[str, dict]]:
+    """All manifests as ``(key, body)``, ordered by COMMIT TIME (body
+    ``committed_at_us``, key as the tiebreak) — the table's commit log
+    order. Key names are writer-kind-specific (timestamped for batch,
+    epoch-numbered for streaming), so the body timestamp, not the name,
+    is the ordering authority (a lexicographic 'newest name' would pick
+    an arbitrary manifest — the schema-evolution trap)."""
     out = []
     for k in _manifest_keys(client, bucket, prefix):
         body = client.get_object(Bucket=bucket, Key=k)["Body"].read()
-        out.append(json.loads(body))
+        out.append((k, json.loads(body)))
+    out.sort(key=lambda kv: (kv[1].get("committed_at_us", 0), kv[0]))
     return out
+
+
+def _active_manifests(
+    manifests: list[tuple[str, dict]], snapshot_key: str | None = None
+) -> list[tuple[str, dict]]:
+    """Apply snapshot truncation, then compaction tombstones.
+
+    Snapshot: keep only manifests committed at-or-before the named one
+    (commit-log order). Tombstones: a manifest's ``replaces`` list names
+    manifest keys it subsumes — those are dropped, but only tombstones
+    from manifests INSIDE the snapshot apply, so a post-snapshot
+    compaction cannot rewrite history under a pinned read."""
+    if snapshot_key is not None:
+        keys = [k for k, _ in manifests]
+        if snapshot_key not in keys:
+            raise ValueError(
+                f"snapshotManifest {snapshot_key!r} is not a committed manifest"
+            )
+        manifests = manifests[: keys.index(snapshot_key) + 1]
+    dead: set[str] = set()
+    for _, body in manifests:
+        dead.update(body.get("replaces", []))
+    return [(k, b) for k, b in manifests if k not in dead]
+
+
+class _S3MultipartSink(io.RawIOBase):
+    """File-like PUT target for a parquet writer: buffers sequential
+    writes and ships each ``_PART_SIZE`` chunk as a multipart part, so
+    the task holds at most one part in memory regardless of partition
+    size. Totals under one part skip multipart and land as a single
+    ``put_object``. ``abort()`` cancels the multipart upload (S3 bills
+    uncompleted parts until aborted)."""
+
+    def __init__(self, client, bucket: str, key: str) -> None:
+        self._client, self._bucket, self._key = client, bucket, key
+        self._buf = bytearray()
+        self._upload_id: str | None = None
+        self._parts: list[dict] = []
+        self._written = 0
+
+    def writable(self) -> bool:
+        return True
+
+    def tell(self) -> int:
+        return self._written
+
+    def write(self, b) -> int:
+        self._buf += b
+        self._written += len(b)
+        if len(self._buf) >= _PART_SIZE:
+            self._ship_part()
+        return len(b)
+
+    def _ship_part(self) -> None:
+        if self._upload_id is None:
+            self._upload_id = self._client.create_multipart_upload(
+                Bucket=self._bucket, Key=self._key
+            )["UploadId"]
+        num = len(self._parts) + 1
+        etag = self._client.upload_part(
+            Bucket=self._bucket,
+            Key=self._key,
+            PartNumber=num,
+            UploadId=self._upload_id,
+            Body=bytes(self._buf),
+        )["ETag"]
+        self._parts.append({"PartNumber": num, "ETag": etag})
+        self._buf.clear()
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        try:
+            if self._upload_id is None:
+                self._client.put_object(
+                    Bucket=self._bucket, Key=self._key, Body=bytes(self._buf)
+                )
+            else:
+                if self._buf:
+                    self._ship_part()  # final part may be under the minimum
+                self._client.complete_multipart_upload(
+                    Bucket=self._bucket,
+                    Key=self._key,
+                    UploadId=self._upload_id,
+                    MultipartUpload={"Parts": self._parts},
+                )
+        finally:
+            super().close()
+
+    def abort(self) -> None:
+        if self._upload_id is not None:
+            self._client.abort_multipart_upload(
+                Bucket=self._bucket, Key=self._key, UploadId=self._upload_id
+            )
+        self._buf.clear()
+        super().close()
+
+
+def _write_parquet_object(
+    options: dict, schema: "StructType", iterator: Iterator
+) -> "_ObjectsCommit":
+    """One task partition -> at most one parquet data object, streamed
+    in ``_CHUNK_ROWS`` row groups through a multipart upload. Empty
+    partitions produce no object (and no empty-file row-group edge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+    rows_iter = (tuple(r) for r in iterator)
+    first = list(itertools.islice(rows_iter, _CHUNK_ROWS))
+    if not first:
+        return _ObjectsCommit(keys=[], rows=0)
+
+    key = f"{options['prefix']}/data/part-{uuid.uuid4().hex}.parquet"
+    sink = _S3MultipartSink(_s3(options), options["bucket"], key)
+    n = 0
+    try:
+        writer = pq.ParquetWriter(sink, arrow_schema)
+        chunk = first
+        while chunk:
+            cols = list(zip(*chunk))
+            table = pa.Table.from_arrays(
+                [
+                    pa.array(c, type=arrow_schema.field(i).type)
+                    for i, c in enumerate(cols)
+                ],
+                names=names,
+            )
+            writer.write_table(table)
+            n += len(chunk)
+            chunk = list(itertools.islice(rows_iter, _CHUNK_ROWS))
+        writer.close()
+        sink.close()
+    except BaseException:
+        sink.abort()
+        raise
+    return _ObjectsCommit(keys=[key], rows=n)
+
+
+def _manifest_body(
+    messages, schema: "StructType", epoch: int | None = None
+) -> dict:
+    body = {
+        "objects": [k for m in messages if m is not None for k in m.keys],
+        "rows": sum(m.rows for m in messages if m is not None),
+        "schema_ddl": schema.simpleString(),
+        "committed_at_us": _now_us(),
+        "replaces": [],
+    }
+    if epoch is not None:
+        body["epoch"] = epoch
+    return body
 
 
 @dataclass
@@ -111,55 +310,72 @@ class _ObjectsCommit(WriterCommitMessage):
 class S3ManifestWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: "StructType", overwrite: bool) -> None:
         if overwrite:
-            # overwrite would need manifest tombstoning (a delete marker
-            # in a NEW manifest, Iceberg-style) to stay atomic — out of
-            # scope; the sink is an append-only log like the parquet
-            # streaming sink it mirrors.
+            # overwrite = a new manifest tombstoning everything before it
+            # — supported for MAINTENANCE via compact_manifests; as a
+            # write mode it invites accidental table truncation, so the
+            # sink stays append-only like the parquet streaming sink it
+            # mirrors.
             raise ValueError("s3_parquet_manifest is append-only; use mode('append')")
         self.options = _norm(options)
         self.schema = schema
 
     def write(self, iterator: Iterator) -> _ObjectsCommit:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        arrow_schema = to_arrow_schema(self.schema)
-        names = [f.name for f in self.schema.fields]
-        rows = [tuple(r) for r in iterator]
-        if not rows:
-            return _ObjectsCommit(keys=[], rows=0)  # no empty objects
-        cols = list(zip(*rows))
-        table = pa.Table.from_arrays(
-            [pa.array(c, type=arrow_schema.field(i).type) for i, c in enumerate(cols)],
-            names=names,
-        )
-        buf = io.BytesIO()
-        pq.write_table(table, buf)
-        key = f"{self.options['prefix']}/data/part-{uuid.uuid4().hex}.parquet"
-        _s3(self.options).put_object(
-            Bucket=self.options["bucket"], Key=key, Body=buf.getvalue()
-        )
-        return _ObjectsCommit(keys=[key], rows=len(rows))
+        return _write_parquet_object(self.options, self.schema, iterator)
 
     def commit(self, messages) -> None:
-        keys = [k for m in messages if m is not None for k in m.keys]
-        rows = sum(m.rows for m in messages if m is not None)
-        manifest = {
-            "objects": keys,
-            "rows": rows,
-            "schema_ddl": self.schema.simpleString(),
-        }
+        body = _manifest_body(messages, self.schema)
         # THE atomic commit point: a single PUT. Until this object
         # exists, nothing the tasks wrote is reachable by any reader.
+        # The timestamp prefix keeps batch manifest names monotonic
+        # (ordering authority is still the body's committed_at_us).
         _s3(self.options).put_object(
             Bucket=self.options["bucket"],
-            Key=f"{self.options['prefix']}/manifests/manifest-{uuid.uuid4().hex}.json",
-            Body=json.dumps(manifest).encode("utf-8"),
+            Key=(
+                f"{self.options['prefix']}/manifests/"
+                f"manifest-{body['committed_at_us']:020d}-{uuid.uuid4().hex[:8]}.json"
+            ),
+            Body=json.dumps(body).encode("utf-8"),
         )
 
     def abort(self, messages) -> None:
+        client = _s3(self.options)
+        for m in messages:
+            if m is None:
+                continue
+            for k in m.keys:
+                client.delete_object(Bucket=self.options["bucket"], Key=k)
+
+
+class S3ManifestStreamWriter(DataSourceStreamWriter):
+    """The streaming form: parquet objects per task per epoch, ONE
+    manifest PUT per epoch at the epoch-keyed name — the commit point
+    AND the idempotence fence. A restarted query that replays epoch N
+    (sources re-read the same offset range) re-PUTs
+    ``manifest-epoch-<N>.json`` with the replay's object list:
+    overwriting, not appending, so the epoch's rows appear exactly once
+    no matter how many attempts committed. Mirrors the reference's
+    ``writeStream...format("parquet")`` S3 sink (process_articles.py:
+    85-91) with object-store-correct atomicity."""
+
+    def __init__(self, options: dict, schema: "StructType") -> None:
+        self.options = _norm(options)
+        self.schema = schema
+
+    def write(self, iterator: Iterator) -> _ObjectsCommit:
+        return _write_parquet_object(self.options, self.schema, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        body = _manifest_body(messages, self.schema, epoch=batchId)
+        _s3(self.options).put_object(
+            Bucket=self.options["bucket"],
+            Key=(
+                f"{self.options['prefix']}/manifests/"
+                f"manifest-epoch-{batchId:020d}.json"
+            ),
+            Body=json.dumps(body).encode("utf-8"),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
         client = _s3(self.options)
         for m in messages:
             if m is None:
@@ -179,11 +395,17 @@ class S3ManifestReader(DataSourceReader):
 
     def partitions(self) -> Sequence[_ObjectPartition]:
         client = _s3(self.options)
+        active = _active_manifests(
+            _load_manifests(client, self.options["bucket"], self.options["prefix"]),
+            self.options.get("snapshotmanifest"),
+        )
         keys: list[str] = []
-        for m in _load_manifests(
-            client, self.options["bucket"], self.options["prefix"]
-        ):
-            keys.extend(m["objects"])
+        seen: set[str] = set()
+        for _, body in active:
+            for k in body["objects"]:
+                if k not in seen:  # belt+braces: an object belongs once
+                    seen.add(k)
+                    keys.append(k)
         return [_ObjectPartition(k) for k in keys]
 
     def read(self, partition: _ObjectPartition) -> Iterator:
@@ -209,16 +431,64 @@ class S3ParquetManifestDataSource(DataSource):
 
     def schema(self) -> str:
         opts = _norm(self.options)
-        manifests = _load_manifests(_s3(opts), opts["bucket"], opts["prefix"])
-        if not manifests:
+        active = _active_manifests(
+            _load_manifests(_s3(opts), opts["bucket"], opts["prefix"]),
+            opts.get("snapshotmanifest"),
+        )
+        if not active:
             raise ValueError(
                 "s3_parquet_manifest: no committed manifests under "
                 f"s3://{opts['bucket']}/{opts['prefix']}/manifests/"
             )
-        return manifests[-1]["schema_ddl"]
+        # newest by commit time — under schema evolution the latest
+        # append's schema is the table's current one
+        return active[-1][1]["schema_ddl"]
 
     def reader(self, schema: "StructType") -> S3ManifestReader:
         return S3ManifestReader(self.options)
 
     def writer(self, schema: "StructType", overwrite: bool) -> S3ManifestWriter:
         return S3ManifestWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: "StructType", overwrite: bool) -> S3ManifestStreamWriter:
+        return S3ManifestStreamWriter(self.options, schema)
+
+
+def compact_manifests(options: dict) -> str:
+    """Manifest maintenance: rewrite the CURRENT active manifest set
+    into one manifest whose ``replaces`` tombstones every manifest
+    listed so far — readers then enumerate O(1) manifests instead of
+    one per historical append/epoch. Data objects are untouched (no
+    rewrite amplification); old manifests stay in place so snapshot
+    reads pinned before the compaction still resolve. Returns the new
+    manifest's key. Driver-side by design: compaction moves metadata
+    (KBs), not data."""
+    opts = _norm(options)
+    client = _s3(opts)
+    manifests = _load_manifests(client, opts["bucket"], opts["prefix"])
+    if not manifests:
+        raise ValueError("compact_manifests: nothing to compact")
+    active = _active_manifests(manifests)
+    objects: list[str] = []
+    seen: set[str] = set()
+    for _, body in active:
+        for k in body["objects"]:
+            if k not in seen:
+                seen.add(k)
+                objects.append(k)
+    body = {
+        "objects": objects,
+        "rows": sum(b["rows"] for _, b in active),
+        "schema_ddl": active[-1][1]["schema_ddl"],
+        "committed_at_us": _now_us(),
+        "replaces": [k for k, _ in manifests],
+        "compaction": True,
+    }
+    key = (
+        f"{opts['prefix']}/manifests/"
+        f"manifest-{body['committed_at_us']:020d}-{uuid.uuid4().hex[:8]}.json"
+    )
+    client.put_object(
+        Bucket=opts["bucket"], Key=key, Body=json.dumps(body).encode("utf-8")
+    )
+    return key

@@ -104,6 +104,32 @@ class TestManifestCommitProtocol:
         low = {k.lower(): v for k, v in opts.items()}
         assert len(_load_manifests(_s3(low), low["bucket"], low["prefix"])) == 2
 
+    def test_manifests_order_by_commit_time_for_schema(self):
+        """ADVICE r10: 'newest manifest' must mean newest COMMIT, not
+        lexicographically-largest random name — bodies carry
+        committed_at_us and ordering uses it."""
+        low = {k.lower(): v for k, v in _fresh().items()}
+        client = _s3(low)
+        # adversarial names: reverse-lexicographic vs commit order
+        for name, at, ddl in [
+            ("manifest-zzz.json", 100, "struct<old:bigint>"),
+            ("manifest-aaa.json", 200, "struct<new:bigint>"),
+        ]:
+            client.put_object(
+                Bucket=low["bucket"],
+                Key=f"{low['prefix']}/manifests/{name}",
+                Body=json.dumps(
+                    {"objects": [], "rows": 0, "schema_ddl": ddl,
+                     "committed_at_us": at, "replaces": []}
+                ).encode(),
+            )
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            S3ParquetManifestDataSource,
+        )
+
+        ds = S3ParquetManifestDataSource(dict(low))
+        assert ds.schema() == "struct<new:bigint>"
+
     def test_empty_partition_writes_no_object(self):
         opts = _fresh()
         w = S3ManifestWriter(opts, _SCHEMA, overwrite=False)
@@ -118,9 +144,233 @@ class TestManifestCommitProtocol:
         opts = _fresh()
         _write(opts, [(7, "z"), (8, "y")])
         low = {k.lower(): v for k, v in opts.items()}
-        [m] = _load_manifests(_s3(low), low["bucket"], low["prefix"])
+        [(_, m)] = _load_manifests(_s3(low), low["bucket"], low["prefix"])
         assert m["rows"] == 2 and "struct<k:bigint,v:string>" == m["schema_ddl"]
+        assert m["committed_at_us"] > 0 and m["replaces"] == []
 
+    def test_large_partition_streams_as_multipart(self, monkeypatch):
+        """Task memory bound (ADVICE r10): a partition bigger than the
+        part size must ship through multipart upload in parts, not one
+        giant in-memory buffer — and the round trip stays exact."""
+        import hashlib
+
+        from spark_kinesis_article_analysis_spark.sources import s3_objects as m
+
+        # the REAL 5 MB minimum part size (moto enforces EntityTooSmall
+        # exactly like S3, so shrinking the part size is not an option)
+        monkeypatch.setattr(m, "_PART_SIZE", 5 * 1024 * 1024)
+        monkeypatch.setattr(m, "_CHUNK_ROWS", 1000)
+        calls = {"parts": 0}
+        real_sink = m._S3MultipartSink
+
+        class CountingSink(real_sink):
+            def _ship_part(self):
+                calls["parts"] += 1
+                super()._ship_part()
+
+        monkeypatch.setattr(m, "_S3MultipartSink", CountingSink)
+        opts = _fresh()
+        # incompressible payloads (hash-chained WITHIN each row — a
+        # repeated digest would let snappy crush the file 10x) so the
+        # parquet bytes actually cross two part boundaries (~24 MB)
+        h = hashlib.sha256(b"seed")
+        rows = []
+        for i in range(12000):
+            parts = []
+            for _ in range(32):
+                h = hashlib.sha256(h.digest())
+                parts.append(h.hexdigest())
+            rows.append((i, "".join(parts)))
+        _write(opts, rows)
+        assert calls["parts"] >= 2  # genuinely multipart
+        assert _read_rows(opts) == sorted(rows)
+
+    def test_multipart_abort_on_write_failure(self, monkeypatch):
+        """A task that dies mid-object must abort its multipart upload
+        (S3 bills dangling parts) and surface the error."""
+        from spark_kinesis_article_analysis_spark.sources import s3_objects as m
+
+        monkeypatch.setattr(m, "_PART_SIZE", 16 * 1024)
+        monkeypatch.setattr(m, "_CHUNK_ROWS", 100)
+        opts = _fresh()
+        low = {k.lower(): v for k, v in opts.items()}
+
+        def rows():
+            for i in range(300):
+                yield (i, "y" * 200)
+            raise RuntimeError("source blew up mid-partition")
+
+        w = S3ManifestWriter(opts, _SCHEMA, overwrite=False)
+        with pytest.raises(RuntimeError, match="mid-partition"):
+            w.write(rows())
+        client = _s3(low)
+        mp = client.list_multipart_uploads(Bucket=opts["bucket"])
+        assert not mp.get("Uploads")  # nothing dangling
+        assert _read_rows(opts) == []  # and nothing visible
+
+
+class TestSnapshotAndCompaction:
+    def test_snapshot_read_pins_the_pre_append_state(self):
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            _manifest_keys,
+        )
+
+        opts = _fresh()
+        low = {k.lower(): v for k, v in opts.items()}
+        _write(opts, [(1, "a"), (2, "b")])
+        [snap_key] = _manifest_keys(_s3(low), low["bucket"], low["prefix"])
+        _write(opts, [(3, "c")])
+        assert _read_rows(opts) == [(1, "a"), (2, "b"), (3, "c")]
+        pinned = dict(opts, snapshotManifest=snap_key)
+        assert _read_rows(pinned) == [(1, "a"), (2, "b")]
+
+    def test_snapshot_at_unknown_manifest_is_loud(self):
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        r = S3ManifestReader(dict(opts, snapshotManifest="t/manifests/nope.json"))
+        with pytest.raises(ValueError, match="not a committed manifest"):
+            r.partitions()
+
+    def test_compaction_tombstones_are_invisible_and_exact(self):
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            _manifest_keys,
+            compact_manifests,
+        )
+
+        opts = _fresh()
+        low = {k.lower(): v for k, v in opts.items()}
+        _write(opts, [(1, "a")])
+        _write(opts, [(2, "b")])
+        _write(opts, [(3, "c")])
+        pre_keys = _manifest_keys(_s3(low), low["bucket"], low["prefix"])
+        assert len(pre_keys) == 3
+        snap_key = pre_keys[1]  # pre-compaction snapshot: first 2 appends
+        new_key = compact_manifests(opts)
+        # reads see each row exactly once (compacted-away manifests dead)
+        assert _read_rows(opts) == [(1, "a"), (2, "b"), (3, "c")]
+        # reader now enumerates ONE active manifest
+        manifests = _load_manifests(_s3(low), low["bucket"], low["prefix"])
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            _active_manifests,
+        )
+
+        active = _active_manifests(manifests)
+        assert [k for k, _ in active] == [new_key]
+        # a snapshot pinned BEFORE the compaction still resolves exactly
+        assert _read_rows(dict(opts, snapshotManifest=snap_key)) == [
+            (1, "a"),
+            (2, "b"),
+        ]
+        # appending after compaction keeps working
+        _write(opts, [(4, "d")])
+        assert _read_rows(opts) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    def test_double_compaction_is_stable(self):
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            compact_manifests,
+        )
+
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        _write(opts, [(2, "b")])
+        compact_manifests(opts)
+        compact_manifests(opts)  # compacting a compaction: still exact
+        assert _read_rows(opts) == [(1, "a"), (2, "b")]
+
+
+class TestStreamingManifestSink:
+    def _query(self, spark, src_dir, opts, ckpt):
+        from pyspark import cloudpickle
+
+        from spark_kinesis_article_analysis_spark.sources import s3_objects as _m
+
+        cloudpickle.register_pickle_by_value(_m)
+        spark.dataSource.register(_m.S3ParquetManifestDataSource)
+        stream = (
+            spark.readStream.schema("k long, v string").json(src_dir)
+        )
+        w = stream.writeStream.format("s3_parquet_manifest").option(
+            "checkpointLocation", ckpt
+        )
+        for k, v in opts.items():
+            w = w.option(k, v)
+        return w.trigger(availableNow=True).start()
+
+    def test_epoch_fenced_streaming_restart_is_exactly_once(self, spark, tmp_path):
+        """The reference's writeStream->S3 sink (process_articles.py:
+        85-91) on the manifest protocol: stop, add input, restart from
+        the same checkpoint — every row exactly once, one manifest per
+        epoch, epoch ids monotonic."""
+        import json as _json
+
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            _manifest_keys,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        opts = _fresh()
+        low = {k.lower(): v for k, v in opts.items()}
+        (src / "a.json").write_text(
+            "\n".join(_json.dumps({"k": i, "v": f"a{i}"}) for i in range(30))
+        )
+        q = self._query(spark, str(src), opts, ckpt)
+        q.awaitTermination(120)
+        assert len(_read_rows(opts)) == 30
+        (src / "b.json").write_text(
+            "\n".join(_json.dumps({"k": i, "v": f"b{i}"}) for i in range(7))
+        )
+        q = self._query(spark, str(src), opts, ckpt)
+        q.awaitTermination(120)
+        rows = _read_rows(opts)
+        assert len(rows) == 37 and len(set(rows)) == 37  # exactly once
+        keys = _manifest_keys(_s3(low), low["bucket"], low["prefix"])
+        assert all("manifest-epoch-" in k for k in keys)
+        manifests = _load_manifests(_s3(low), low["bucket"], low["prefix"])
+        epochs = [b["epoch"] for _, b in manifests]
+        assert epochs == sorted(epochs) and len(set(epochs)) == len(epochs)
+
+    def test_recommitted_epoch_overwrites_not_appends(self):
+        """The fence itself: committing the same epoch twice (a replayed
+        microbatch after driver failure) leaves ONE manifest whose
+        object list is the LAST attempt's — rows appear exactly once."""
+        from pyspark.sql.types import StructType
+
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            S3ManifestStreamWriter,
+            _manifest_keys,
+        )
+
+        opts = _fresh()
+        low = {k.lower(): v for k, v in opts.items()}
+        w = S3ManifestStreamWriter(opts, _SCHEMA)
+        # attempt 1 of epoch 0
+        m1 = w.write(iter([(1, "a"), (2, "b")]))
+        w.commit([m1], batchId=0)
+        # driver dies post-commit, pre-checkpoint; replay re-runs epoch 0
+        m2 = w.write(iter([(1, "a"), (2, "b")]))
+        w.commit([m2], batchId=0)
+        assert _read_rows(opts) == [(1, "a"), (2, "b")]  # not doubled
+        keys = _manifest_keys(_s3(low), low["bucket"], low["prefix"])
+        assert len(keys) == 1  # one manifest per epoch, ever
+
+    def test_streaming_abort_deletes_task_objects(self):
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            S3ManifestStreamWriter,
+        )
+
+        opts = _fresh()
+        w = S3ManifestStreamWriter(opts, _SCHEMA)
+        msg = w.write(iter([(1, "a")]))
+        w.abort([msg, None], batchId=3)
+        client = _s3(w.options)
+        listed = client.list_objects_v2(Bucket=opts["bucket"], Prefix="t/data/")
+        assert listed.get("KeyCount", 0) == 0
+        assert _read_rows(opts) == []
+
+
+class TestEngineReadPaths:
     def test_full_engine_write_read_with_inferred_schema(self, spark):
         """spark.write -> spark.read with NO user schema: the reader
         derives it from the newest manifest."""
