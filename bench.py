@@ -127,6 +127,10 @@ HEADLINE = [
     "diag_key_skew",              # key-skew profile, bounded two-phase
     "ts_resample_ohlc",           # OHLC bars, one SortAggregate exchange
     "s3_manifest_roundtrip",      # object-store sink round trip (manifest commit)
+    # round-11 additions
+    "stream_wire_end_to_end",     # Kinesis stream read -> parse -> manifest stream sink
+    "s3_manifest_snapshot",       # pinned time-travel read across a compaction
+    "agg_hll_exact_regime",       # sketch-bytes union, exactness-decidable regime
 ]
 
 
@@ -218,14 +222,21 @@ def main() -> None:
     # entries that fit and `queries_file` points at the complete map.
     local_path = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
     local_path.write_text(json.dumps(record, indent=1) + "\n")
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
-    line = dict(record)
-    line["queries"] = slowest
-    line["n_queries"] = len(timings)
-    line["queries_truncated"] = len(slowest) < len(timings)
-    line["queries_file"] = local_path.name
-    out = json.dumps(line, separators=(",", ":"))
-    assert len(out) < 1800, f"machine line too long ({len(out)} bytes)"
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    keep = 20
+    while True:
+        line = dict(record)
+        line["queries"] = dict(ranked[:keep])
+        line["n_queries"] = len(timings)
+        line["queries_truncated"] = keep < len(timings)
+        line["queries_file"] = local_path.name
+        out = json.dumps(line, separators=(",", ":"))
+        # degrade, never abort: all queries already RAN — if long names
+        # outgrow the tail-capture budget, drop slowest-map entries until
+        # the line fits (the full map is in BENCH_LOCAL.json regardless)
+        if len(out) < 1800 or keep == 0:
+            break
+        keep -= 1
     print(out)
     spark.stop()
 

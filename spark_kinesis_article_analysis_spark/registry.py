@@ -225,9 +225,19 @@ def _load_all() -> None:
         s3_batch,
     )
     # Round-11: snapshot-read + compaction proofs for the manifest table
-    # format — new module, rank-0 entries, nothing existing re-staled.
+    # format, and the exact-regime sketch pins — new modules, rank-0
+    # entries, nothing existing re-staled.
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         s3_snapshot,
+    )
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        sketch_exact,
+    )
+    # Round-11 flagship: the reference pipeline streaming on BOTH wire
+    # protocols (kinesis_api parallel stream read -> parse -> manifest
+    # stream sink) — new module, rank-0 entry.
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        stream_wire,
     )
 
 
@@ -280,6 +290,8 @@ _MODULE_ORDER: tuple[str, ...] = (
     "hash_embed.py",
     "s3_batch.py",
     "s3_snapshot.py",
+    "sketch_exact.py",
+    "stream_wire.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -71,9 +71,9 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -84,11 +84,6 @@ if TYPE_CHECKING:
 #: Multipart part size: the bound on task write memory. 8 MB clears
 #: S3's 5 MB minimum-part rule with headroom for a large final row group.
 _PART_SIZE = 8 * 1024 * 1024
-
-#: Rows per parquet row-group chunk — bounds the Python-tuple staging
-#: list; the Arrow/parquet buffer beyond it is bounded by _PART_SIZE.
-_CHUNK_ROWS = 65536
-
 
 def _s3(options: dict):
     import boto3
@@ -242,22 +237,42 @@ class _S3MultipartSink(io.RawIOBase):
         super().close()
 
 
+def _canonical_arrow_schema(schema: "StructType"):
+    """The on-disk arrow schema: nullable-normalized (Spark marks
+    literal-derived columns non-nullable; batch fields vary) and
+    timestamps pinned to tz=UTC so every data object stores the same
+    instant-correct representation regardless of the writing session's
+    timezone (batches arrive stamped with the SESSION zone)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    fields = []
+    for f in to_arrow_schema(schema):
+        t = f.type
+        if pa.types.is_timestamp(t) and t.tz is not None:
+            t = pa.timestamp(t.unit, tz="UTC")
+        fields.append(pa.field(f.name, t, nullable=True))
+    return pa.schema(fields)
+
+
 def _write_parquet_object(
     options: dict, schema: "StructType", iterator: Iterator
 ) -> "_ObjectsCommit":
-    """One task partition -> at most one parquet data object, streamed
-    in ``_CHUNK_ROWS`` row groups through a multipart upload. Empty
+    """One task partition -> at most one parquet data object. The task
+    receives Arrow RecordBatches straight from the engine (the Arrow
+    writer path: no per-row Python, timestamps carry their zone so
+    instants survive any session timezone) and streams them as parquet
+    row groups through a multipart upload — task memory is bounded by
+    Spark's arrow batch size + the part size, not the partition. Empty
     partitions produce no object (and no empty-file row-group edge)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    arrow_schema = to_arrow_schema(schema)
-    names = [f.name for f in schema.fields]
-    rows_iter = (tuple(r) for r in iterator)
-    first = list(itertools.islice(rows_iter, _CHUNK_ROWS))
-    if not first:
+    arrow_schema = _canonical_arrow_schema(schema)
+    batches = iter(iterator)
+    first = next(batches, None)
+    if first is None or (first.num_rows == 0 and next(batches, None) is None):
         return _ObjectsCommit(keys=[], rows=0)
 
     key = f"{options['prefix']}/data/part-{uuid.uuid4().hex}.parquet"
@@ -265,19 +280,13 @@ def _write_parquet_object(
     n = 0
     try:
         writer = pq.ParquetWriter(sink, arrow_schema)
-        chunk = first
-        while chunk:
-            cols = list(zip(*chunk))
-            table = pa.Table.from_arrays(
-                [
-                    pa.array(c, type=arrow_schema.field(i).type)
-                    for i, c in enumerate(cols)
-                ],
-                names=names,
-            )
+        for batch in itertools.chain([first], batches):
+            if batch.num_rows == 0:
+                continue
+            # instant-preserving: aware-to-aware tz cast + nullability
+            table = pa.Table.from_batches([batch]).cast(arrow_schema)
             writer.write_table(table)
-            n += len(chunk)
-            chunk = list(itertools.islice(rows_iter, _CHUNK_ROWS))
+            n += batch.num_rows
         writer.close()
         sink.close()
     except BaseException:
@@ -307,7 +316,7 @@ class _ObjectsCommit(WriterCommitMessage):
     rows: int
 
 
-class S3ManifestWriter(DataSourceWriter):
+class S3ManifestWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema: "StructType", overwrite: bool) -> None:
         if overwrite:
             # overwrite = a new manifest tombstoning everything before it
@@ -346,7 +355,7 @@ class S3ManifestWriter(DataSourceWriter):
                 client.delete_object(Bucket=self.options["bucket"], Key=k)
 
 
-class S3ManifestStreamWriter(DataSourceStreamWriter):
+class S3ManifestStreamWriter(DataSourceStreamArrowWriter):
     """The streaming form: parquet objects per task per epoch, ONE
     manifest PUT per epoch at the epoch-keyed name — the commit point
     AND the idempotence fence. A restarted query that replays epoch N

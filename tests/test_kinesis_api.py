@@ -235,6 +235,40 @@ def _faithful_split(stream: str, shard_id: str) -> tuple[str, str]:
     return c1.shard_id, c2.shard_id
 
 
+def _faithful_merge(stream: str, shard_a: str, shard_b: str) -> str:
+    """Merge two adjacent shards per the REAL Kinesis contract: seal
+    BOTH parents in place (records, sequence numbers, and arrival
+    timestamps untouched — still readable until retention) and create
+    one child covering the union hash range. moto's ``merge_shards``
+    instead copies the first parent's records into the child and keeps
+    routing puts into the sealed parents (the documented infidelity —
+    see TestOptionMapping.test_merge_shards_seals_parents_and_read_terminates),
+    so exactness over a merge is asserted against this faithful form.
+    Returns the child shard id."""
+    from collections import OrderedDict
+
+    from moto.kinesis.models import Shard, kinesis_backends
+
+    backend = kinesis_backends["123456789012"]["us-east-1"]
+    s = backend.describe_stream(stream_arn=None, stream_name=stream)
+    a, b = s.shards[shard_a], s.shards[shard_b]
+    assert a.is_open and b.is_open
+    lo = min(a.starting_hash, b.starting_hash)
+    hi = max(a.ending_hash, b.ending_hash)
+    last_id = max(sh._shard_id for sh in s.shards.values())
+    child = Shard(
+        last_id + 1, lo, hi, parent=a.shard_id, adjacent_parent=b.shard_id
+    )
+    a.is_open = False
+    b.is_open = False
+    reordered = OrderedDict()
+    reordered[child.shard_id] = child  # routing must reach the child first
+    for k, v in s.shards.items():
+        reordered[k] = v
+    s.shards = reordered
+    return child.shard_id
+
+
 class TestParallelStreamReader:
     """The executor-parallel DataSourceStreamReader: per-shard input
     partitions, arrival-time fence offsets, metadata-only driver."""
@@ -375,6 +409,41 @@ class TestParallelStreamReader:
         assert self._batch(r, end2, end3) == []
         end4 = r.latestOffset()
         assert parent_id not in {p.shard_id for p in r.partitions(end3, end4)}
+
+    def test_faithful_split_then_merge_is_exactly_once(self):
+        """The full reshard cycle under the real service contract —
+        1 shard -> split -> 2 shards -> merge -> 1 shard — consumed
+        MID-CYCLE: every record exactly once, all three retired shards
+        pruned at the end. This is the merge-exactness coverage moto's
+        own merge_shards cannot provide (VERDICT r10 item 5)."""
+        stream, client = _fresh_stream(shards=1)
+        seen: list = []
+        r = KinesisApiParallelStreamReader(kinesis_options(stream))
+        pre = _put(client, stream, 5, "pre")
+        off0 = r.initialOffset()
+        off1 = r.latestOffset()
+        seen += self._batch(r, off0, off1)
+        parent_id = client.describe_stream(StreamName=stream)[
+            "StreamDescription"
+        ]["Shards"][0]["ShardId"]
+        c1, c2 = _faithful_split(stream, parent_id)
+        mid = _put(client, stream, 8, "mid")  # routed to the split children
+        off2 = r.latestOffset()
+        seen += self._batch(r, off1, off2)
+        merged = _faithful_merge(stream, c1, c2)
+        post = _put(client, stream, 6, "post")  # routed to the merge child
+        off3 = r.latestOffset()
+        seen += self._batch(r, off2, off3)
+        payloads = [row[0] for row in seen]
+        assert len(payloads) == 19 and set(payloads) == pre | mid | post
+        assert {row[5] for row in seen if row[0] in post} == {merged}
+        # drain to fixpoint, then all three retired shards leave the plan
+        off4 = r.latestOffset()
+        assert self._batch(r, off3, off4) == []
+        off5 = r.latestOffset()
+        polled = {p.shard_id for p in r.partitions(off4, off5)}
+        assert polled == {merged}  # parent, c1, c2 all pruned
+        assert self._batch(r, off4, off5) == []
 
     def test_pruning_survives_restart_via_the_offset(self):
         """The sealed map rides in the checkpointed offset, so a fresh

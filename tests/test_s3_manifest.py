@@ -53,9 +53,37 @@ def _fresh(prefix_rows=None):
     return opts
 
 
+def _batches(rows, chunk: int | None = None):
+    """Rows -> Arrow RecordBatches, the engine's actual task-write input
+    (the writers are DataSourceArrowWriter subclasses)."""
+    import pyarrow as pa
+
+    from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+        _canonical_arrow_schema,
+    )
+
+    aschema = _canonical_arrow_schema(_SCHEMA)
+    rows = list(rows)
+    n = chunk or max(len(rows), 1)
+    out = []
+    for i in range(0, len(rows), n):
+        part = rows[i : i + n]
+        cols = list(zip(*part))
+        out.append(
+            pa.record_batch(
+                [
+                    pa.array(c, type=aschema.field(j).type)
+                    for j, c in enumerate(cols)
+                ],
+                names=[f.name for f in aschema],
+            )
+        )
+    return iter(out)
+
+
 def _write(opts, rows) -> None:
     w = S3ManifestWriter(opts, _SCHEMA, overwrite=False)
-    msgs = [w.write(iter(rows))]
+    msgs = [w.write(_batches(rows))]
     w.commit(msgs)
 
 
@@ -72,7 +100,7 @@ class TestManifestCommitProtocol:
     def test_uncommitted_objects_are_invisible(self):
         opts = _fresh()
         w = S3ManifestWriter(opts, _SCHEMA, overwrite=False)
-        msg = w.write(iter([(1, "a"), (2, "b")]))  # task output, NO commit
+        msg = w.write(_batches([(1, "a"), (2, "b")]))  # task output, NO commit
         assert msg.keys  # the object exists in the store...
         assert _read_rows(opts) == []  # ...but no manifest -> invisible
         w.abort([msg])
@@ -133,7 +161,7 @@ class TestManifestCommitProtocol:
     def test_empty_partition_writes_no_object(self):
         opts = _fresh()
         w = S3ManifestWriter(opts, _SCHEMA, overwrite=False)
-        msg = w.write(iter([]))
+        msg = w.write(_batches([]))
         assert msg.keys == [] and msg.rows == 0
 
     def test_overwrite_mode_rejected(self):
@@ -159,7 +187,6 @@ class TestManifestCommitProtocol:
         # the REAL 5 MB minimum part size (moto enforces EntityTooSmall
         # exactly like S3, so shrinking the part size is not an option)
         monkeypatch.setattr(m, "_PART_SIZE", 5 * 1024 * 1024)
-        monkeypatch.setattr(m, "_CHUNK_ROWS", 1000)
         calls = {"parts": 0}
         real_sink = m._S3MultipartSink
 
@@ -181,7 +208,8 @@ class TestManifestCommitProtocol:
                 h = hashlib.sha256(h.digest())
                 parts.append(h.hexdigest())
             rows.append((i, "".join(parts)))
-        _write(opts, rows)
+        w = m.S3ManifestWriter(opts, _SCHEMA, overwrite=False)
+        w.commit([w.write(_batches(rows, chunk=1000))])
         assert calls["parts"] >= 2  # genuinely multipart
         assert _read_rows(opts) == sorted(rows)
 
@@ -191,18 +219,17 @@ class TestManifestCommitProtocol:
         from spark_kinesis_article_analysis_spark.sources import s3_objects as m
 
         monkeypatch.setattr(m, "_PART_SIZE", 16 * 1024)
-        monkeypatch.setattr(m, "_CHUNK_ROWS", 100)
         opts = _fresh()
         low = {k.lower(): v for k, v in opts.items()}
 
-        def rows():
-            for i in range(300):
-                yield (i, "y" * 200)
+        def batches():
+            for i in range(3):
+                yield from _batches([(i * 100 + j, "y" * 200) for j in range(100)])
             raise RuntimeError("source blew up mid-partition")
 
         w = S3ManifestWriter(opts, _SCHEMA, overwrite=False)
         with pytest.raises(RuntimeError, match="mid-partition"):
-            w.write(rows())
+            w.write(batches())
         client = _s3(low)
         mp = client.list_multipart_uploads(Bucket=opts["bucket"])
         assert not mp.get("Uploads")  # nothing dangling
@@ -346,10 +373,10 @@ class TestStreamingManifestSink:
         low = {k.lower(): v for k, v in opts.items()}
         w = S3ManifestStreamWriter(opts, _SCHEMA)
         # attempt 1 of epoch 0
-        m1 = w.write(iter([(1, "a"), (2, "b")]))
+        m1 = w.write(_batches([(1, "a"), (2, "b")]))
         w.commit([m1], batchId=0)
         # driver dies post-commit, pre-checkpoint; replay re-runs epoch 0
-        m2 = w.write(iter([(1, "a"), (2, "b")]))
+        m2 = w.write(_batches([(1, "a"), (2, "b")]))
         w.commit([m2], batchId=0)
         assert _read_rows(opts) == [(1, "a"), (2, "b")]  # not doubled
         keys = _manifest_keys(_s3(low), low["bucket"], low["prefix"])
@@ -362,7 +389,7 @@ class TestStreamingManifestSink:
 
         opts = _fresh()
         w = S3ManifestStreamWriter(opts, _SCHEMA)
-        msg = w.write(iter([(1, "a")]))
+        msg = w.write(_batches([(1, "a")]))
         w.abort([msg, None], batchId=3)
         client = _s3(w.options)
         listed = client.list_objects_v2(Bucket=opts["bucket"], Prefix="t/data/")

@@ -86,6 +86,17 @@ PROBE = [
     "sketch_countmin_portable",    # d x w folded matrix + broadcast probes
     "seq_pattern_events",          # user-keyed fold-to-string + regex
     "sim_ivf_topk",                # r10: trained centroids + spill assignment
+    # round-10/11 wire-protocol + diagnostics rows (VERDICT r10 #6).
+    # The wire-protocol rows time the WHOLE round trip on first build
+    # (ingest via PutRecords / manifest-committed write, then read) —
+    # conservative: a steady-state read-only ratio would be smaller.
+    "kinesis_api_batch",           # distributed producer -> shard-parallel API read
+    "s3_manifest_roundtrip",       # manifest-committed object sink + read
+    "s3_manifest_snapshot",        # r11: pinned snapshot read across a compaction
+    "diag_key_skew",               # two-level skew diagnostic agg
+    "ts_resample_ohlc",            # bucketed struct-min/max OHLC fold
+    "text_embed_feature_hash",     # hashing-trick embedding fold
+    "agg_hll_exact_regime",        # r11: sketch-bytes union (merge without rescan)
 ]
 
 
