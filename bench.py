@@ -131,6 +131,7 @@ HEADLINE = [
     "stream_wire_end_to_end",     # Kinesis stream read -> parse -> manifest stream sink
     "s3_manifest_snapshot",       # pinned time-travel read across a compaction
     "agg_hll_exact_regime",       # sketch-bytes union, exactness-decidable regime
+    "sim_pq_adc_topk",            # PQ asymmetric-distance search over encoded corpus
 ]
 
 

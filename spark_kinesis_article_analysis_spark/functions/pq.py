@@ -1,0 +1,326 @@
+"""Product quantization (PQ) — the embedding-compression half of the
+100 TB ANN stack, complementing the IVF cell-probe half
+(``functions/similarity.ivf_topk``).
+
+At 100 TB the raw float32 embeddings don't fit hot storage: PQ splits
+each D-dim vector into M subvectors, trains a small codebook per
+subspace, and stores each vector as M one-byte codes — a 32x-256x
+compression whose asymmetric-distance queries (ADC) never decompress
+the corpus. This module implements the classic pipeline (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011) with
+the repo's portability discipline so BOTH stages are value-hash
+verified against DuckDB:
+
+* codebooks: per subspace, deterministic init (``vec_id < PQ_K``
+  subvectors) + ONE Lloyd round — the ``cluster_kmeans_portable``
+  arithmetic (rounded-d2 argmin with cid tiebreak, vec_id-ORDERED
+  0.0-seeded mean folds rounded per dim) applied per subspace. The
+  whole codebook is M x PQ_K x SUBDIM doubles — broadcastable at any
+  corpus size.
+* ``embed_pq_quantize``: every vector encoded map-side against the
+  broadcast codebook (argmin inside one higher-order expression per
+  subspace); emits the code string and the reconstruction error
+  (root of the m-ORDERED fold of per-subspace rounded d2 — float
+  addition order pinned, same engine-portability rule as everywhere).
+* ``sim_pq_adc_topk``: asymmetric distance computation — each query
+  precomputes its distance TABLE to every codebook centroid (Q x M x
+  PQ_K rounded d2 values, tiny, broadcast), then every encoded corpus
+  vector's approximate distance is the m-ordered fold of M table
+  lookups: the scan never touches a float embedding. Top-k per query
+  by (distance, neighbor_id). This is the scan shape FAISS runs over
+  billions of vectors; the candidate set here is the whole corpus —
+  composing with the IVF cells (probe first, ADC within probed cells)
+  is the standard IVFPQ layering and both halves are verified
+  independently.
+
+Scale notes: codebook training shuffles at (m, cluster, pos) grain —
+M x PQ_K x SUBDIM groups, independent of corpus size except the fold
+input; encode is map-only against a broadcast; ADC is one broadcast
+join + one (query, neighbor) aggregation, no pair materialization
+beyond the aggregation's own shuffle. The deterministic ordered folds
+exist to make the arithmetic verifiable — production would use plain
+sum()/avg() and more Lloyd rounds (the documented price-of-determinism
+trade, same as cluster_kmeans_portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.functions.similarity import (
+    EMB_DIM,
+    N_QUERIES,
+    TOP_K,
+    VALID_DIM_SQL,
+)
+from spark_kinesis_article_analysis_spark.registry import register
+
+#: number of subspaces (M) and dims per subspace; EMB_DIM = SUBS * SUBDIM
+SUBS = 8
+SUBDIM = EMB_DIM // SUBS
+
+#: codes per subspace codebook (production uses 256 = one byte; 16 keeps
+#: the testdata's per-cell population trainable)
+PQ_K = 16
+
+
+def _sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): each valid embedding split into SUBS subvectors."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM))
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        )
+    )
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SUBS - 1}), "
+                f"m -> struct(m AS m, slice(v, m * {SUBDIM} + 1, {SUBDIM}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per (vec_id, m): nearest codebook centroid by (rounded d2, cid).
+    The codebook folds to ONE broadcast row; the argmin runs inside a
+    single map-side higher-order expression — no pair-grain rows."""
+    folded = cents.agg(F.collect_list(F.struct("m", "cid", "cent")).alias("cb"))
+    best = F.expr(
+        """array_min(transform(filter(cb, c -> c.m = m), c -> struct(
+               round(aggregate(zip_with(sv, c.cent, (p, q) -> (p - q) * (p - q)),
+                               cast(0.0 as double), (a, x) -> a + x), 6) AS d2,
+               c.cid AS cid)))"""
+    )
+    return (
+        sub.join(F.broadcast(folded))
+        .withColumn("b", best)
+        .filter(F.col("b").isNotNull())  # empty codebook -> drop, both engines
+        .select(
+            "vec_id",
+            "m",
+            "sv",
+            F.col("b.cid").alias("cid"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+
+
+def _codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train the per-subspace codebooks (init + one Lloyd round) and
+    encode the corpus. Returns (codes, codebook) where codes is
+    (vec_id, m, cid, d2) and codebook is (m, cid, cent)."""
+    sub = _sub(spark, sf_dir)
+    c0 = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cent")
+    )
+    a1 = _assign(sub, c0)
+    sums = (
+        a1.select("m", F.col("cid").alias("cluster"), "vec_id", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cluster", "pos")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                        lambda s: s["val"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("*"),
+                6,
+            ).alias("mu")
+        )
+    )
+    c1 = (
+        sums.groupBy("m", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+            ).alias("cent")
+        )
+        .select("m", F.col("cluster").alias("cid"), "cent")
+    )
+    return _assign(sub, c1), c1
+
+
+_D2_SUB_DUCK = (
+    f"round(list_sum(list_transform(generate_series(1, {SUBDIM}), "
+    "i -> (s.sv[i] - c.cent[i]) * (s.sv[i] - c.cent[i]))), 6)"
+)
+
+#: shared training CTEs (DuckDB) — subspace m is a COLUMN, so one
+#: relation covers all M codebooks (no per-subspace SQL repetition)
+_TRAIN_SQL = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND {VALID_DIM_SQL}),
+ms AS (SELECT unnest(generate_series(0, {SUBS - 1})) AS m),
+sub AS (SELECT vec_id, m, v[m * {SUBDIM} + 1 : (m + 1) * {SUBDIM}] AS sv FROM e, ms),
+c0 AS (SELECT m, vec_id AS cid, sv AS cent FROM sub WHERE vec_id < {PQ_K}),
+a1 AS (
+    SELECT vec_id, m, cid, d2 FROM (
+        SELECT s.vec_id, s.m, c.cid, {_D2_SUB_DUCK} AS d2,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_D2_SUB_DUCK}, c.cid) AS rn
+        FROM sub s JOIN c0 c ON s.m = c.m
+    ) WHERE rn = 1
+),
+pts AS (
+    SELECT a.m, a.cid AS cluster, t.pos, s.vec_id, s.sv[t.pos] AS val
+    FROM a1 a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m,
+         LATERAL unnest(generate_series(1, {SUBDIM})) AS t(pos)
+),
+m1 AS (
+    SELECT m, cluster, pos,
+           round(list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                             (x, y) -> x + y) / count(*), 6) AS mu
+    FROM pts GROUP BY m, cluster, pos
+),
+c1 AS (SELECT m, cluster AS cid, list(mu ORDER BY pos) AS cent
+       FROM m1 GROUP BY m, cluster),
+a2 AS (
+    SELECT vec_id, m, cid, d2 FROM (
+        SELECT s.vec_id, s.m, c.cid, {_D2_SUB_DUCK} AS d2,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_D2_SUB_DUCK}, c.cid) AS rn
+        FROM sub s JOIN c1 c ON s.m = c.m
+    ) WHERE rn = 1
+)"""
+
+
+@register(
+    "embed_pq_quantize",
+    oracle=f"""
+WITH {_TRAIN_SQL}
+SELECT vec_id,
+       string_agg(cid::VARCHAR, '-' ORDER BY m)                   AS codes,
+       round(sqrt(list_reduce(list_prepend(0.0, list(d2 ORDER BY m)),
+                              (x, y) -> x + y)), 6)               AS recon_err
+FROM a2 GROUP BY vec_id
+""",
+    tags=("embedding", "quantization", "pq", "ann", "north-star", "portable-twin"),
+    doc=(
+        "Product quantization encode: per-subspace codebooks (vec_id<K "
+        "init + one portable Lloyd round, the cluster_kmeans_portable "
+        "arithmetic per subspace), then every vector encoded map-side "
+        "against the broadcast M x K codebook into M codes plus the "
+        "reconstruction error (m-ordered fold). 32x+ compression whose "
+        "encoded form sim_pq_adc_topk searches without decompression — "
+        "the storage half of a FAISS-style IVFPQ stack, value-hash "
+        "verified stage for stage."
+    ),
+)
+def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes, _ = _codebook(spark, sf_dir)
+    return codes.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s["cid"].cast("string"),
+            ),
+            "-",
+        ).alias("codes"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("m", "d2"))),
+                        lambda s: s["d2"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            6,
+        ).alias("recon_err"),
+    )
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=f"""
+WITH {_TRAIN_SQL},
+qsub AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < {N_QUERIES}),
+dt AS (
+    SELECT s.query_id, s.m, c.cid, {_D2_SUB_DUCK} AS qd2
+    FROM qsub s JOIN c1 c ON s.m = c.m
+),
+db AS (SELECT vec_id AS neighbor_id, m, cid FROM a2 WHERE vec_id >= {N_QUERIES}),
+adc AS (
+    SELECT dt.query_id, db.neighbor_id,
+           round(sqrt(list_reduce(list_prepend(0.0, list(dt.qd2 ORDER BY db.m)),
+                                  (x, y) -> x + y)), 6) AS adc_dist
+    FROM db JOIN dt ON db.m = dt.m AND db.cid = dt.cid
+    GROUP BY dt.query_id, db.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rn
+    FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= {TOP_K}
+""",
+    tags=("similarity", "topk", "pq", "adc", "ann", "north-star"),
+    doc=(
+        "Asymmetric distance computation over the PQ-encoded corpus: each "
+        "query precomputes its rounded-d2 table to every codebook "
+        "centroid (Q x M x K values, broadcast), and each corpus vector's "
+        "approximate distance is the m-ordered fold of M table lookups — "
+        "the scan never touches a raw embedding. Top-k per query on "
+        "(distance, neighbor_id). This is the query half of IVFPQ: at "
+        "100 TB compose it behind sim_ivf_topk's probed cells and the "
+        "scan cost is candidates x M byte lookups."
+    ),
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes, c1 = _codebook(spark, sf_dir)
+    sub = _sub(spark, sf_dir)
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sv"
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.expr("zip_with(sv, cent, (p, q) -> (p - q) * (p - q))"),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    dt = qsub.join(F.broadcast(c1), "m").select("query_id", "m", "cid", d2.alias("qd2"))
+    db = codes.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "cid"
+    )
+    adc = (
+        db.join(F.broadcast(dt), ["m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("m", "qd2"))),
+                            lambda s: s["qd2"],
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ),
+                6,
+            ).alias("adc_dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )

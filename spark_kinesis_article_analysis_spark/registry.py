@@ -239,6 +239,11 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         stream_wire,
     )
+    # Round-11 batch 2: product quantization (codebooks + ADC search) —
+    # the embedding-compression half of the ANN stack. New module.
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        pq,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -292,6 +297,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "s3_snapshot.py",
     "sketch_exact.py",
     "stream_wire.py",
+    "pq.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -382,6 +382,27 @@ class TestScaleOpsPlanShape:
         assert "Window" not in plan, plan
         assert inspect.has_broadcast_join(df), plan
 
+    def test_pq_encode_is_broadcast_assign(self, spark):
+        """PQ encode mirrors the kmeans posture: the M x K codebook folds
+        to one broadcast row and every subvector picks its code map-side
+        — no pair-grain window; corpus-grain exchanges are only the
+        codebook-update and per-vector code aggregations."""
+        df = SPECS["embed_pq_quantize"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "Window" not in plan, plan
+        assert inspect.has_broadcast_join(df), plan
+
+    def test_pq_adc_scan_is_broadcast_lookup(self, spark):
+        """ADC search: the per-query distance tables broadcast to the
+        encoded-corpus scan (a hash join on (m, cid) — byte-code lookup,
+        never a raw-embedding pair product); the only corpus-grain
+        window is the final bounded top-k."""
+        df = SPECS["sim_pq_adc_topk"].build(spark, SF_CORRECTNESS)
+        plan = inspect.explain_str(df)
+        assert "CartesianProduct" not in plan, plan
+        assert inspect.has_broadcast_join(df), plan
+
     def test_simhash_is_map_only(self, spark):
         """r5 rewrite: the signature is computed in the scan that reads the
         document (per-bit folds over the hashed distinct-token array) —
