@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from spark_kinesis_article_analysis_spark.catalog import load
 from spark_kinesis_article_analysis_spark.functions.similarity import (
     EMB_DIM,
+    IVF_TRAIN_CTES,
     N_QUERIES,
     TOP_K,
     VALID_DIM_SQL,
@@ -160,38 +161,38 @@ _D2_SUB_DUCK = (
 #: shared training CTEs (DuckDB) — subspace m is a COLUMN, so one
 #: relation covers all M codebooks (no per-subspace SQL repetition)
 _TRAIN_SQL = f"""
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+pqe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       WHERE embedding IS NOT NULL AND {VALID_DIM_SQL}),
-ms AS (SELECT unnest(generate_series(0, {SUBS - 1})) AS m),
-sub AS (SELECT vec_id, m, v[m * {SUBDIM} + 1 : (m + 1) * {SUBDIM}] AS sv FROM e, ms),
-c0 AS (SELECT m, vec_id AS cid, sv AS cent FROM sub WHERE vec_id < {PQ_K}),
-a1 AS (
+pms AS (SELECT unnest(generate_series(0, {SUBS - 1})) AS m),
+psub AS (SELECT vec_id, m, v[m * {SUBDIM} + 1 : (m + 1) * {SUBDIM}] AS sv FROM pqe, pms),
+pc0 AS (SELECT m, vec_id AS cid, sv AS cent FROM psub WHERE vec_id < {PQ_K}),
+pa1 AS (
     SELECT vec_id, m, cid, d2 FROM (
         SELECT s.vec_id, s.m, c.cid, {_D2_SUB_DUCK} AS d2,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                                   ORDER BY {_D2_SUB_DUCK}, c.cid) AS rn
-        FROM sub s JOIN c0 c ON s.m = c.m
+        FROM psub s JOIN pc0 c ON s.m = c.m
     ) WHERE rn = 1
 ),
-pts AS (
+ppts AS (
     SELECT a.m, a.cid AS cluster, t.pos, s.vec_id, s.sv[t.pos] AS val
-    FROM a1 a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m,
+    FROM pa1 a JOIN psub s ON a.vec_id = s.vec_id AND a.m = s.m,
          LATERAL unnest(generate_series(1, {SUBDIM})) AS t(pos)
 ),
-m1 AS (
+pm1 AS (
     SELECT m, cluster, pos,
            round(list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
                              (x, y) -> x + y) / count(*), 6) AS mu
-    FROM pts GROUP BY m, cluster, pos
+    FROM ppts GROUP BY m, cluster, pos
 ),
-c1 AS (SELECT m, cluster AS cid, list(mu ORDER BY pos) AS cent
-       FROM m1 GROUP BY m, cluster),
-a2 AS (
+pc1 AS (SELECT m, cluster AS cid, list(mu ORDER BY pos) AS cent
+       FROM pm1 GROUP BY m, cluster),
+pa2 AS (
     SELECT vec_id, m, cid, d2 FROM (
         SELECT s.vec_id, s.m, c.cid, {_D2_SUB_DUCK} AS d2,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                                   ORDER BY {_D2_SUB_DUCK}, c.cid) AS rn
-        FROM sub s JOIN c1 c ON s.m = c.m
+        FROM psub s JOIN pc1 c ON s.m = c.m
     ) WHERE rn = 1
 )"""
 
@@ -204,7 +205,7 @@ SELECT vec_id,
        string_agg(cid::VARCHAR, '-' ORDER BY m)                   AS codes,
        round(sqrt(list_reduce(list_prepend(0.0, list(d2 ORDER BY m)),
                               (x, y) -> x + y)), 6)               AS recon_err
-FROM a2 GROUP BY vec_id
+FROM pa2 GROUP BY vec_id
 """,
     tags=("embedding", "quantization", "pq", "ann", "north-star", "portable-twin"),
     doc=(
@@ -248,12 +249,12 @@ def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pq_adc_topk",
     oracle=f"""
 WITH {_TRAIN_SQL},
-qsub AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < {N_QUERIES}),
+qsub AS (SELECT vec_id AS query_id, m, sv FROM psub WHERE vec_id < {N_QUERIES}),
 dt AS (
     SELECT s.query_id, s.m, c.cid, {_D2_SUB_DUCK} AS qd2
-    FROM qsub s JOIN c1 c ON s.m = c.m
+    FROM qsub s JOIN pc1 c ON s.m = c.m
 ),
-db AS (SELECT vec_id AS neighbor_id, m, cid FROM a2 WHERE vec_id >= {N_QUERIES}),
+db AS (SELECT vec_id AS neighbor_id, m, cid FROM pa2 WHERE vec_id >= {N_QUERIES}),
 adc AS (
     SELECT dt.query_id, db.neighbor_id,
            round(sqrt(list_reduce(list_prepend(0.0, list(dt.qd2 ORDER BY db.m)),
@@ -301,6 +302,135 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = (
         db.join(F.broadcast(dt), ["m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("m", "qd2"))),
+                            lambda s: s["qd2"],
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ),
+                6,
+            ).alias("adc_dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+
+
+
+
+_IVFPQ_ORACLE = f"""
+WITH {IVF_TRAIN_CTES},
+cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assigned a
+      ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+),
+{_TRAIN_SQL},
+qsub AS (SELECT vec_id AS query_id, m, sv FROM psub WHERE vec_id < {N_QUERIES}),
+dt AS (
+    SELECT s.query_id, s.m, c.cid, {_D2_SUB_DUCK} AS qd2
+    FROM qsub s JOIN pc1 c ON s.m = c.m
+),
+adc AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(sqrt(list_reduce(list_prepend(0.0, list(dt.qd2 ORDER BY db.m)),
+                                  (x, y) -> x + y)), 6) AS adc_dist
+    FROM cand
+    JOIN pa2 db ON db.vec_id = cand.neighbor_id
+    JOIN dt ON dt.query_id = cand.query_id AND dt.m = db.m AND dt.cid = db.cid
+    GROUP BY cand.query_id, cand.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS rn
+    FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    tags=("similarity", "topk", "ivf", "pq", "adc", "ann", "north-star"),
+    doc=(
+        "The composed IVFPQ stack — the exact layering FAISS runs over "
+        "billion-vector corpora: candidate generation by IVF multiprobe "
+        "(the trained cells, multi-assignment, and probe semantics of "
+        "sim_ivf_topk, byte-one shared SQL), then scoring by PQ "
+        "asymmetric distance over the ENCODED corpus (broadcast per-query "
+        "distance tables, M byte-code lookups per candidate — no raw "
+        "embedding touched after the probe step). Scan cost is "
+        "O(NPROBE * NASSIGN * N/K * M) table lookups vs the brute-force "
+        "O(N * D) float ops. Candidate recall is sim_ivf_topk's measured "
+        "curve; within candidates the ranking is the PQ approximation "
+        "(cells by cosine, ADC by L2 — the standard mixed-metric IVFPQ "
+        "pragmatic, documented here). Value-hash exact vs the composed "
+        "DuckDB oracle: the IVF CTEs and PQ CTEs are the SAME strings "
+        "the two component specs verify, joined by the candidate set."
+    ),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import sqrt as _sqrt
+
+    from spark_kinesis_article_analysis_spark.functions.similarity import (
+        IVF_NASSIGN,
+        IVF_NPROBE,
+        _emb_nonzero,
+        _ivf_top_cells,
+        _ivf_trained_cents,
+        dot,
+    )
+
+    e = _emb_nonzero(spark, sf_dir).withColumn("nrm", _sqrt(dot(F.col("emb"), F.col("emb"))))
+    cents = _ivf_trained_cents(e)
+    assigned = e.join(F.broadcast(cents)).select(
+        "vec_id", F.explode(_ivf_top_cells(IVF_NASSIGN)).alias("centroid_id")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(_ivf_top_cells(IVF_NPROBE)).alias("centroid_id"),
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    codes, c1 = _codebook(spark, sf_dir)
+    sub = _sub(spark, sf_dir)
+    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sv"
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.expr("zip_with(sv, cent, (p, q) -> (p - q) * (p - q))"),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    dt = qsub.join(F.broadcast(c1), "m").select("query_id", "m", "cid", d2.alias("qd2"))
+    db = codes.select(F.col("vec_id").alias("neighbor_id"), "m", "cid")
+    adc = (
+        cand.join(db, "neighbor_id")
+        .join(F.broadcast(dt), ["query_id", "m", "cid"])
         .groupBy("query_id", "neighbor_id")
         .agg(
             F.round(

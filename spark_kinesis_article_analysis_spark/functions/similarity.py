@@ -257,10 +257,13 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ivf_topk",
-    oracle=f"""
-WITH e AS (
+#: The IVF training/index/probe CTEs, factored so the IVFPQ composition
+#: (functions/pq.py: sim_ivfpq_topk) reuses the EXACT same trained
+#: cells, multi-assignment, and probe semantics as sim_ivf_topk —
+#: byte-one source of truth, no copy to drift. Defines: e, seeds, a1,
+#: m1, cent, assigned (corpus x IVF_NASSIGN cells), probes
+#: (queries x IVF_NPROBE cells).
+IVF_TRAIN_CTES = f"""e AS (
     SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE {NONZERO_SQL}
 ),
 seeds AS (
@@ -311,7 +314,13 @@ probes AS (
         WHERE e.vec_id < {N_QUERIES}
           AND {NONZERO_SQL.replace("embedding", "e.embedding")}
     ) WHERE rn <= {IVF_NPROBE}
-),
+)"""
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH {IVF_TRAIN_CTES},
 scored AS (
     SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
            round(list_cosine_similarity(p.qe, a.emb), 6) AS cosine
