@@ -176,6 +176,19 @@ def _ivf_recall_curve(spark, specs) -> dict[str, float]:
         ivf = ivf_topk(spark, SF_DIR, nprobe=nprobe).select("query_id", "neighbor_id")
         hits = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
         curve[str(nprobe)] = round(hits / total, 4)
+    # the PQ pair: quantization-dominated on this isotropic synthetic
+    # corpus (r11 measured 0.28 for both, and identically against an
+    # exact-L2 baseline — the loss is the 16-cell/8-dim codebooks, not
+    # the probe step or the cosine/L2 metric mix; PQ needs cluster
+    # structure real embeddings have). Recorded per round so a codebook
+    # change shows up as a recall move, not a silent trade.
+    for name in ("sim_pq_adc_topk", "sim_ivfpq_topk"):
+        if total:
+            approx = specs[name].build(spark, SF_DIR).select("query_id", "neighbor_id")
+            hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+            curve[name] = round(hits / total, 4)
+        else:
+            curve[name] = 1.0
     return curve
 
 
