@@ -1,0 +1,240 @@
+"""Language-model-adjacent corpus operators: bigram LM quality scoring
+and BPE tokenizer training — the next rungs above ``text_unigram_logprob``
+on the CCNet-style data-quality ladder.
+
+* ``text_bigram_logprob`` — per-document mean log P(w_i | w_{i-1})
+  under the corpus's own add-k-smoothed bigram model. The full KenLM
+  filter is an n-gram LM with backoff; the bigram core captures the
+  signal's shape (boilerplate scores high, shuffled-word salad that
+  fools a unigram model scores LOW — exactly what the unigram spec
+  can't see) while staying exactly SQL-mirrorable. Value-hash exact.
+* ``text_bpe_train_encode`` — byte-pair-encoding merge training ON THE
+  CORPUS (Sennrich et al. 2016, the tokenizer-training shape): start
+  from characters, repeatedly take the corpus-wide most frequent
+  adjacent token pair (count DESC, pair ASC) and merge it everywhere,
+  for BPE_MERGES rounds; encode every document with the trained merges
+  and report the per-document compression. Rows-only: the greedy
+  left-to-right in-array merge is a sequential carry fold — Spark's
+  ``aggregate`` HOF expresses it (struct accumulator), DuckDB's
+  ``list_reduce`` cannot (accumulator must be element-typed), so there
+  is no honest SQL oracle; instead ``tests/test_lm.py`` checks the
+  trained merge table and every encoding EXACTLY against an
+  independent pure-Python BPE reference, plus the reconstruction
+  invariant (concat(tokens) == word at every round).
+
+Scale notes: the bigram model is two corpus-grain exchanges (bigram
+counts, unigram counts) with the scoring join AQE-skew-splittable on
+hot pairs — same posture as text_unigram_logprob. BPE training runs at
+WORD-TYPE grain (the classic weighting trick: distinct words carry
+their corpus frequency), so per-round state is the vocabulary, not the
+corpus; each round is one pair-count aggregation over the vocab plus a
+map-side merge fold, and the driver sees exactly ONE (pair, count) row
+per round — the same bounded-driver contract as the BFS/label-prop
+loops. Encoding the corpus afterwards is one broadcast-join of docs'
+words against the (small) trained vocab.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.registry import register
+
+#: add-k smoothing constant for the bigram model (Lidstone; 0.5 =
+#: Jeffreys-Perks). Keeps unseen continuations finite without a backoff
+#: table — the right simplification for an exactly-mirrorable oracle.
+BIGRAM_K = 0.5
+
+#: BPE merge rounds. Small because every round is exact on both the
+#: Spark side and the pytest reference; production would run 30k+.
+BPE_MERGES = 6
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=rf"""
+WITH docs AS (
+    SELECT doc_id, string_split_regex(text, '[ \t\n\x0b\f\r]+') AS toks FROM documents
+),
+uni AS (
+    SELECT t.term, CAST(count(*) AS DOUBLE) AS ca
+    FROM docs, LATERAL unnest(toks) AS t(term) GROUP BY t.term
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM uni),
+big AS (
+    SELECT doc_id, pr[1] AS a, pr[2] AS b
+    FROM (SELECT doc_id, unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS pr
+          FROM docs WHERE len(toks) >= 2)
+),
+bc AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS cab FROM big GROUP BY a, b)
+SELECT big.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((bc.cab + {BIGRAM_K}) / (uni.ca + {BIGRAM_K} * v.vsize))), 6)
+           AS avg_bigram_logprob
+FROM big
+JOIN bc  ON big.a = bc.a AND big.b = bc.b
+JOIN uni ON big.a = uni.term, v
+GROUP BY big.doc_id
+""",
+    tags=("text", "quality", "lm", "bigram", "north-star"),
+    doc=(
+        "Bigram language-model quality score: per-document mean "
+        "log P(w_i | w_{i-1}) under the corpus's own add-k-smoothed "
+        "bigram distribution (k=0.5, vocabulary-size normalizer). "
+        "Catches what the unigram filter can't: word salad built from "
+        "common tokens scores LOW because its transitions are rare even "
+        "though its unigrams are frequent. Two corpus-grain exchanges "
+        "(bigram + unigram counts); the scoring join is skew-splittable "
+        "on hot pairs; the vocabulary size rides a 1-row broadcast."
+    ),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", r"\s+").alias("toks")
+    )
+    big = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), "
+                "slice(toks, 2, size(toks) - 1), "
+                "(x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    uni = (
+        d.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("ca"))
+    )
+    vsize = uni.agg(F.count("*").cast("double").alias("vsize"))
+    bc = big.groupBy("a", "b").agg(F.count("*").cast("double").alias("cab"))
+    scored = (
+        big.join(bc, ["a", "b"])
+        .join(uni.withColumnRenamed("term", "a"), "a")
+        .crossJoin(F.broadcast(vsize))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            F.avg(F.log((F.col("cab") + BIGRAM_K) / (F.col("ca") + BIGRAM_K * F.col("vsize")))),
+            6,
+        ).alias("avg_bigram_logprob"),
+    )
+
+
+def _merge_pair_expr(col: str, a: str, b: str, merged: str) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of the adjacent pair
+    (a, b) inside the token array ``col`` — the BPE apply step, as ONE
+    sequential carry fold (aggregate HOF with a struct accumulator:
+    ``prev`` holds the pending token; matching (prev, t) emits the
+    merged symbol and clears the carry, so "aaa" under (a,a) becomes
+    ["aa","a"], the BPE-standard greedy semantics)."""
+    qa, qb, qm = (s.replace("\\", "\\\\").replace("'", "\\'") for s in (a, b, merged))
+    return F.expr(
+        f"""aggregate(
+            {col},
+            named_struct('out', cast(array() as array<string>), 'prev', cast(null as string)),
+            (acc, t) -> CASE
+                WHEN acc.prev IS NOT NULL AND acc.prev = '{qa}' AND t = '{qb}'
+                    THEN named_struct('out', array_append(acc.out, '{qm}'),
+                                      'prev', cast(null as string))
+                WHEN acc.prev IS NULL THEN named_struct('out', acc.out, 'prev', t)
+                ELSE named_struct('out', array_append(acc.out, acc.prev), 'prev', t)
+            END,
+            acc -> CASE WHEN acc.prev IS NULL THEN acc.out
+                        ELSE array_append(acc.out, acc.prev) END)"""
+    )
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, merges: int = BPE_MERGES
+) -> tuple[DataFrame, list[tuple[str, str, str, int]]]:
+    """Train ``merges`` BPE rounds on the documents corpus at word-type
+    grain. Returns (vocab, merge_table) where vocab is
+    (word, freq, toks) after all merges and merge_table rows are
+    (left, right, merged, weighted_count) in training order.
+
+    Driver contract: ONE aggregated (pair, count) row crosses to the
+    driver per round — the vocabulary itself stays distributed (and is
+    lazily checkpointed per round so round r+1's plan doesn't replay
+    rounds 1..r)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", r"\s+")).alias("word")).filter(
+        F.length("word") > 0
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "toks",
+            F.expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    table: list[tuple[str, str, str, int]] = []
+    for _ in range(merges):
+        pairs = vocab.filter(F.size("toks") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1), "
+                    "(x, y) -> struct(x AS a, y AS b))"
+                )
+            ).alias("pr"),
+        )
+        top = (
+            pairs.groupBy("pr.a", "pr.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged — nothing adjacent remains
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merged = a + b
+        table.append((a, b, merged, cnt))
+        vocab = vocab.withColumn(
+            "toks", _merge_pair_expr("toks", a, b, merged)
+        ).localCheckpoint(eager=False)
+    return vocab, table
+
+
+@register(
+    "text_bpe_train_encode",
+    oracle=None,  # greedy in-array merging is a sequential carry fold —
+    # inexpressible in DuckDB SQL (list_reduce accumulators must be
+    # element-typed); exact differential check vs a pure-Python BPE
+    # reference + reconstruction invariants live in tests/test_lm.py.
+    tags=("text", "tokenizer", "bpe", "north-star"),
+    doc=(
+        "BPE tokenizer training on the corpus: BPE_MERGES rounds of "
+        "take-the-most-frequent-adjacent-pair (count DESC, pair ASC "
+        "tie-break) over the word-type vocabulary, each merge applied "
+        "as a map-side greedy carry fold; documents are then encoded "
+        "with the trained merges. Emits per-document char count, "
+        "encoded token count, and compression ratio. Training state is "
+        "the vocabulary (word types), not the corpus; one scalar "
+        "(pair, count) reaches the driver per round — the bounded-"
+        "driver iterative contract shared with the BFS/label-prop ops."
+    ),
+)
+def text_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab, _ = bpe_train(spark, sf_dir)
+    enc = vocab.select("word", F.size("toks").alias("n_toks"))
+    d = load(spark, sf_dir, "documents")
+    doc_words = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    joined = doc_words.join(F.broadcast(enc), "word")
+    return joined.groupBy("doc_id").agg(
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum(F.length("word")) / F.sum("n_toks"), 6
+        ).alias("chars_per_token"),
+    )

@@ -244,6 +244,11 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         pq,
     )
+    # Round-11 batch 3: bigram LM quality scoring + BPE tokenizer
+    # training. New module.
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        lm,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -298,6 +303,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "sketch_exact.py",
     "stream_wire.py",
     "pq.py",
+    "lm.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -97,6 +97,9 @@ PROBE = [
     "ts_resample_ohlc",            # bucketed struct-min/max OHLC fold
     "text_embed_feature_hash",     # hashing-trick embedding fold
     "agg_hll_exact_regime",        # r11: sketch-bytes union (merge without rescan)
+    "embed_pq_quantize",           # r11: per-subspace codebook train + broadcast encode
+    "sim_ivfpq_topk",              # r11: probe -> ADC over encoded candidates
+    "stream_wire_end_to_end",      # r11: streaming wire round trip (first-build ingest incl.)
 ]
 
 
