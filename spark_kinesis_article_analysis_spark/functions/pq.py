@@ -8,18 +8,23 @@ subspace, and stores each vector as M one-byte codes — a 32x-256x
 compression whose asymmetric-distance queries (ADC) never decompress
 the corpus. This module implements the classic pipeline (Jégou et al.,
 "Product Quantization for Nearest Neighbor Search", TPAMI 2011) with
-the repo's portability discipline so BOTH stages are value-hash
+the repo's portability discipline so every stage is value-hash
 verified against DuckDB:
 
 * codebooks: per subspace, deterministic init (``vec_id < PQ_K``
-  subvectors) + ONE Lloyd round — the ``cluster_kmeans_portable``
-  arithmetic (rounded-d2 argmin with cid tiebreak, vec_id-ORDERED
-  0.0-seeded mean folds rounded per dim) applied per subspace. The
-  whole codebook is M x PQ_K x SUBDIM doubles — broadcastable at any
-  corpus size.
-* ``embed_pq_quantize``: every vector encoded map-side against the
-  broadcast codebook (argmin inside one higher-order expression per
-  subspace); emits the code string and the reconstruction error
+  subvectors) + ONE Lloyd round over a deterministic
+  ``vec_id % PQ_TRAIN_STRIDE == 0`` subsample — the
+  ``cluster_kmeans_portable`` arithmetic (rounded-d2 argmin with cid
+  tiebreak, vec_id-ORDERED 0.0-seeded mean folds rounded per dim)
+  applied per subspace, and the same train-on-sample /
+  encode-full-corpus split the IVF path uses (at 100 TB the sample is
+  a fixed-size reservoir; codebook quality needs sample coverage, not
+  corpus coverage). The whole codebook is M x PQ_K x SUBDIM doubles —
+  broadcastable at any corpus size.
+* ``embed_pq_quantize``: the full corpus encoded MAP-SIDE against the
+  broadcast codebook — all M argmins evaluate inside one higher-order
+  expression per vector (no per-subspace row explosion, no encode
+  shuffle at all); emits the code string and the reconstruction error
   (root of the m-ORDERED fold of per-subspace rounded d2 — float
   addition order pinned, same engine-portability rule as everywhere).
 * ``sim_pq_adc_topk``: asymmetric distance computation — each query
@@ -27,20 +32,21 @@ verified against DuckDB:
   PQ_K rounded d2 values, tiny, broadcast), then every encoded corpus
   vector's approximate distance is the m-ordered fold of M table
   lookups: the scan never touches a float embedding. Top-k per query
-  by (distance, neighbor_id). This is the scan shape FAISS runs over
-  billions of vectors; the candidate set here is the whole corpus —
-  composing with the IVF cells (probe first, ADC within probed cells)
-  is the standard IVFPQ layering and both halves are verified
-  independently.
+  by (distance, neighbor_id).
+* ``sim_ivfpq_topk``: the composed stack — IVF multiprobe candidate
+  generation (sharing ``similarity.IVF_TRAIN_CTES`` byte-for-byte)
+  then ADC scoring over the encoded candidates; the FAISS
+  billion-vector layering, verified end to end.
 
-Scale notes: codebook training shuffles at (m, cluster, pos) grain —
-M x PQ_K x SUBDIM groups, independent of corpus size except the fold
-input; encode is map-only against a broadcast; ADC is one broadcast
-join + one (query, neighbor) aggregation, no pair materialization
-beyond the aggregation's own shuffle. The deterministic ordered folds
-exist to make the arithmetic verifiable — production would use plain
-sum()/avg() and more Lloyd rounds (the documented price-of-determinism
-trade, same as cluster_kmeans_portable).
+Scale notes: training shuffles at (m, cluster, pos) grain over the
+subsample; encode is a zero-exchange map stage against a broadcast;
+ADC is one broadcast join + one (query, neighbor) aggregation. The
+deterministic ordered folds exist to make the arithmetic verifiable —
+production would use plain sum()/avg() and more Lloyd rounds (the
+documented price-of-determinism trade, same as cluster_kmeans_portable).
+Measured quality is recorded every round by bench.py (recall@5 = 0.28
+at M=8/K=16 on the deliberately isotropic synthetic corpus — see
+SCALE.md round 11 for why that is the PQ-theoretical worst case).
 """
 
 from __future__ import annotations
@@ -67,10 +73,15 @@ SUBDIM = EMB_DIM // SUBS
 #: the testdata's per-cell population trainable)
 PQ_K = 16
 
+#: Lloyd-round training subsample stride (same value as the IVF side's
+#: IVF_TRAIN_STRIDE): the codebook update runs over every STRIDE-th
+#: vector — train-on-sample, encode-full-corpus.
+PQ_TRAIN_STRIDE = 5
 
-def _sub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, sv): each valid embedding split into SUBS subvectors."""
-    e = (
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v): schema-valid embeddings as double arrays."""
+    return (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM))
         .select(
@@ -78,7 +89,13 @@ def _sub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         )
     )
-    return e.select(
+
+
+def _sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): each valid embedding split into SUBS subvectors
+    — the TRAINING grain (per-subspace clustering needs subspace rows);
+    encoding never takes this shape, see :func:`_encoded`."""
+    return _vecs(spark, sf_dir).select(
         "vec_id",
         F.explode(
             F.expr(
@@ -114,17 +131,23 @@ def _assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Train the per-subspace codebooks (init + one Lloyd round) and
-    encode the corpus. Returns (codes, codebook) where codes is
-    (vec_id, m, cid, d2) and codebook is (m, cid, cent)."""
+def _trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, cid, cent): per-subspace codebooks — deterministic init from
+    the ``vec_id < PQ_K`` subvectors, one Lloyd round over the
+    ``vec_id % PQ_TRAIN_STRIDE == 0`` subsample."""
     sub = _sub(spark, sf_dir)
     c0 = sub.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cent")
     )
-    a1 = _assign(sub, c0)
+    train = sub.filter(F.col("vec_id") % PQ_TRAIN_STRIDE == 0)
+    a1 = _assign(train, c0)
     sums = (
-        a1.select("m", F.col("cid").alias("cluster"), "vec_id", F.posexplode("sv").alias("pos", "val"))
+        a1.select(
+            "m",
+            F.col("cid").alias("cluster"),
+            "vec_id",
+            F.posexplode("sv").alias("pos", "val"),
+        )
         .groupBy("m", "cluster", "pos")
         .agg(
             F.round(
@@ -141,7 +164,7 @@ def _codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             ).alias("mu")
         )
     )
-    c1 = (
+    return (
         sums.groupBy("m", "cluster")
         .agg(
             F.transform(
@@ -149,8 +172,41 @@ def _codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             ).alias("cent")
         )
         .select("m", F.col("cluster").alias("cid"), "cent")
+        # LAZY lineage cut (the _ivf_trained_cents pattern): the trained
+        # codebook is M x PQ_K rows but its subtree is sample-grain
+        # clustering; ADC consumers broadcast it TWICE (encode side +
+        # distance-table side) and without the barrier each broadcast
+        # replays the whole training.
+        .localCheckpoint(eager=False)
     )
-    return _assign(sub, c1), c1
+
+
+#: encode-one-vector expression: all M per-subspace argmins inside one
+#: higher-order expression over the folded broadcast codebook — array
+#: element m is struct(d2, cid) for subspace m (m-ordered by
+#: construction: sequence(0, M-1)).
+_ENCODE_EXPR = f"""transform(sequence(0, {SUBS - 1}), m ->
+    array_min(transform(filter(cb, c -> c.m = m), c -> struct(
+        round(aggregate(zip_with(slice(v, m * {SUBDIM} + 1, {SUBDIM}), c.cent,
+                                 (p, q) -> (p - q) * (p - q)),
+                        cast(0.0 as double), (a, x) -> a + x), 6) AS d2,
+        c.cid AS cid))))"""
+
+
+def _encoded(spark: SparkSession, sf_dir: str, codebook: DataFrame) -> DataFrame:
+    """(vec_id, arr): the full corpus encoded map-side — arr[m] =
+    struct(d2, cid) for subspace m. ZERO exchanges beyond the codebook
+    broadcast: this is the stage that runs over 100 TB, and it is a
+    pure map. Vectors with any unencodable subspace (empty codebook —
+    degenerate corpora only) drop, mirroring the oracle's inner join."""
+    folded = codebook.agg(F.collect_list(F.struct("m", "cid", "cent")).alias("cb"))
+    return (
+        _vecs(spark, sf_dir)
+        .join(F.broadcast(folded))
+        .withColumn("arr", F.expr(_ENCODE_EXPR))
+        .filter(~F.exists("arr", lambda x: x.isNull()))
+        .select("vec_id", "arr")
+    )
 
 
 _D2_SUB_DUCK = (
@@ -159,24 +215,27 @@ _D2_SUB_DUCK = (
 )
 
 #: shared training CTEs (DuckDB) — subspace m is a COLUMN, so one
-#: relation covers all M codebooks (no per-subspace SQL repetition)
+#: relation covers all M codebooks (no per-subspace SQL repetition);
+#: pq-prefixed names so the IVFPQ composition can inline the IVF CTEs
+#: alongside without collision
 _TRAIN_SQL = f"""
 pqe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       WHERE embedding IS NOT NULL AND {VALID_DIM_SQL}),
 pms AS (SELECT unnest(generate_series(0, {SUBS - 1})) AS m),
 psub AS (SELECT vec_id, m, v[m * {SUBDIM} + 1 : (m + 1) * {SUBDIM}] AS sv FROM pqe, pms),
 pc0 AS (SELECT m, vec_id AS cid, sv AS cent FROM psub WHERE vec_id < {PQ_K}),
+ptrain AS (SELECT * FROM psub WHERE vec_id % {PQ_TRAIN_STRIDE} = 0),
 pa1 AS (
     SELECT vec_id, m, cid, d2 FROM (
         SELECT s.vec_id, s.m, c.cid, {_D2_SUB_DUCK} AS d2,
                row_number() OVER (PARTITION BY s.vec_id, s.m
                                   ORDER BY {_D2_SUB_DUCK}, c.cid) AS rn
-        FROM psub s JOIN pc0 c ON s.m = c.m
+        FROM ptrain s JOIN pc0 c ON s.m = c.m
     ) WHERE rn = 1
 ),
 ppts AS (
     SELECT a.m, a.cid AS cluster, t.pos, s.vec_id, s.sv[t.pos] AS val
-    FROM pa1 a JOIN psub s ON a.vec_id = s.vec_id AND a.m = s.m,
+    FROM pa1 a JOIN ptrain s ON a.vec_id = s.vec_id AND a.m = s.m,
          LATERAL unnest(generate_series(1, {SUBDIM})) AS t(pos)
 ),
 pm1 AS (
@@ -210,9 +269,11 @@ FROM pa2 GROUP BY vec_id
     tags=("embedding", "quantization", "pq", "ann", "north-star", "portable-twin"),
     doc=(
         "Product quantization encode: per-subspace codebooks (vec_id<K "
-        "init + one portable Lloyd round, the cluster_kmeans_portable "
-        "arithmetic per subspace), then every vector encoded map-side "
-        "against the broadcast M x K codebook into M codes plus the "
+        "init + one portable Lloyd round over the stride subsample — the "
+        "cluster_kmeans_portable arithmetic per subspace), then the FULL "
+        "corpus encoded in a zero-exchange map stage against the "
+        "broadcast M x K codebook: all M argmins inside one higher-order "
+        "expression per vector, emitting the code string plus the "
         "reconstruction error (m-ordered fold). 32x+ compression whose "
         "encoded form sim_pq_adc_topk searches without decompression — "
         "the storage half of a FAISS-style IVFPQ stack, value-hash "
@@ -220,22 +281,16 @@ FROM pa2 GROUP BY vec_id
     ),
 )
 def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes, _ = _codebook(spark, sf_dir)
-    return codes.groupBy("vec_id").agg(
+    enc = _encoded(spark, sf_dir, _trained_codebook(spark, sf_dir))
+    return enc.select(
+        "vec_id",
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "cid"))),
-                lambda s: s["cid"].cast("string"),
-            ),
-            "-",
+            F.transform(F.col("arr"), lambda x: x["cid"].cast("string")), "-"
         ).alias("codes"),
         F.round(
             F.sqrt(
                 F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("m", "d2"))),
-                        lambda s: s["d2"],
-                    ),
+                    F.transform(F.col("arr"), lambda x: x["d2"]),
                     F.lit(0.0),
                     lambda a, x: a + x,
                 )
@@ -243,6 +298,67 @@ def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recon_err"),
     )
+
+
+def _distance_tables(spark: SparkSession, sf_dir: str, codebook: DataFrame) -> DataFrame:
+    """(query_id, m, cid, qd2): each query's rounded d2 to every
+    codebook centroid — Q x M x PQ_K rows, broadcastable."""
+    qsub = _sub(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "sv"
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.expr("zip_with(sv, cent, (p, q) -> (p - q) * (p - q))"),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    return qsub.join(F.broadcast(codebook), "m").select(
+        "query_id", "m", "cid", d2.alias("qd2")
+    )
+
+
+def _adc_rank(db: DataFrame, dt: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist) top-k: sum the M table lookups
+    per (query, neighbor) in m order, rank by (distance, neighbor)."""
+    adc = (
+        db.join(F.broadcast(dt), ["query_id", "m", "cid"])
+        if "query_id" in db.columns
+        else db.join(F.broadcast(dt), ["m", "cid"])
+    )
+    adc = adc.groupBy("query_id", "neighbor_id").agg(
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("m", "qd2"))),
+                        lambda s: s["qd2"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            6,
+        ).alias("adc_dist")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+
+
+def _db_codes(enc: DataFrame) -> DataFrame:
+    """(neighbor_id, m, cid): the encoded corpus at lookup grain —
+    posexplode of the code array (position == subspace)."""
+    return enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(F.col("arr")).alias("m", "x"),
+    ).select("neighbor_id", "m", F.col("x.cid").alias("cid"))
 
 
 @register(
@@ -283,50 +399,11 @@ SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= {TOP_K}
     ),
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes, c1 = _codebook(spark, sf_dir)
-    sub = _sub(spark, sf_dir)
-    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "m", "sv"
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.expr("zip_with(sv, cent, (p, q) -> (p - q) * (p - q))"),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-        6,
-    )
-    dt = qsub.join(F.broadcast(c1), "m").select("query_id", "m", "cid", d2.alias("qd2"))
-    db = codes.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "m", "cid"
-    )
-    adc = (
-        db.join(F.broadcast(dt), ["m", "cid"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.sqrt(
-                    F.aggregate(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("m", "qd2"))),
-                            lambda s: s["qd2"],
-                        ),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
-                    )
-                ),
-                6,
-            ).alias("adc_dist")
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "adc_dist")
-    )
-
-
+    cb = _trained_codebook(spark, sf_dir)
+    enc = _encoded(spark, sf_dir, cb)
+    dt = _distance_tables(spark, sf_dir, cb)
+    db = _db_codes(enc.filter(F.col("vec_id") >= N_QUERIES))
+    return _adc_rank(db, dt)
 
 
 _IVFPQ_ORACLE = f"""
@@ -394,7 +471,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot,
     )
 
-    e = _emb_nonzero(spark, sf_dir).withColumn("nrm", _sqrt(dot(F.col("emb"), F.col("emb"))))
+    e = _emb_nonzero(spark, sf_dir).withColumn(
+        "nrm", _sqrt(dot(F.col("emb"), F.col("emb")))
+    )
     cents = _ivf_trained_cents(e)
     assigned = e.join(F.broadcast(cents)).select(
         "vec_id", F.explode(_ivf_top_cells(IVF_NASSIGN)).alias("centroid_id")
@@ -413,44 +492,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    codes, c1 = _codebook(spark, sf_dir)
-    sub = _sub(spark, sf_dir)
-    qsub = sub.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "m", "sv"
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.expr("zip_with(sv, cent, (p, q) -> (p - q) * (p - q))"),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-        6,
-    )
-    dt = qsub.join(F.broadcast(c1), "m").select("query_id", "m", "cid", d2.alias("qd2"))
-    db = codes.select(F.col("vec_id").alias("neighbor_id"), "m", "cid")
-    adc = (
-        cand.join(db, "neighbor_id")
-        .join(F.broadcast(dt), ["query_id", "m", "cid"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.sqrt(
-                    F.aggregate(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("m", "qd2"))),
-                            lambda s: s["qd2"],
-                        ),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
-                    )
-                ),
-                6,
-            ).alias("adc_dist")
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
-    return (
-        adc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "adc_dist")
-    )
+    cb = _trained_codebook(spark, sf_dir)
+    enc = _encoded(spark, sf_dir, cb)
+    dt = _distance_tables(spark, sf_dir, cb)
+    db = cand.join(_db_codes(enc), "neighbor_id")
+    return _adc_rank(db, dt)
