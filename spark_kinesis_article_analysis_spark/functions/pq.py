@@ -182,13 +182,16 @@ def _trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: encode-one-vector expression: all M per-subspace argmins inside one
-#: higher-order expression over the folded broadcast codebook — array
-#: element m is struct(d2, cid) for subspace m (m-ordered by
-#: construction: sequence(0, M-1)).
-_ENCODE_EXPR = f"""transform(sequence(0, {SUBS - 1}), m ->
-    array_min(transform(filter(cb, c -> c.m = m), c -> struct(
-        round(aggregate(zip_with(slice(v, m * {SUBDIM} + 1, {SUBDIM}), c.cent,
-                                 (p, q) -> (p - q) * (p - q)),
+#: higher-order expression over the broadcast codebook MAP (m -> cells).
+#: The inner transform hoists each subspace's slice (computed once, not
+#: once per cell) and element_at replaces a per-m scan of the whole
+#: codebook; array element m is struct(d2, cid) for subspace m
+#: (m-ordered by construction: sequence(0, M-1)).
+_ENCODE_EXPR = f"""transform(
+    transform(sequence(0, {SUBS - 1}),
+              mm -> struct(mm AS m, slice(v, mm * {SUBDIM} + 1, {SUBDIM}) AS sv)),
+    s -> array_min(transform(element_at(cbm, s.m), c -> struct(
+        round(aggregate(zip_with(s.sv, c.cent, (p, q) -> (p - q) * (p - q)),
                         cast(0.0 as double), (a, x) -> a + x), 6) AS d2,
         c.cid AS cid))))"""
 
@@ -198,8 +201,14 @@ def _encoded(spark: SparkSession, sf_dir: str, codebook: DataFrame) -> DataFrame
     struct(d2, cid) for subspace m. ZERO exchanges beyond the codebook
     broadcast: this is the stage that runs over 100 TB, and it is a
     pure map. Vectors with any unencodable subspace (empty codebook —
-    degenerate corpora only) drop, mirroring the oracle's inner join."""
-    folded = codebook.agg(F.collect_list(F.struct("m", "cid", "cent")).alias("cb"))
+    degenerate corpora only) drop, mirroring the oracle's inner join
+    (element_at on a missing subspace yields NULL -> NULL arr element
+    -> the exists-NULL filter)."""
+    folded = codebook.groupBy("m").agg(
+        F.collect_list(F.struct("cid", "cent")).alias("cells")
+    ).agg(
+        F.map_from_entries(F.collect_list(F.struct("m", "cells"))).alias("cbm")
+    )
     return (
         _vecs(spark, sf_dir)
         .join(F.broadcast(folded))
@@ -319,6 +328,61 @@ def _distance_tables(spark: SparkSession, sf_dir: str, codebook: DataFrame) -> D
     )
 
 
+def _adc_map_scan(enc_db: DataFrame, dt: DataFrame) -> DataFrame:
+    """The FAISS-shaped ADC scan: the per-query distance tables fold to
+    ONE broadcast row (a bigint-keyed map + the query-id list) and every
+    encoded vector scores every query MAP-SIDE — per (vector, query) the
+    distance is an m-ascending fold of M map lookups over the vector's
+    own code array. No join on the corpus, no aggregation shuffle; the
+    only exchange left is the final bounded top-k window. Lookup keys
+    are query_id * 100000 + m * 1000 + cid (all components far below
+    their radix). Addition order (m ascending) and rounding match the
+    join-form _adc_rank bit for bit."""
+    folded = dt.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (
+                        F.col("query_id") * 100000 + F.col("m") * 1000 + F.col("cid")
+                    ).cast("long").alias("key"),
+                    F.col("qd2").alias("value"),
+                )
+            )
+        ).alias("dtm"),
+        F.sort_array(F.collect_set("query_id")).alias("qids"),
+    )
+    scored = (
+        enc_db.join(F.broadcast(folded))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(
+                F.expr(
+                    f"""transform(qids, q -> struct(q AS query_id,
+                        round(sqrt(aggregate(sequence(0, {SUBS - 1}),
+                            cast(0.0 as double),
+                            (acc, m) -> acc + element_at(dtm,
+                                cast(q * 100000 + m * 1000
+                                     + element_at(arr, m + 1).cid AS long)))),
+                        6) AS adc_dist))"""
+                )
+            ).alias("s"),
+        )
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            "neighbor_id",
+            F.col("s.adc_dist").alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+
+
 def _adc_rank(db: DataFrame, dt: DataFrame) -> DataFrame:
     """(query_id, neighbor_id, adc_dist) top-k: sum the M table lookups
     per (query, neighbor) in m order, rank by (distance, neighbor)."""
@@ -402,8 +466,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _trained_codebook(spark, sf_dir)
     enc = _encoded(spark, sf_dir, cb)
     dt = _distance_tables(spark, sf_dir, cb)
-    db = _db_codes(enc.filter(F.col("vec_id") >= N_QUERIES))
-    return _adc_rank(db, dt)
+    return _adc_map_scan(enc.filter(F.col("vec_id") >= N_QUERIES), dt)
 
 
 _IVFPQ_ORACLE = f"""

@@ -394,10 +394,12 @@ class TestScaleOpsPlanShape:
         assert inspect.has_broadcast_join(df), plan
 
     def test_pq_adc_scan_is_broadcast_lookup(self, spark):
-        """ADC search: the per-query distance tables broadcast to the
-        encoded-corpus scan (a hash join on (m, cid) — byte-code lookup,
-        never a raw-embedding pair product); the only corpus-grain
-        window is the final bounded top-k."""
+        """ADC search (FAISS scan shape): the per-query distance tables
+        fold to ONE broadcast map and each encoded vector scores every
+        query map-side via M map lookups — no corpus join, no
+        aggregation shuffle on the scan; the only corpus-grain exchange
+        is the final bounded top-k window. (The aggregates visible in
+        the plan belong to the sample-grain codebook training.)"""
         df = SPECS["sim_pq_adc_topk"].build(spark, SF_CORRECTNESS)
         plan = inspect.explain_str(df)
         assert "CartesianProduct" not in plan, plan
