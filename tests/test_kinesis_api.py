@@ -492,6 +492,127 @@ class TestParallelStreamReader:
         assert isinstance(wrapped, _SimpleStreamReaderWrapper)
 
 
+class TestFullReferencePipelineOnWire:
+    def test_watermarked_windows_kinesis_to_manifest(self, spark, tmp_path):
+        """The COMPLETE reference pipeline (process_articles.py:53-91) on
+        real wire protocols, windowed aggregation included: Kinesis API
+        -> executor-parallel stream read -> parse -> 10 s watermark ->
+        5 min/1 min sliding windows x author -> avg(word_count) ->
+        append mode -> epoch-fenced manifest sink on the S3 API — across
+        THREE restarts of the same checkpoint (each run ingests more,
+        the next run's watermark closes earlier windows, exactly the
+        append-mode emission cadence). The assertion is the golden
+        equivalence: the sink's closed windows equal the BATCH twin of
+        the same payloads filtered to window_end <= final watermark."""
+        import json as _json
+
+        from pyspark import cloudpickle
+        from pyspark.sql import functions as F
+
+        from spark_kinesis_article_analysis_spark.operators.article import (
+            windowed_avg_word_count,
+            with_word_count,
+            parse_articles,
+        )
+        from spark_kinesis_article_analysis_spark.sources import (
+            kinesis_source as _ks,
+            s3_objects as _s3o,
+        )
+
+        cloudpickle.register_pickle_by_value(_ks)
+        cloudpickle.register_pickle_by_value(_s3o)
+        spark.dataSource.register(_ks.KinesisApiDataSource)
+        spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+        stream, client = _fresh_stream(shards=2)
+        import boto3
+
+        from spark_kinesis_article_analysis_spark.operators.kinesis_batch import (
+            _endpoint,
+        )
+
+        s3c = boto3.client(
+            "s3", region_name="us-east-1", endpoint_url=_endpoint(),
+            aws_access_key_id="x", aws_secret_access_key="x",
+        )
+        s3c.create_bucket(Bucket="wire-pipeline")
+        sink_opts = {
+            "bucket": "wire-pipeline",
+            "prefix": "enriched_articles",
+            "regionName": "us-east-1",
+            "endpointUrl": _endpoint(),
+            "awsAccessKeyId": "x",
+            "awsSecretKey": "x",
+        }
+        ckpt = str(tmp_path / "ckpt")
+
+        def art(aid, author, ts, content="w1 w2 w3 w4"):
+            return {
+                "article_id": aid, "title": f"t {aid}", "author": author,
+                "publish_date": ts, "content": content,
+            }
+
+        def ingest(arts):
+            for a in arts:
+                client.put_record(
+                    StreamName=stream,
+                    Data=_json.dumps(a).encode(),
+                    PartitionKey=a["article_id"],
+                )
+
+        def run_once():
+            reader = spark.readStream.format("kinesis_api")
+            for k, v in kinesis_options(stream).items():
+                reader = reader.option(k, v)
+            parsed = with_word_count(parse_articles(
+                reader.load().select(F.col("data").cast("string").alias("data"))
+            ))
+            agg = windowed_avg_word_count(parsed, watermark="10 seconds")
+            w = agg.writeStream.format("s3_parquet_manifest").option(
+                "checkpointLocation", ckpt
+            ).outputMode("append")
+            for k, v in sink_opts.items():
+                w = w.option(k, v)
+            q = w.trigger(availableNow=True).start()
+            q.awaitTermination(180)
+
+        batch_a = [
+            art("a1", "alice", "2024-01-01 00:00:30"),
+            art("b1", "bob", "2024-01-01 00:00:45", "w1 w2"),
+        ]
+        batch_b = [art("c1", "carol", "2024-01-01 02:00:00")]
+        batch_c = [art("d1", "dave", "2024-01-01 04:00:00")]
+        ingest(batch_a)
+        run_once()  # absorbs alice/bob; nothing closed yet
+        ingest(batch_b)
+        run_once()  # watermark from run 1 still < alice/bob window ends
+        ingest(batch_c)
+        run_once()  # watermark now 01:59:50 -> alice/bob windows emit
+
+        r = spark.read.format("s3_parquet_manifest")
+        for k, v in sink_opts.items():
+            r = r.option(k, v)
+        got = sorted(
+            (str(x.window_start), str(x.window_end), x.author,
+             float(x.average_word_count))
+            for x in r.load().collect()
+        )
+        # golden equivalence: the BATCH twin of the same payloads,
+        # filtered to windows the final watermark (02:00:00 - 10s) closed
+        payload = spark.createDataFrame(
+            [(_json.dumps(a),) for a in batch_a + batch_b + batch_c], "data string"
+        )
+        twin = windowed_avg_word_count(with_word_count(parse_articles(payload)))
+        expected = sorted(
+            (str(x.window_start), str(x.window_end), x.author,
+             float(x.average_word_count))
+            for x in twin.filter(
+                F.col("window_end") <= F.lit("2024-01-01 01:59:50").cast("timestamp")
+            ).collect()
+        )
+        assert got == expected and len(got) == 10  # 5 sliding windows x 2 authors
+        assert {g[2] for g in got} == {"alice", "bob"}  # carol/dave still open
+
+
 class TestOptionMapping:
     def test_secret_key_lands_in_the_secret_slot(self, monkeypatch):
         """The reference passes the ACCESS key in both credential slots
