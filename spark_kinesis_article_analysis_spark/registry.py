@@ -245,9 +245,10 @@ def _load_all() -> None:
         pq,
     )
     # Round-11 batch 3: bigram LM quality scoring + BPE tokenizer
-    # training. New module.
+    # training, and curriculum ordering. New modules.
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         lm,
+        curriculum,
     )
 
 
@@ -304,6 +305,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "stream_wire.py",
     "pq.py",
     "lm.py",
+    "curriculum.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver
