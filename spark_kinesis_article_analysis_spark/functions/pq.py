@@ -523,34 +523,19 @@ SELECT query_id, neighbor_id, adc_dist FROM ranked WHERE rn <= {TOP_K}
     ),
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import sqrt as _sqrt
-
     from spark_kinesis_article_analysis_spark.functions.similarity import (
-        IVF_NASSIGN,
         IVF_NPROBE,
-        _emb_nonzero,
-        _ivf_top_cells,
-        _ivf_trained_cents,
-        dot,
+        ivf_index_and_probes,
     )
 
-    e = _emb_nonzero(spark, sf_dir).withColumn(
-        "nrm", _sqrt(dot(F.col("emb"), F.col("emb")))
-    )
-    cents = _ivf_trained_cents(e)
-    assigned = e.join(F.broadcast(cents)).select(
-        "vec_id", F.explode(_ivf_top_cells(IVF_NASSIGN)).alias("centroid_id")
-    )
-    probes = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(_ivf_top_cells(IVF_NPROBE)).alias("centroid_id"),
-        )
-    )
+    # the SAME candidate machinery sim_ivf_topk runs (shared helper —
+    # no Spark-side copy to drift from the shared oracle CTEs); the
+    # emb/nrm columns prune away since only ids survive into cand
+    assigned, probes = ivf_index_and_probes(spark, sf_dir, IVF_NPROBE)
     cand = (
-        assigned.join(F.broadcast(probes), "centroid_id")
+        assigned.join(
+            F.broadcast(probes.select("query_id", "centroid_id")), "centroid_id"
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()

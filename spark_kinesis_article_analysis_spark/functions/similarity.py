@@ -468,18 +468,29 @@ def _ivf_top_cells(n: int) -> Column:
     )
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """The sim_ivf_topk plan at an explicit probe width — bench.py
-    sweeps this to record the recall-vs-nprobe curve each round."""
+def ivf_index_and_probes(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> "tuple[DataFrame, DataFrame]":
+    """The IVF candidate-generation machinery, shared by ``ivf_topk``
+    and the IVFPQ composition (``functions/pq.sim_ivfpq_topk``) so the
+    assignment/probe semantics exist ONCE Spark-side, mirroring the
+    shared :data:`IVF_TRAIN_CTES` oracle constant. Returns
+    ``(assigned, probes)``:
+
+    * ``assigned`` — (vec_id, emb, nrm, centroid_id): every corpus
+      vector MULTI-ASSIGNED to its IVF_NASSIGN nearest cells (IVF
+      spill: index size x NASSIGN buys recall at a fixed probe width —
+      boundary vectors stop vanishing behind the single Voronoi cut;
+      measured +0.36 recall@5 at nprobe=4 vs rn=1 assignment).
+    * ``probes`` — (query_id, qe, qnrm, centroid_id): each query's
+      ``nprobe`` nearest cells. Derived from the vec_id < N_QUERIES
+      scan directly — that predicate pushes into the parquet scan, so
+      the FULL-corpus assignment executes once (deriving probes from
+      ``assigned`` would re-run the corpus-wide subtree)."""
     e = _emb_nonzero(spark, sf_dir).withColumn(
         "nrm", F.sqrt(dot(F.col("emb"), F.col("emb")))
     )
     cents = _ivf_trained_cents(e)
-    # Multi-assignment (IVF spill): every corpus vector is indexed in
-    # its IVF_NASSIGN nearest cells, trading index size (x NASSIGN) for
-    # recall at a fixed probe width — boundary vectors stop vanishing
-    # behind the single Voronoi cut (measured +0.36 recall@5 at
-    # nprobe=4 on the bench corpus vs rn=1 assignment).
     assigned = (
         e.join(F.broadcast(cents))
         .select(
@@ -489,14 +500,6 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             F.explode(_ivf_top_cells(IVF_NASSIGN)).alias("centroid_id"),
         )
     )
-    # The probe side derives its (N_QUERIES-row) assignment from the
-    # vec_id < N_QUERIES scan directly — that predicate pushes into the
-    # parquet scan, so the FULL-corpus assignment pass executes once
-    # (the candidate side only). Deriving probes from `assigned` instead
-    # would re-execute the whole corpus-wide subtree a second time
-    # (DataFrame reuse re-runs the plan, it doesn't cache it).
-    # Multiprobe: each query searches its `nprobe` nearest cells — one
-    # probe row per (query, cell) via the same map-side slice fold.
     probes = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(cents))
@@ -507,6 +510,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             F.explode(_ivf_top_cells(nprobe)).alias("centroid_id"),
         )
     )
+    return assigned, probes
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The sim_ivf_topk plan at an explicit probe width — bench.py
+    sweeps this to record the recall-vs-nprobe curve each round."""
+    assigned, probes = ivf_index_and_probes(spark, sf_dir, nprobe)
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -96,7 +96,15 @@ def _streamed_prefix(spark: SparkSession, sf_dir: str) -> str:
     for k, v in s3_options(prefix).items():
         writer = writer.option(k, v)
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # memoizing a partial run would serve a half-written table to
+        # every later call in the process — fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            "stream_wire_end_to_end: availableNow query did not finish "
+            f"within 300s (exception: {q.exception()})"
+        )
     _DONE[prefix] = prefix
     return prefix
 

@@ -410,6 +410,14 @@ class KinesisApiParallelStreamReader(DataSourceStreamReader):
         #: checkpointed offset (self-heals after restart: re-observed
         #: seals re-enter pruning one batch later).
         self._sealed: dict[str, int] = {}
+        #: monotonic fence floor. Within a process latestOffset bumps it;
+        #: across a RESTART the floor re-learns from the checkpointed
+        #: offsets the engine passes to partitions() (Spark replays the
+        #: last uncommitted batch before asking for a new fence, so the
+        #: learner usually fires first). If a backwards clock step still
+        #: produces end < start for a fresh batch, partitions() fails
+        #: LOUDLY rather than letting the offset regress — a regressed
+        #: commit would re-emit every record in the rolled-back range.
         self._last_fence_us = 0
 
     def _now_fence_us(self) -> int:
@@ -449,7 +457,20 @@ class KinesisApiParallelStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[KinesisShardRangePartition]:
         start_us = int(start.get("fence_us", 0))
         end_us = int(end.get("fence_us", 0))
-        if end_us <= start_us:
+        # re-learn the fence floor from the engine's own offsets (covers
+        # restarts: the replayed batch teaches the fresh reader the
+        # checkpointed position before any new fence is stamped)
+        self._last_fence_us = max(self._last_fence_us, start_us, end_us)
+        if end_us < start_us:
+            raise ValueError(
+                f"kinesis_api: batch end fence {end_us} precedes start "
+                f"{start_us} — the driver clock stepped backwards across "
+                "a restart (or fenceLagMs grew). Fences must be "
+                "monotonic; refusing to plan a regressed range (a "
+                "regressed commit would re-emit every record in it). "
+                "Fix the clock and restart the query."
+            )
+        if end_us == start_us:
             return []
         sealed = {k: int(v) for k, v in (start.get("sealed") or {}).items()}
         client = _client(self.options)
@@ -468,6 +489,18 @@ class KinesisApiParallelStreamReader(DataSourceStreamReader):
         opts = partition.options
         stream = opts["streamname"]
         client = _client(opts)
+        # ApproximateArrivalTimestamp is, as named, APPROXIMATE — AWS
+        # does not guarantee strict per-shard monotonicity (stamping
+        # jitter across lease handovers). Stopping at the FIRST record
+        # past the end fence would permanently lose a jittered-early
+        # record sitting after it; instead keep scanning a slack window
+        # past the fence (discarding out-of-range rows) and only stop
+        # once a record exceeds end + slack. Symmetrically, a record
+        # with ts < start positioned late is collected by the PREVIOUS
+        # batch's slack scan, and the `ts < start` skip here prevents
+        # double-collection. Jitter beyond the slack loses records —
+        # size tsJitterMs to the deployment's observed stamping jitter.
+        slack_us = int(float(opts.get("tsjitterms", "1000")) * 1000)
         if partition.start_us <= 0:
             it = client.get_shard_iterator(
                 StreamName=stream,
@@ -486,10 +519,10 @@ class KinesisApiParallelStreamReader(DataSourceStreamReader):
             recs = resp.get("Records", [])
             for r in recs:
                 ts_us = _ts_micros(r["ApproximateArrivalTimestamp"])
-                if ts_us < partition.start_us:
-                    continue  # AT_TIMESTAMP seeked at-or-before the fence
-                if ts_us >= partition.end_us:
-                    return  # per-shard ts monotonicity: nothing further qualifies
+                if ts_us >= partition.end_us + slack_us:
+                    return  # past the fence by more than the jitter bound
+                if ts_us < partition.start_us or ts_us >= partition.end_us:
+                    continue  # outside [start, end): another batch's row
                 yield _envelope(r, stream, partition.shard_id)
             it = resp.get("NextShardIterator")
             if it is None:

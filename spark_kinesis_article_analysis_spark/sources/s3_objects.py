@@ -271,8 +271,13 @@ def _write_parquet_object(
 
     arrow_schema = _canonical_arrow_schema(schema)
     batches = iter(iterator)
+    # peek past any leading EMPTY batches without dropping a non-empty
+    # one (a discarded peek here would silently lose that batch's rows
+    # from the committed object — found by self-review r11)
     first = next(batches, None)
-    if first is None or (first.num_rows == 0 and next(batches, None) is None):
+    while first is not None and first.num_rows == 0:
+        first = next(batches, None)
+    if first is None:
         return _ObjectsCommit(keys=[], rows=0)
 
     key = f"{options['prefix']}/data/part-{uuid.uuid4().hex}.parquet"
@@ -460,6 +465,15 @@ class S3ParquetManifestDataSource(DataSource):
         return S3ManifestWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema: "StructType", overwrite: bool) -> S3ManifestStreamWriter:
+        if overwrite:
+            # complete/update output modes re-emit state every epoch;
+            # appending those snapshots would multiply every group once
+            # per epoch on read. The sink is append-only like its batch
+            # form — reject loudly instead of corrupting silently.
+            raise ValueError(
+                "s3_parquet_manifest streaming sink is append-only; "
+                "use outputMode('append')"
+            )
         return S3ManifestStreamWriter(self.options, schema)
 
 

@@ -467,6 +467,19 @@ class TestParallelStreamReader:
         parts = r2.partitions(end3, end4)
         assert parent_id not in {p.shard_id for p in parts}
 
+    def test_regressed_fence_fails_loudly(self):
+        """A backwards driver-clock step across a restart must fail the
+        plan, never silently commit a regressed offset (which would
+        re-emit every record in the rolled-back range) — self-review
+        r11 finding."""
+        r = KinesisApiParallelStreamReader({"streamname": "s"})
+        with pytest.raises(ValueError, match="stepped backwards"):
+            r.partitions({"fence_us": 100, "sealed": {}}, {"fence_us": 50, "sealed": {}})
+        # and the engine's own offsets teach the fence floor: a fresh
+        # fence can never land below the checkpointed position
+        assert r._last_fence_us >= 100
+        assert r._now_fence_us() > 100
+
     def test_stream_reader_dispatch(self):
         """Default streaming dispatch is the parallel reader; the
         readerMode=simple option falls back to the Simple (driver-side)

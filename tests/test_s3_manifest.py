@@ -168,6 +168,49 @@ class TestManifestCommitProtocol:
         with pytest.raises(ValueError, match="append-only"):
             S3ManifestWriter(_fresh(), _SCHEMA, overwrite=True)
 
+    def test_streaming_complete_mode_rejected(self):
+        """outputMode('complete')/'update' pass overwrite=True — the
+        append-only streaming sink must reject it loudly, not append
+        every epoch's full snapshot (self-review r11 finding)."""
+        from pyspark.sql.types import StructType as _ST
+
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            S3ParquetManifestDataSource,
+        )
+
+        ds = S3ParquetManifestDataSource(
+            {k.lower(): v for k, v in _fresh().items()}
+        )
+        with pytest.raises(ValueError, match="append-only"):
+            ds.streamWriter(_ST(), overwrite=True)
+
+    def test_leading_empty_batches_lose_nothing(self):
+        """An empty Arrow batch ahead of real ones must not eat the
+        first non-empty batch (the discarded-peek data-loss bug found
+        by self-review r11)."""
+        import itertools
+
+        import pyarrow as pa
+
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            _canonical_arrow_schema,
+        )
+
+        aschema = _canonical_arrow_schema(_SCHEMA)
+        empty = pa.record_batch(
+            [pa.array([], type=f.type) for f in aschema],
+            names=[f.name for f in aschema],
+        )
+        opts = _fresh()
+        w = S3ManifestWriter(opts, _SCHEMA, overwrite=False)
+        batches = itertools.chain(
+            [empty, empty], _batches([(1, "a"), (2, "b")]), [empty]
+        )
+        msg = w.write(batches)
+        w.commit([msg])
+        assert msg.rows == 2
+        assert _read_rows(opts) == [(1, "a"), (2, "b")]
+
     def test_manifest_records_schema_and_rowcount(self):
         opts = _fresh()
         _write(opts, [(7, "z"), (8, "y")])
