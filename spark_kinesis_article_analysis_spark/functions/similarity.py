@@ -64,6 +64,10 @@ LSH_TABLES = 4
 LSH_BITS = 4
 #: Embedding dimensionality of the corpus (embeddings.parquet).
 EMB_DIM = 64
+#: Phase-1 shard count for the two-phase brute-force top-k (see
+#: operators/skew.sharded_topk): bounds the merge window at
+#: TOPK_SHARDS * TOP_K rows per query regardless of corpus size.
+TOPK_SHARDS = 32
 
 #: Schema-validity guard (DuckDB twins of the Spark filters below): a
 #: 100 TB feed WILL contain corrupt rows whose array length is not
@@ -137,8 +141,11 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
     tags=("similarity", "topk", "north-star"),
     doc=(
         "Exact brute-force cosine top-k: broadcast the bounded query set against "
-        "all candidates, zip_with dot product, row_number top-k on the rounded "
-        "score. The correctness baseline for the approximate variants."
+        "all candidates, zip_with dot product, two-phase sharded top-k on the "
+        "rounded score (per-(query, shard) row_number <= k, then a merge window "
+        "over <= TOPK_SHARDS * k survivors — no reducer sorts the whole scored "
+        "corpus for one query). The correctness baseline for the approximate "
+        "variants."
     ),
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,10 +175,21 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
         ).alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
-        "query_id", "neighbor_id", "cosine"
-    )
+    # Two-phase top-k (r12): the scan emits N_corpus rows per query, so
+    # a plain partitionBy(query_id) window is one reducer sorting the
+    # whole scored corpus per query at 100 TB. sharded_topk prunes to
+    # <= TOPK_SHARDS * TOP_K rows per query before the merge window —
+    # row-identical (tie-free order by (cosine DESC, neighbor_id)).
+    from spark_kinesis_article_analysis_spark.operators.skew import sharded_topk
+
+    return sharded_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        TOP_K,
+        shard_by=F.pmod(F.col("neighbor_id"), F.lit(TOPK_SHARDS)),
+        num_shards=TOPK_SHARDS,
+    ).select("query_id", "neighbor_id", "cosine")
 
 
 @register(
@@ -249,12 +267,20 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "emb")
         .mapInPandas(score, "query_id long, neighbor_id long, cosine double")
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    # Merge-phase input is n_batches * Q * K rows — bounded per batch but
+    # linear in batch count, so at 100 TB one query_id partition still
+    # accumulates millions of survivor rows. Same two-phase rewrite as
+    # the exact form bounds the final window at TOPK_SHARDS * K per query.
+    from spark_kinesis_article_analysis_spark.operators.skew import sharded_topk
+
+    return sharded_topk(
+        cand,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        TOP_K,
+        shard_by=F.pmod(F.col("neighbor_id"), F.lit(TOPK_SHARDS)),
+        num_shards=TOPK_SHARDS,
+    ).select("query_id", "neighbor_id", "cosine")
 
 
 #: The IVF training/index/probe CTEs, factored so the IVFPQ composition

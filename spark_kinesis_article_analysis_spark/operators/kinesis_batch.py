@@ -16,6 +16,12 @@ every payload byte and the parse inverted the envelope exactly.
 
 Lives in its own module so registering it does not re-stale settled
 specs (the registry's re-verify ordering keys on the builder's file).
+That keying cuts both ways: r11 rewrote the underlying SOURCE module
+(sources/kinesis_source.py, +272 lines — the executor-parallel stream
+reader) without touching this file, so this spec's r10 verdict went
+stale without re-entering the window. This r12 note re-stales it ON
+PURPOSE so the driver re-verdicts the wire path over the r11 source
+(VERDICT r11 item 4).
 
 Lifecycle: one ThreadedMotoServer per driver process (port 0 — OS
 assigned, no collisions), started lazily and stopped atexit; one stream

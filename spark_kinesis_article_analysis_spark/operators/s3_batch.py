@@ -10,6 +10,12 @@ committed manifests instead of appending duplicates. At 100 TB the
 identical plan runs against real S3 — the endpoint URL is the only
 change (jar-equipped deployments use S3A + a magic committer instead;
 the manifest protocol here is the same commit model).
+
+r12 note, load-bearing for the registry: r11 rewrote the underlying
+sources/s3_objects.py (+409 lines — streaming epoch manifests, Arrow
+writer, compaction) without touching this file, leaving this spec's
+r10 verdict stale against the shipped source. This edit re-stales it
+so the driver re-verdicts the round trip (VERDICT r11 item 4).
 """
 
 from __future__ import annotations

@@ -362,3 +362,52 @@ def range_sharded_percent_rank(
         .withColumn(out_col, pr)
         .drop("__shard", "__lrank", "__off", "__n")
     )
+
+
+def sharded_topk(
+    scored: DataFrame,
+    part_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    shard_by: Column,
+    num_shards: int = 32,
+) -> DataFrame:
+    """Top-k per group WITHOUT a per-group global sort: ``row_number()
+    OVER (PARTITION BY part_cols ORDER BY order_cols) <= k`` computed in
+    two bounded phases, row-identical to the single-window form.
+
+    The single-window form puts EVERY scored row of a group into one
+    reducer partition — for a brute-force similarity scan that is the
+    whole corpus per query_id, the straggler that dies first at 100 TB.
+    Unlike the running-sum/percent_rank rewrites above, top-k needs no
+    shard contiguity (selection commutes with any disjoint union:
+    the global top-k is a subset of the union of per-shard top-k's), so
+    ANY deterministic sharding works:
+
+    1. local: ``row_number() <= k`` per ``(part_cols, __shard)`` — each
+       reducer sorts ~N/num_shards rows;
+    2. merge: the same window over the survivors — at most
+       ``num_shards * k`` rows per group, bounded regardless of corpus
+       size. Phase-2 re-ranks with the identical ORDER BY, so ties
+       resolve exactly as the plain window would (callers must pass a
+       tie-free total order, e.g. (score, unique_id) — same requirement
+       the plain form needs for deterministic output).
+
+    ``shard_by`` must be deterministic (stage retries recompute it; a
+    rand() shard can lose/duplicate rows under retry) — pmod of a
+    unique id or a column hash. ``num_shards`` bounds phase-2 input;
+    at 100 TB size it so N/num_shards fits one reducer's sort budget.
+    """
+    local_w = Window.partitionBy("__shard", *part_cols).orderBy(*order_cols)
+    survivors = (
+        scored.withColumn("__shard", shard_by)
+        .withColumn("__rn", F.row_number().over(local_w))
+        .filter(F.col("__rn") <= k)
+        .drop("__shard", "__rn")
+    )
+    merge_w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(merge_w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -380,6 +380,12 @@ _ORACLE_REWRITTEN: frozenset[str] = frozenset(
         # but fail SQL NOT IN's NULL evaluation — ghost supplier_cnt=0
         # groups. NULL keys now carved out on BOTH sides.
         "tpch_q16_supplier_part_counts",
+        # r12 (ADVICE r11 low): interpolated percentile cutpoints
+        # replaced with DISCRETE ones on BOTH sides (percentile_disc /
+        # quantile_disc) — cutpoints are exact corpus values, killing
+        # the last-ulp interpolation-portability risk at the quartile
+        # boundaries.
+        "corpus_curriculum_order",
     }
 )
 

@@ -83,6 +83,45 @@ class TestBpe:
         bad = vocab.filter(F.concat_ws("", "toks") != F.col("word")).count()
         assert bad == 0
 
+    def test_encode_spec_matches_vocab_join_form(self, spark):
+        """The registered encode (map-side merge-table re-encode, r12 —
+        no word-type broadcast) must agree row-for-row with the
+        join-the-trained-vocab form it replaced, and its plan must not
+        join/broadcast any relation at all below the doc_id agg."""
+        from pyspark.sql import functions as F
+
+        from spark_kinesis_article_analysis_spark.catalog import load
+        from spark_kinesis_article_analysis_spark.functions.lm import (
+            text_bpe_train_encode,
+        )
+        from spark_kinesis_article_analysis_spark.plans import inspect
+
+        got_df = text_bpe_train_encode(spark, SF_SMOKE)
+        got = {r.doc_id: (r.n_chars, r.n_bpe_tokens, r.chars_per_token)
+               for r in got_df.collect()}
+        vocab, _ = bpe_train(spark, SF_SMOKE, merges=BPE_MERGES)
+        enc = vocab.select("word", F.size("toks").alias("n_toks"))
+        d = load(spark, SF_SMOKE, "documents")
+        doc_words = d.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+        ).filter(F.length("word") > 0)
+        ref = {
+            r.doc_id: (r.n_chars, r.n_bpe_tokens, r.chars_per_token)
+            for r in doc_words.join(enc, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.length("word")).cast("long").alias("n_chars"),
+                F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+                F.round(F.sum(F.length("word")) / F.sum("n_toks"), 6).alias(
+                    "chars_per_token"
+                ),
+            )
+            .collect()
+        }
+        assert got == ref
+        plan = inspect.explain_str(got_df)
+        assert "Join" not in plan, plan  # encode is join-free: pure map + one agg
+
     def test_merge_counts_decrease_token_count(self, spark):
         """Each applied merge strictly reduces the summed token count of
         the words containing the pair; totals agree with the table."""

@@ -398,8 +398,10 @@ class TestScaleOpsPlanShape:
         fold to ONE broadcast map and each encoded vector scores every
         query map-side via M map lookups — no corpus join, no
         aggregation shuffle on the scan; the only corpus-grain exchange
-        is the final bounded top-k window. (The aggregates visible in
-        the plan belong to the sample-grain codebook training.)"""
+        is the two-phase sharded top-k's local window (merge phase is
+        bounded — see test_scale_layout.test_sim_topk_windows_are_sharded).
+        (The aggregates visible in the plan belong to the sample-grain
+        codebook training.)"""
         df = SPECS["sim_pq_adc_topk"].build(spark, SF_CORRECTNESS)
         plan = inspect.explain_str(df)
         assert "CartesianProduct" not in plan, plan

@@ -304,6 +304,62 @@ class TestSkewHandling:
             r"hashpartitioning\(__shard[^,]*, lang", plan
         ), plan
 
+    def test_sharded_topk_equals_plain_window(self, spark):
+        """sharded_topk (two-phase per-group top-k) must be row-identical
+        to the single-window row_number form — including duplicate scores
+        resolved by the unique tiebreak, k larger than some groups, and
+        rows landing in every shard."""
+        from pyspark.sql import Window as W
+
+        from spark_kinesis_article_analysis_spark.operators.skew import sharded_topk
+
+        rows = [
+            (q, i, float((i * 37 + q * 11) % 13))
+            for q in range(4)
+            for i in range(q * 7, q * 7 + 40 + q)
+        ]
+        d = spark.createDataFrame(rows, "query_id int, neighbor_id int, score double")
+        order = [F.col("score").asc(), F.col("neighbor_id").asc()]
+        plain = (
+            d.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy("score", "neighbor_id")
+                ),
+            )
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id", "score")
+        )
+        got = sharded_topk(
+            d,
+            ["query_id"],
+            order,
+            5,
+            shard_by=F.pmod(F.col("neighbor_id"), F.lit(8)),
+            num_shards=8,
+        ).select("query_id", "neighbor_id", "score")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+    def test_sim_topk_windows_are_sharded(self, spark):
+        """The brute-force similarity family must carry the two-phase
+        top-k: the corpus-grain window partitions on (__shard, query_id)
+        — no reducer ever sorts the whole scored corpus for one query
+        (r11 verdict scale flaw, fixed r12)."""
+        import re
+
+        from spark_kinesis_article_analysis_spark.registry import all_specs
+        from tests.conftest import SF_CORRECTNESS
+
+        for name in ("sim_cosine_topk", "sim_pq_adc_topk"):
+            plan = inspect.explain_str(
+                all_specs()[name].build(spark, SF_CORRECTNESS)
+            )
+            assert re.search(
+                r"windowspecdefinition\(__shard[^,]*, query_id", plan
+            ) or re.search(
+                r"windowspecdefinition\(query_id[^,]*, __shard", plan
+            ), f"{name}: corpus-grain window is not sharded\n{plan}"
+
     def test_sharded_pack_window_partitions_on_shard_key(self, spark):
         """The registered sharded packing query must window on the
         (__shard, lang) composite — i.e. the straggler key is actually
