@@ -405,6 +405,27 @@ class KinesisApiParallelStreamReader(DataSourceStreamReader):
         if not self.options.get("streamname"):
             raise ValueError("kinesis_api requires the streamName option")
         self._lag_us = int(float(self.options.get("fencelagms", "0")) * 1000)
+        # fenceLagMs=0 is exact ONLY when producer and driver share a
+        # clock (the in-process test endpoint). Against a real/remote
+        # endpoint, driver-ahead clock skew beyond the lag means records
+        # stamped just before a fence arrive just after it was planned —
+        # silently falling between batches (ADVICE r11). Loud warning,
+        # not a changed default: tests stay exact, production gets told.
+        endpoint = self.options.get("endpointurl", "")
+        local = ("localhost" in endpoint) or ("127.0.0.1" in endpoint)
+        if self._lag_us == 0 and not local:
+            import warnings
+
+            warnings.warn(
+                "kinesis_api parallel reader: fenceLagMs=0 against a "
+                f"non-local endpoint ({endpoint or 'AWS default'}). Records "
+                "arriving with server stamps earlier than a planned fence "
+                "(producer/driver clock skew + put latency) are LOST between "
+                "batches. Set fenceLagMs >= your clock-skew + put-latency "
+                "bound (seconds, not ms, is typical for real deployments); "
+                "see MIGRATION.md's kinesis_api option table.",
+                stacklevel=2,
+            )
         #: first-observed-sealed fences, memoized driver-side; merged
         #: into each latestOffset so the durable copy lives in the
         #: checkpointed offset (self-heals after restart: re-observed

@@ -380,12 +380,31 @@ class S3ManifestStreamWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         body = _manifest_body(messages, self.schema, epoch=batchId)
-        _s3(self.options).put_object(
+        client = _s3(self.options)
+        key = (
+            f"{self.options['prefix']}/manifests/"
+            f"manifest-epoch-{batchId:020d}.json"
+        )
+        # Replay overwrite carries the ORIGINAL commit time forward
+        # (ADVICE r11): without this the re-PUT body gets a fresh
+        # committed_at_us and the epoch re-sorts AFTER later batches'
+        # manifests — so a snapshotManifest pinned to this epoch name
+        # changed which manifests precede it. With the carry, the
+        # epoch's position in the commit log is immutable across any
+        # number of replays; only its object list may change (that is
+        # the idempotence fence doing its job).
+        try:
+            prev = json.loads(
+                client.get_object(Bucket=self.options["bucket"], Key=key)[
+                    "Body"
+                ].read()
+            )
+            body["committed_at_us"] = prev["committed_at_us"]
+        except Exception:  # noqa: BLE001 — no prior attempt (or unreadable: fresh time is the safe fallback)
+            pass
+        client.put_object(
             Bucket=self.options["bucket"],
-            Key=(
-                f"{self.options['prefix']}/manifests/"
-                f"manifest-epoch-{batchId:020d}.json"
-            ),
+            Key=key,
             Body=json.dumps(body).encode("utf-8"),
         )
 

@@ -467,6 +467,30 @@ class TestParallelStreamReader:
         parts = r2.partitions(end3, end4)
         assert parent_id not in {p.shard_id for p in parts}
 
+    def test_zero_fence_lag_warns_on_non_local_endpoint(self):
+        """fenceLagMs=0 is exact only on a shared clock: against a
+        non-local endpoint the reader must warn loudly (ADVICE r11 —
+        MIGRATION.md promotes this reader as the production default);
+        a local endpoint or a nonzero lag must stay silent."""
+        import warnings as _w
+
+        with pytest.warns(UserWarning, match="fenceLagMs=0 against a non-local"):
+            KinesisApiParallelStreamReader(
+                {"streamname": "s", "endpointurl": "https://kinesis.us-east-1.amazonaws.com"}
+            )
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            KinesisApiParallelStreamReader(
+                {"streamname": "s", "endpointurl": "http://127.0.0.1:5000"}
+            )
+            KinesisApiParallelStreamReader(
+                {
+                    "streamname": "s",
+                    "endpointurl": "https://kinesis.us-east-1.amazonaws.com",
+                    "fencelagms": "2000",
+                }
+            )
+
     def test_regressed_fence_fails_loudly(self):
         """A backwards driver-clock step across a restart must fail the
         plan, never silently commit a regressed offset (which would

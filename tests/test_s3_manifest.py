@@ -425,6 +425,36 @@ class TestStreamingManifestSink:
         keys = _manifest_keys(_s3(low), low["bucket"], low["prefix"])
         assert len(keys) == 1  # one manifest per epoch, ever
 
+    def test_replayed_epoch_keeps_original_commit_time(self):
+        """Replay overwrite must carry the ORIGINAL committed_at_us
+        forward (ADVICE r11): a replayed epoch that re-stamped itself
+        would re-sort AFTER later batches in the commit log, shifting
+        what a snapshotManifest pinned to its name includes. With the
+        carry, an epoch's log position is immutable across replays."""
+        import json as _json
+
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            S3ManifestStreamWriter,
+            _load_manifests,
+        )
+
+        opts = _fresh()
+        low = {k.lower(): v for k, v in opts.items()}
+        w = S3ManifestStreamWriter(opts, _SCHEMA)
+        w.commit([w.write(_batches([(1, "a")]))], batchId=0)
+        w.commit([w.write(_batches([(9, "z")]))], batchId=1)  # later epoch
+        manifests = _load_manifests(_s3(low), low["bucket"], low["prefix"])
+        t0 = {b["epoch"]: b["committed_at_us"] for _, b in manifests}
+        # replay epoch 0 AFTER epoch 1 committed (restart from an old
+        # checkpoint): its commit time must not move past epoch 1's
+        w.commit([w.write(_batches([(1, "a")]))], batchId=0)
+        manifests = _load_manifests(_s3(low), low["bucket"], low["prefix"])
+        t1 = {b["epoch"]: b["committed_at_us"] for _, b in manifests}
+        assert t1[0] == t0[0], "replay re-stamped the epoch's commit time"
+        assert t1[0] < t1[1]
+        # and the log order (by committed_at_us) still lists epoch 0 first
+        assert [b["epoch"] for _, b in manifests] == [0, 1]
+
     def test_streaming_abort_deletes_task_objects(self):
         from spark_kinesis_article_analysis_spark.sources.s3_objects import (
             S3ManifestStreamWriter,
