@@ -18,6 +18,13 @@ two prove the MANIFEST LOG semantics that make the format operable at
 Setup is idempotent per (process, sf_dir), same lifecycle pattern as
 ``operators/s3_batch`` / ``operators/kinesis_batch`` (shared in-process
 moto endpoint, one prefix per sf_dir, written once).
+
+r12 note, load-bearing for the registry: this round edited the
+underlying wire modules (kinesis_source.py fence-lag warning;
+s3_objects.py replay commit-time carry). The registry keys
+staleness on THIS file, so this edit re-enters the module's specs
+into the verdict window alongside the source change (the r11
+dependency-staleness lesson, VERDICT item 4).
 """
 
 from __future__ import annotations

@@ -27,6 +27,13 @@ Lifecycle: same idempotent per-(process, sf_dir) pattern as
 ``operators/kinesis_batch`` — the streaming query runs ONCE per process
 (availableNow, bounded by the ingested stream), rebuilds reuse the
 committed manifests.
+
+r12 note, load-bearing for the registry: this round edited the
+underlying wire modules (kinesis_source.py fence-lag warning;
+s3_objects.py replay commit-time carry). The registry keys
+staleness on THIS file, so this edit re-enters the module's specs
+into the verdict window alongside the source change (the r11
+dependency-staleness lesson, VERDICT item 4).
 """
 
 from __future__ import annotations
