@@ -132,6 +132,8 @@ HEADLINE = [
     "s3_manifest_snapshot",       # pinned time-travel read across a compaction
     "agg_hll_exact_regime",       # sketch-bytes union, exactness-decidable regime
     "sim_pq_adc_topk",            # PQ asymmetric-distance search over encoded corpus
+    # round-12 additions
+    "stream_quality_gate_end_to_end",  # in-flight gopher gate -> manifest stream sink
 ]
 
 

@@ -105,6 +105,15 @@ def quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .select("doc_id", "text", tokens_col().alias("toks"))
     )
+    return gopher_signals(d)
+
+
+def gopher_signals(d: DataFrame) -> DataFrame:
+    """The gate as a TRANSFORM on any (doc_id, text, toks) frame —
+    shared by the batch spec above and the streaming quality gate
+    (streaming/gate_stream.py): pure per-row expressions, so the exact
+    same plan fragment is legal in a micro-batch (no aggregation, no
+    window — nothing the streaming planner rejects)."""
     stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     lines = F.split("text", "\n", -1)
     sig = d.select(

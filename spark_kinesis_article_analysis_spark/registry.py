@@ -250,6 +250,11 @@ def _load_all() -> None:
         lm,
         curriculum,
     )
+    # Round-12: the streaming quality gate composed with the manifest
+    # wire sink — new module, rank-0 entry.
+    from spark_kinesis_article_analysis_spark.streaming import (  # noqa: F401
+        gate_stream,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -306,6 +311,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "pq.py",
     "lm.py",
     "curriculum.py",
+    "gate_stream.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver
