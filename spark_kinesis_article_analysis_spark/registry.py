@@ -255,6 +255,12 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.streaming import (  # noqa: F401
         gate_stream,
     )
+    # Round-12 batch 2: Stupid-Backoff trigram LM (held-out split) and
+    # temperature-scaled source mixing — new modules, rank-0 entries.
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        backoff,
+        temperature,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -312,6 +318,8 @@ _MODULE_ORDER: tuple[str, ...] = (
     "lm.py",
     "curriculum.py",
     "gate_stream.py",
+    "backoff.py",
+    "temperature.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -100,6 +100,14 @@ PROBE = [
     "embed_pq_quantize",           # r11: per-subspace codebook train + broadcast encode
     "sim_ivfpq_topk",              # r11: probe -> ADC over encoded candidates
     "stream_wire_end_to_end",      # r11: streaming wire round trip (first-build ingest incl.)
+    # round-12 rows (VERDICT r11 #8): the r11 late ops + the two
+    # re-sharded top-k plans + the streaming gate composition
+    "text_bigram_logprob",         # two corpus-grain count exchanges + scoring join
+    "corpus_curriculum_order",     # 3-double cutpoint agg + map projection
+    "text_bpe_train_encode",       # word-type-grain training + map-side encode
+    "sim_pq_adc_topk",             # post-sharding: broadcast map-scan + 2-phase top-k
+    "sim_cosine_topk",             # post-sharding exact baseline
+    "stream_quality_gate_end_to_end",  # gate -> manifest sink round trip (first-build ingest incl.)
 ]
 
 
