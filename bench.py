@@ -134,6 +134,9 @@ HEADLINE = [
     "sim_pq_adc_topk",            # PQ asymmetric-distance search over encoded corpus
     # round-12 additions
     "stream_quality_gate_end_to_end",  # in-flight gopher gate -> manifest stream sink
+    "text_trigram_backoff_logprob",    # held-out Stupid-Backoff trigram LM scoring
+    "corpus_mix_temperature",          # p^alpha source mixing design
+    "sim_nsw_topk",                    # graph-ANN beam search (the third ANN family)
 ]
 
 
@@ -202,7 +205,7 @@ def _ivf_recall_curve(spark, specs) -> dict[str, float]:
     # the probe step or the cosine/L2 metric mix; PQ needs cluster
     # structure real embeddings have). Recorded per round so a codebook
     # change shows up as a recall move, not a silent trade.
-    for name in ("sim_pq_adc_topk", "sim_ivfpq_topk"):
+    for name in ("sim_pq_adc_topk", "sim_ivfpq_topk", "sim_nsw_topk"):
         if total:
             approx = specs[name].build(spark, SF_DIR).select("query_id", "neighbor_id")
             hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()

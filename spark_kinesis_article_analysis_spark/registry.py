@@ -261,6 +261,10 @@ def _load_all() -> None:
         backoff,
         temperature,
     )
+    # Round-12 batch 3: graph-based ANN (NSW beam search) — new module.
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        nsw,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -320,6 +324,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "gate_stream.py",
     "backoff.py",
     "temperature.py",
+    "nsw.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver
