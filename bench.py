@@ -137,6 +137,7 @@ HEADLINE = [
     "text_trigram_backoff_logprob",    # held-out Stupid-Backoff trigram LM scoring
     "corpus_mix_temperature",          # p^alpha source mixing design
     "sim_nsw_topk",                    # graph-ANN beam search (the third ANN family)
+    "stream_ann_end_to_end",           # streaming query vectors -> IVF index -> epoch-fenced sink
 ]
 
 

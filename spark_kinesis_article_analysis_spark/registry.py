@@ -265,6 +265,11 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         nsw,
     )
+    # Round-12 batch 4: the ANN serving path — streaming query vectors
+    # against the static IVF index, foreachBatch epoch-fenced commits.
+    from spark_kinesis_article_analysis_spark.streaming import (  # noqa: F401
+        ann_stream,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -325,6 +330,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "backoff.py",
     "temperature.py",
     "nsw.py",
+    "ann_stream.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -321,6 +321,28 @@ class _ObjectsCommit(WriterCommitMessage):
     rows: int
 
 
+def _commit_epoch_manifest(options: dict, schema, messages, epoch: int) -> None:
+    """The epoch-keyed idempotent commit, shared by the streaming sink
+    and the batch writer's ``epochId`` mode (the foreachBatch
+    exactly-once recipe): ONE PUT at ``manifest-epoch-<epoch>.json``;
+    a replay overwrites at the same key (the fence) and carries the
+    ORIGINAL committed_at_us forward so the epoch's position in the
+    commit log is immutable across replays (ADVICE r11)."""
+    body = _manifest_body(messages, schema, epoch=epoch)
+    client = _s3(options)
+    key = f"{options['prefix']}/manifests/manifest-epoch-{epoch:020d}.json"
+    try:
+        prev = json.loads(
+            client.get_object(Bucket=options["bucket"], Key=key)["Body"].read()
+        )
+        body["committed_at_us"] = prev["committed_at_us"]
+    except Exception:  # noqa: BLE001 — no prior attempt (or unreadable: fresh time is the safe fallback)
+        pass
+    client.put_object(
+        Bucket=options["bucket"], Key=key, Body=json.dumps(body).encode("utf-8")
+    )
+
+
 class S3ManifestWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema: "StructType", overwrite: bool) -> None:
         if overwrite:
@@ -337,6 +359,17 @@ class S3ManifestWriter(DataSourceArrowWriter):
         return _write_parquet_object(self.options, self.schema, iterator)
 
     def commit(self, messages) -> None:
+        # foreachBatch exactly-once mode: with an epochId option every
+        # attempt of the same micro-batch commits to the SAME epoch key
+        # (idempotent overwrite) instead of appending a new manifest —
+        # without it, a replayed foreachBatch body would duplicate its
+        # rows on read. Streaming sinks get this fence automatically;
+        # foreachBatch callers opt in with .option("epochId", batch_id).
+        if self.options.get("epochid") is not None:
+            _commit_epoch_manifest(
+                self.options, self.schema, messages, int(self.options["epochid"])
+            )
+            return
         body = _manifest_body(messages, self.schema)
         # THE atomic commit point: a single PUT. Until this object
         # exists, nothing the tasks wrote is reachable by any reader.
@@ -379,34 +412,10 @@ class S3ManifestStreamWriter(DataSourceStreamArrowWriter):
         return _write_parquet_object(self.options, self.schema, iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        body = _manifest_body(messages, self.schema, epoch=batchId)
-        client = _s3(self.options)
-        key = (
-            f"{self.options['prefix']}/manifests/"
-            f"manifest-epoch-{batchId:020d}.json"
-        )
-        # Replay overwrite carries the ORIGINAL commit time forward
-        # (ADVICE r11): without this the re-PUT body gets a fresh
-        # committed_at_us and the epoch re-sorts AFTER later batches'
-        # manifests — so a snapshotManifest pinned to this epoch name
-        # changed which manifests precede it. With the carry, the
-        # epoch's position in the commit log is immutable across any
-        # number of replays; only its object list may change (that is
-        # the idempotence fence doing its job).
-        try:
-            prev = json.loads(
-                client.get_object(Bucket=self.options["bucket"], Key=key)[
-                    "Body"
-                ].read()
-            )
-            body["committed_at_us"] = prev["committed_at_us"]
-        except Exception:  # noqa: BLE001 — no prior attempt (or unreadable: fresh time is the safe fallback)
-            pass
-        client.put_object(
-            Bucket=self.options["bucket"],
-            Key=key,
-            Body=json.dumps(body).encode("utf-8"),
-        )
+        # Epoch-keyed idempotent PUT with original-commit-time carry on
+        # replay (ADVICE r11) — shared with the batch writer's
+        # foreachBatch epochId mode, see _commit_epoch_manifest.
+        _commit_epoch_manifest(self.options, self.schema, messages, batchId)
 
     def abort(self, messages, batchId: int) -> None:
         client = _s3(self.options)

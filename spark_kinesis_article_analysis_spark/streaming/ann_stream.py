@@ -1,0 +1,237 @@
+"""Streaming ANN lookup — a stream of query vectors probing the static
+trained IVF index, with exactly-once results on the manifest wire sink.
+
+The serving half of the ANN story: ``sim_ivf_topk`` proves the index
+and search semantics in batch; production also runs the CONTINUOUS
+form — queries arrive as a stream, the index is a static artifact, and
+each micro-batch's results must land exactly once. This module is that
+composition, built from the same public pieces:
+
+* index (once, outside the stream): the trained cells + the
+  multi-assigned corpus of ``similarity.ivf_index_and_probes`` —
+  byte-one shared code, so the streamed results are definitionally the
+  batch operator's results.
+* per micro-batch (``foreachBatch`` — the batch plan runs inside the
+  micro-batch, so the top-k window is legal): queries fold the
+  broadcast centroid array map-side to their IVF_NPROBE cells, join
+  the assigned corpus on cell id, score the rounded cosine, rank.
+* exactly-once: the inner write uses the manifest sink's ``epochId``
+  mode — every attempt of micro-batch N commits to the SAME
+  ``manifest-epoch-N.json`` (idempotent overwrite, original commit
+  time carried), so a foreachBatch replay after a crash cannot
+  duplicate results. This is THE foreachBatch idempotence recipe the
+  sink exposes (sources/s3_objects.py::_commit_epoch_manifest).
+
+The registered spec streams the standard query set and reads the
+committed results back; the oracle is ``sim_ivf_topk``'s exact SQL
+(shared ``IVF_TRAIN_CTES``) — a hash match proves the streaming
+composition changed NOTHING about the answer.
+
+Scale shape: the index artifacts are built once and reused across
+micro-batches (assigned is corpus-scale and stays distributed; cents
+broadcast); per batch the work is the batch operator's probe-side plan
+at micro-batch query cardinality. State: none (the index is static) —
+throughput is source-bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_kinesis_article_analysis_spark.catalog import load
+from spark_kinesis_article_analysis_spark.functions.similarity import (
+    EMB_DIM,
+    IVF_NASSIGN,
+    IVF_NPROBE,
+    IVF_TRAIN_CTES,
+    N_QUERIES,
+    TOP_K,
+    _ivf_top_cells,
+    _ivf_trained_cents,
+    dot,
+)
+from spark_kinesis_article_analysis_spark.operators.s3_batch import s3_options
+from spark_kinesis_article_analysis_spark.registry import register
+
+_DONE: dict[str, str] = {}
+
+
+def run_ann_stream(
+    spark: SparkSession, emb_path: str, prefix: str, checkpoint: str
+) -> None:
+    """Stream query vectors (vec_id < N_QUERIES) from ``emb_path``
+    against the IVF index of the same corpus; commit per-batch top-k
+    through the manifest sink's epoch fence. Restartable: the same
+    checkpoint resumes and replayed epochs overwrite idempotently."""
+    from pyspark import cloudpickle
+
+    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+    cloudpickle.register_pickle_by_value(_s3o)
+    spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+
+    # static index (built once; reused by every micro-batch)
+    e = (
+        load(spark, os.path.dirname(emb_path) or ".", "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .filter((F.size("emb") == EMB_DIM) & F.exists("emb", lambda x: x != 0.0))
+        .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    )
+    cents = _ivf_trained_cents(e)
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.explode(_ivf_top_cells(IVF_NASSIGN)).alias("centroid_id"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    opts = s3_options(prefix)
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        q = (
+            batch.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+            )
+            .filter((F.size("emb") == EMB_DIM) & F.exists("emb", lambda x: x != 0.0))
+            .withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+        )
+        probes = q.join(F.broadcast(cents)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(_ivf_top_cells(IVF_NPROBE)).alias("centroid_id"),
+        )
+        scored = (
+            assigned.join(F.broadcast(probes), "centroid_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(
+                    dot(F.col("qe"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 6
+                ).alias("cosine"),
+            )
+            .distinct()
+        )
+        wtop = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        topk = (
+            scored.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine")
+        )
+        writer = topk.write.format("s3_parquet_manifest").mode("append").option(
+            "epochId", str(batch_id)  # the foreachBatch idempotence fence
+        )
+        for k, v in opts.items():
+            writer = writer.option(k, v)
+        writer.save()
+
+    schema = spark.read.parquet(emb_path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(emb_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(emb_path))
+        stream_path = os.path.dirname(emb_path)
+    else:
+        stream_path = emb_path
+    stream = reader.parquet(stream_path).filter(F.col("vec_id") < N_QUERIES)
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_ann: availableNow query did not finish within 300s "
+            f"(exception: {q.exception()})"
+        )
+
+
+def _streamed_prefix(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    import boto3
+
+    from spark_kinesis_article_analysis_spark.operators.kinesis_batch import (
+        _endpoint,
+    )
+    from spark_kinesis_article_analysis_spark.operators.s3_batch import BUCKET
+
+    prefix = "stream-ann-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if prefix in _DONE:
+        return prefix
+    client = boto3.client(
+        "s3",
+        region_name="us-east-1",
+        endpoint_url=_endpoint(),
+        aws_access_key_id="testing",
+        aws_secret_access_key="testing",
+    )
+    try:
+        client.create_bucket(Bucket=BUCKET)
+    except client.exceptions.BucketAlreadyOwnedByYou:
+        pass
+    run_ann_stream(
+        spark,
+        f"{sf_dir.rstrip('/')}/embeddings.parquet",
+        prefix,
+        tempfile.mkdtemp(prefix="stream_ann_ckpt_"),
+    )
+    _DONE[prefix] = prefix
+    return prefix
+
+
+@register(
+    "stream_ann_end_to_end",
+    oracle=f"""
+WITH {IVF_TRAIN_CTES},
+scored AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+           round(list_cosine_similarity(p.qe, a.emb), 6) AS cosine
+    FROM probes p JOIN assigned a
+      ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {TOP_K}
+""",
+    tags=("similarity", "ivf", "ann", "streaming", "wire-protocol", "north-star"),
+    doc=(
+        "The ANN SERVING path: a stream of query vectors probing the "
+        "static trained IVF index (identical training/assignment code "
+        "and constants as sim_ivf_topk), each micro-batch's top-k "
+        "committed through the manifest sink's epochId fence inside "
+        "foreachBatch — a replayed batch overwrites its own epoch, so "
+        "results land exactly once across crashes/restarts. Oracle is "
+        "sim_ivf_topk's exact SQL: a hash match proves the streaming "
+        "composition changed nothing about the answer. Index built "
+        "once and reused across micro-batches; no streaming state."
+    ),
+)
+def stream_ann_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import cloudpickle
+
+    from spark_kinesis_article_analysis_spark.operators.s3_batch import s3_options
+    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+    cloudpickle.register_pickle_by_value(_s3o)
+    spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+    prefix = _streamed_prefix(spark, sf_dir)
+    reader = spark.read.format("s3_parquet_manifest")
+    for k, v in s3_options(prefix).items():
+        reader = reader.option(k, v)
+    return reader.load().select("query_id", "neighbor_id", "cosine")
