@@ -138,6 +138,7 @@ HEADLINE = [
     "corpus_mix_temperature",          # p^alpha source mixing design
     "sim_nsw_topk",                    # graph-ANN beam search (the third ANN family)
     "stream_ann_end_to_end",           # streaming query vectors -> IVF index -> epoch-fenced sink
+    "layout_hilbert_cluster",          # Hilbert layout key (arithmetic fold, no Morton seams)
 ]
 
 

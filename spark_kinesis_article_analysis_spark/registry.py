@@ -270,6 +270,10 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.streaming import (  # noqa: F401
         ann_stream,
     )
+    # Round-12 batch 5: Hilbert-curve layout clustering — new module.
+    from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
+        hilbert,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -331,6 +335,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "temperature.py",
     "nsw.py",
     "ann_stream.py",
+    "hilbert.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

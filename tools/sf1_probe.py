@@ -108,6 +108,11 @@ PROBE = [
     "sim_pq_adc_topk",             # post-sharding: broadcast map-scan + 2-phase top-k
     "sim_cosine_topk",             # post-sharding exact baseline
     "stream_quality_gate_end_to_end",  # gate -> manifest sink round trip (first-build ingest incl.)
+    # round-12 batch 2+ rows
+    "text_trigram_backoff_logprob",    # three model-half count exchanges + scoring joins
+    "sim_nsw_topk",                # graph build (linear LSH blocking) + bounded beam search
+    "stream_ann_end_to_end",       # streaming IVF serving round trip (first-build ingest incl.)
+    "layout_hilbert_cluster",      # stats broadcast + arithmetic-fold key + bucket agg
 ]
 
 
