@@ -230,7 +230,7 @@ def main() -> None:
         _release_storage(spark)
     sentinel = _noise_sentinel(spark)
     timings: dict[str, float] = {}
-    for i, name in enumerate(HEADLINE):
+    for name in HEADLINE:
         build = specs[name].build
         best = float("inf")
         for _trial in range(3):  # min-of-3: damp scheduler/GC noise

@@ -126,19 +126,17 @@ def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cu").cast("double").alias("n"), F.count("*").cast("double").alias("v")
     )
 
-    def _bigrams(d: DataFrame, with_doc: bool) -> DataFrame:
-        cols = (["doc_id"] if with_doc else []) + ["pr.a", "pr.b"]
+    def _bigrams(d: DataFrame) -> DataFrame:
         return d.filter(F.size("toks") >= 2).select(
-            *(["doc_id"] if with_doc else []),
             F.explode(
                 F.expr(
                     "zip_with(slice(toks, 1, size(toks) - 1), "
                     "slice(toks, 2, size(toks) - 1), (x, y) -> struct(x AS a, y AS b))"
                 )
             ).alias("pr"),
-        ).select(*cols)
+        ).select("pr.a", "pr.b")
 
-    bc = _bigrams(model, False).groupBy("a", "b").agg(
+    bc = _bigrams(model).groupBy("a", "b").agg(
         F.count("*").cast("double").alias("cb")
     )
 

@@ -48,10 +48,32 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 _TOK_SQL = "string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')"
 _STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 
+#: the rule list ONCE, in terms of the sig CTE's columns — reused by the
+#: pass-flag expression (batch oracle) and the WHERE clause (streaming
+#: gate oracle), so a threshold retune cannot leave a frozen copy behind
+_RULES_SQL = """n_words BETWEEN 50 AND 100000
+        AND word_chars / greatest(n_words, 1) BETWEEN 3 AND 10
+        AND n_symbols / CAST(greatest(n_words, 1) AS DOUBLE) <= 0.1
+        AND n_bullet_lines / CAST(n_lines AS DOUBLE) <= 0.9
+        AND n_ellipsis_lines / CAST(n_lines AS DOUBLE) <= 0.3
+        AND n_alpha_words / CAST(greatest(n_words, 1) AS DOUBLE) >= 0.8
+        AND n_stop_hits >= 2"""
 
-@register(
-    "quality_gopher_gate",
-    oracle=f"""
+
+def gopher_oracle_sql(passing_only: bool = False) -> str:
+    """The gate's DuckDB oracle, built from the module's own fragments
+    (tokenizer regex, stop list, rule thresholds) so every consumer —
+    the batch spec here, the streaming gate spec
+    (streaming/gate_stream.py) — shares ONE source of truth. With
+    ``passing_only`` the pass flag becomes a constant TRUE column and
+    the rules move to WHERE (the survivors-only stream shape)."""
+    pass_col = (
+        "TRUE AS gopher_pass"
+        if passing_only
+        else f"({_RULES_SQL})                              AS gopher_pass"
+    )
+    where = f"\nWHERE {_RULES_SQL}" if passing_only else ""
+    return f"""
 WITH sig AS (
     SELECT doc_id,
            CAST(len({_TOK_SQL}) AS BIGINT) AS n_words,
@@ -79,15 +101,14 @@ SELECT doc_id, n_words,
        round(n_ellipsis_lines / CAST(n_lines AS DOUBLE), 6) AS ellipsis_line_ratio,
        round(n_alpha_words / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS alpha_word_ratio,
        n_stop_hits,
-       (n_words BETWEEN 50 AND 100000
-        AND word_chars / greatest(n_words, 1) BETWEEN 3 AND 10
-        AND n_symbols / CAST(greatest(n_words, 1) AS DOUBLE) <= 0.1
-        AND n_bullet_lines / CAST(n_lines AS DOUBLE) <= 0.9
-        AND n_ellipsis_lines / CAST(n_lines AS DOUBLE) <= 0.3
-        AND n_alpha_words / CAST(greatest(n_words, 1) AS DOUBLE) >= 0.8
-        AND n_stop_hits >= 2)                              AS gopher_pass
-FROM sig
-""",
+       {pass_col}
+FROM sig{where}
+"""
+
+
+@register(
+    "quality_gopher_gate",
+    oracle=gopher_oracle_sql(),
     tags=("quality", "gopher", "gate", "north-star"),
     doc=(
         "The published Gopher quality rule set (Rae et al. 2021 App. A) "

@@ -402,7 +402,7 @@ def _adc_map_scan(enc_db: DataFrame, dt: DataFrame) -> DataFrame:
         ["query_id"],
         [F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
         TOP_K,
-        shard_by=F.pmod(F.col("neighbor_id"), F.lit(ADC_TOPK_SHARDS)),
+        shard_key=F.col("neighbor_id"),
         num_shards=ADC_TOPK_SHARDS,
     ).select("query_id", "neighbor_id", "adc_dist")
 

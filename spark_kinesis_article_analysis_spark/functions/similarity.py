@@ -187,7 +187,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id"],
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         TOP_K,
-        shard_by=F.pmod(F.col("neighbor_id"), F.lit(TOPK_SHARDS)),
+        shard_key=F.col("neighbor_id"),
         num_shards=TOPK_SHARDS,
     ).select("query_id", "neighbor_id", "cosine")
 
@@ -278,7 +278,7 @@ def sim_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id"],
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         TOP_K,
-        shard_by=F.pmod(F.col("neighbor_id"), F.lit(TOPK_SHARDS)),
+        shard_key=F.col("neighbor_id"),
         num_shards=TOPK_SHARDS,
     ).select("query_id", "neighbor_id", "cosine")
 
@@ -539,12 +539,20 @@ def ivf_index_and_probes(
     return assigned, probes
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """The sim_ivf_topk plan at an explicit probe width — bench.py
-    sweeps this to record the recall-vs-nprobe curve each round."""
-    assigned, probes = ivf_index_and_probes(spark, sf_dir, nprobe)
+def ivf_score_and_rank(assigned: DataFrame, probes: DataFrame) -> DataFrame:
+    """The IVF search back half — probe-cell join, rounded cosine,
+    multi-assignment collapse, top-k — shared by :func:`ivf_topk` and
+    the streaming serving path (``streaming/ann_stream.py``), so the
+    scoring discipline exists ONCE Spark-side (self-review r12: the
+    stream had re-implemented this block and would have silently missed
+    the next change to it). ``assigned`` carries (vec_id, emb, nrm,
+    centroid_id); ``probes`` carries (query_id, qe, qnrm, centroid_id).
+    """
     scored = (
-        assigned.join(F.broadcast(probes), "centroid_id")
+        assigned.join(
+            F.broadcast(probes.select("query_id", "qe", "qnrm", "centroid_id")),
+            "centroid_id",
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -564,6 +572,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
         "query_id", "neighbor_id", "cosine"
     )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The sim_ivf_topk plan at an explicit probe width — bench.py
+    sweeps this to record the recall-vs-nprobe curve each round."""
+    assigned, probes = ivf_index_and_probes(spark, sf_dir, nprobe)
+    return ivf_score_and_rank(assigned, probes)
 
 
 def _bucket_expr(planes: list[list[float]]) -> Column:

@@ -41,15 +41,12 @@ def s3_options(prefix: str) -> dict:
     }
 
 
-def _written_prefix(spark: SparkSession, sf_dir: str) -> str:
-    from pyspark import cloudpickle
-
-    from spark_kinesis_article_analysis_spark.catalog import load
-    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
-
-    prefix = "documents-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    if prefix in _WRITTEN:
-        return prefix
+def ensure_bucket():
+    """Create the shared test bucket if absent (idempotent) and return
+    the boto3 client. ONE copy of the create/``BucketAlreadyOwnedByYou``
+    dance — five modules had grown their own byte-identical copies
+    (self-review r12), so an endpoint/credential fix would predictably
+    have missed one."""
     import boto3
 
     client = boto3.client(
@@ -63,7 +60,44 @@ def _written_prefix(spark: SparkSession, sf_dir: str) -> str:
         client.create_bucket(Bucket=BUCKET)
     except client.exceptions.BucketAlreadyOwnedByYou:
         pass
+    return client
+
+
+_STREAMED: dict[str, str] = {}
+
+
+def streamed_prefix_once(sf_dir: str, stem: str, run) -> str:
+    """Shared lifecycle for the wire-streaming specs (stream_wire,
+    gate_stream, ann_stream): ensure the bucket, run the streaming
+    build ONCE per (process, sf_dir), memoize the manifest prefix so
+    rebuilds reuse the committed manifests instead of appending
+    duplicates. ``run(prefix, checkpoint_dir)`` must block until the
+    stream has drained (availableNow) — a raise leaves the prefix
+    un-memoized so the next call retries rather than serving a
+    half-written table. Extracted from three near-identical module
+    copies (self-review r12)."""
+    import tempfile
+
+    prefix = f"{stem}-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if prefix in _STREAMED:
+        return prefix
+    ensure_bucket()
+    run(prefix, tempfile.mkdtemp(prefix=stem.replace("-", "_") + "_ckpt_"))
+    _STREAMED[prefix] = prefix
+    return prefix
+
+
+def _written_prefix(spark: SparkSession, sf_dir: str) -> str:
+    from pyspark import cloudpickle
+
+    from spark_kinesis_article_analysis_spark.catalog import load
+    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+    prefix = "documents-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if prefix in _WRITTEN:
+        return prefix
     cloudpickle.register_pickle_by_value(_s3o)
+    ensure_bucket()
     spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
     d = load(spark, sf_dir, "documents")
     opts = s3_options(prefix)

@@ -31,9 +31,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_kinesis_article_analysis_spark.operators.kinesis_batch import _endpoint
 from spark_kinesis_article_analysis_spark.operators.s3_batch import (
     BUCKET,
+    ensure_bucket,
     s3_options,
 )
 from spark_kinesis_article_analysis_spark.registry import register
@@ -48,24 +48,12 @@ def _prepared(spark: SparkSession, sf_dir: str) -> dict:
     prefix = "docsnap-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
     if prefix in _STATE:
         return _STATE[prefix]
-    import boto3
-
     from pyspark import cloudpickle
 
     from spark_kinesis_article_analysis_spark.catalog import load
     from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
 
-    client = boto3.client(
-        "s3",
-        region_name="us-east-1",
-        endpoint_url=_endpoint(),
-        aws_access_key_id="testing",
-        aws_secret_access_key="testing",
-    )
-    try:
-        client.create_bucket(Bucket=BUCKET)
-    except client.exceptions.BucketAlreadyOwnedByYou:
-        pass
+    ensure_bucket()
     cloudpickle.register_pickle_by_value(_s3o)
     spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
     opts = s3_options(prefix)

@@ -369,7 +369,7 @@ def sharded_topk(
     part_cols: list[str],
     order_cols: list[Column],
     k: int,
-    shard_by: Column,
+    shard_key: Column,
     num_shards: int = 32,
 ) -> DataFrame:
     """Top-k per group WITHOUT a per-group global sort: ``row_number()
@@ -393,14 +393,18 @@ def sharded_topk(
        tie-free total order, e.g. (score, unique_id) — same requirement
        the plain form needs for deterministic output).
 
-    ``shard_by`` must be deterministic (stage retries recompute it; a
-    rand() shard can lose/duplicate rows under retry) — pmod of a
-    unique id or a column hash. ``num_shards`` bounds phase-2 input;
-    at 100 TB size it so N/num_shards fits one reducer's sort budget.
+    ``shard_key`` must be deterministic (stage retries recompute it; a
+    rand() shard can lose/duplicate rows under retry) — a unique id or
+    a column hash; the function derives ``__shard = pmod(shard_key,
+    num_shards)`` itself, so ``num_shards`` ENFORCES the phase-2 bound
+    (<= num_shards * k rows per group) rather than documenting it
+    (self-review r12: a caller-supplied shard expression let the two
+    knobs drift apart silently). At 100 TB size ``num_shards`` so
+    N/num_shards fits one reducer's sort budget.
     """
     local_w = Window.partitionBy("__shard", *part_cols).orderBy(*order_cols)
     survivors = (
-        scored.withColumn("__shard", shard_by)
+        scored.withColumn("__shard", F.pmod(shard_key, F.lit(num_shards)))
         .withColumn("__rn", F.row_number().over(local_w))
         .filter(F.col("__rn") <= k)
         .drop("__shard", "__rn")

@@ -50,70 +50,55 @@ from spark_kinesis_article_analysis_spark.operators.kinesis_batch import (
     kinesis_options,
 )
 from spark_kinesis_article_analysis_spark.operators.s3_batch import (
-    BUCKET,
     s3_options,
+    streamed_prefix_once,
 )
 from spark_kinesis_article_analysis_spark.registry import register
-
-_DONE: dict[str, str] = {}
 
 _COLS = ["article_id", "title", "author", "publish_date", "content", "word_count"]
 
 
 def _streamed_prefix(spark: SparkSession, sf_dir: str) -> str:
     """Run the wire-to-wire streaming query once per process: Kinesis
-    (executor-parallel stream read) -> parse -> manifest sink."""
-    import tempfile
+    (executor-parallel stream read) -> parse -> manifest sink. The
+    ensure-bucket/memo lifecycle is the shared
+    :func:`operators.s3_batch.streamed_prefix_once`."""
 
-    prefix = "stream-wire-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    if prefix in _DONE:
-        return prefix
-    import boto3
+    def _run(prefix: str, ckpt: str) -> None:
+        from pyspark import cloudpickle
 
-    from pyspark import cloudpickle
+        from spark_kinesis_article_analysis_spark.sources import kinesis_source as _ks
+        from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
 
-    from spark_kinesis_article_analysis_spark.sources import kinesis_source as _ks
-    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+        cloudpickle.register_pickle_by_value(_ks)
+        cloudpickle.register_pickle_by_value(_s3o)
+        spark.dataSource.register(_ks.KinesisApiDataSource)
+        spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+        stream = _ingested_stream(spark, sf_dir)
 
-    cloudpickle.register_pickle_by_value(_ks)
-    cloudpickle.register_pickle_by_value(_s3o)
-    spark.dataSource.register(_ks.KinesisApiDataSource)
-    spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
-    client = boto3.client(
-        "s3",
-        region_name="us-east-1",
-        endpoint_url=kinesis_options("x")["endpointUrl"],
-        aws_access_key_id="testing",
-        aws_secret_access_key="testing",
-    )
-    try:
-        client.create_bucket(Bucket=BUCKET)
-    except client.exceptions.BucketAlreadyOwnedByYou:
-        pass
-    stream = _ingested_stream(spark, sf_dir)
+        reader = spark.readStream.format("kinesis_api")
+        for k, v in kinesis_options(stream).items():
+            reader = reader.option(k, v)
+        parsed = with_word_count(parse_articles(reader.load())).select(*_COLS)
 
-    reader = spark.readStream.format("kinesis_api")
-    for k, v in kinesis_options(stream).items():
-        reader = reader.option(k, v)
-    parsed = with_word_count(parse_articles(reader.load())).select(*_COLS)
-
-    writer = parsed.writeStream.format("s3_parquet_manifest").option(
-        "checkpointLocation", tempfile.mkdtemp(prefix="stream_wire_ckpt_")
-    )
-    for k, v in s3_options(prefix).items():
-        writer = writer.option(k, v)
-    q = writer.trigger(availableNow=True).start()
-    finished = q.awaitTermination(300)
-    if not finished:
-        # memoizing a partial run would serve a half-written table to
-        # every later call in the process — fail loudly instead
-        q.stop()
-        raise TimeoutError(
-            "stream_wire_end_to_end: availableNow query did not finish "
-            f"within 300s (exception: {q.exception()})"
+        writer = parsed.writeStream.format("s3_parquet_manifest").option(
+            "checkpointLocation", ckpt
         )
-    _DONE[prefix] = prefix
-    return prefix
+        for k, v in s3_options(prefix).items():
+            writer = writer.option(k, v)
+        q = writer.trigger(availableNow=True).start()
+        finished = q.awaitTermination(300)
+        if not finished:
+            # memoizing a partial run would serve a half-written table
+            # to every later call in the process — fail loudly instead
+            # (streamed_prefix_once only memoizes after _run returns)
+            q.stop()
+            raise TimeoutError(
+                "stream_wire_end_to_end: availableNow query did not finish "
+                f"within 300s (exception: {q.exception()})"
+            )
+
+    return streamed_prefix_once(sf_dir, "stream-wire", _run)
 
 
 @register(

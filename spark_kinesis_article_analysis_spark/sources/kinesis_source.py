@@ -412,7 +412,13 @@ class KinesisApiParallelStreamReader(DataSourceStreamReader):
         # silently falling between batches (ADVICE r11). Loud warning,
         # not a changed default: tests stay exact, production gets told.
         endpoint = self.options.get("endpointurl", "")
-        local = ("localhost" in endpoint) or ("127.0.0.1" in endpoint)
+        # parse the HOST, don't substring-match: "kinesis-localhost-gw.
+        # corp.example.com" must still warn, "http://[::1]:5000" must not
+        # (self-review r12 finding)
+        from urllib.parse import urlparse
+
+        host = (urlparse(endpoint).hostname or "") if endpoint else ""
+        local = host in ("localhost", "127.0.0.1", "::1")
         if self._lag_us == 0 and not local:
             import warnings
 

@@ -336,8 +336,14 @@ def _commit_epoch_manifest(options: dict, schema, messages, epoch: int) -> None:
             client.get_object(Bucket=options["bucket"], Key=key)["Body"].read()
         )
         body["committed_at_us"] = prev["committed_at_us"]
-    except Exception:  # noqa: BLE001 — no prior attempt (or unreadable: fresh time is the safe fallback)
-        pass
+    except client.exceptions.NoSuchKey:
+        pass  # first attempt of this epoch — fresh commit time is correct
+    # Anything else (throttle, network, permissions, corrupt body)
+    # PROPAGATES: treating a transient GET failure as "no prior commit"
+    # would re-stamp a replayed epoch past later batches — the exact
+    # commit-log reordering the carry exists to prevent (self-review
+    # r12 finding). The engine retries/aborts the micro-batch; a failed
+    # commit is recoverable, a silently reordered log is not.
     client.put_object(
         Bucket=options["bucket"], Key=key, Body=json.dumps(body).encode("utf-8")
     )

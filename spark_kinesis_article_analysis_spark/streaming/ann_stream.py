@@ -53,11 +53,10 @@ from spark_kinesis_article_analysis_spark.functions.similarity import (
     _ivf_top_cells,
     _ivf_trained_cents,
     dot,
+    ivf_score_and_rank,
 )
 from spark_kinesis_article_analysis_spark.operators.s3_batch import s3_options
 from spark_kinesis_article_analysis_spark.registry import register
-
-_DONE: dict[str, str] = {}
 
 
 def run_ann_stream(
@@ -109,26 +108,9 @@ def run_ann_stream(
             F.col("nrm").alias("qnrm"),
             F.explode(_ivf_top_cells(IVF_NPROBE)).alias("centroid_id"),
         )
-        scored = (
-            assigned.join(F.broadcast(probes), "centroid_id")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                F.round(
-                    dot(F.col("qe"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 6
-                ).alias("cosine"),
-            )
-            .distinct()
-        )
-        wtop = W.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
-        )
-        topk = (
-            scored.withColumn("rn", F.row_number().over(wtop))
-            .filter(F.col("rn") <= TOP_K)
-            .select("query_id", "neighbor_id", "cosine")
-        )
+        # the SHARED score-and-rank back half — one scoring discipline
+        # for batch and stream (self-review r12 killed the local copy)
+        topk = ivf_score_and_rank(assigned, probes)
         writer = topk.write.format("s3_parquet_manifest").mode("append").option(
             "epochId", str(batch_id)  # the foreachBatch idempotence fence
         )
@@ -159,37 +141,19 @@ def run_ann_stream(
 
 
 def _streamed_prefix(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
-
-    import boto3
-
-    from spark_kinesis_article_analysis_spark.operators.kinesis_batch import (
-        _endpoint,
+    """Serve the query stream once per (process, sf_dir) — the shared
+    wire-stream lifecycle (operators/s3_batch.streamed_prefix_once)."""
+    from spark_kinesis_article_analysis_spark.operators.s3_batch import (
+        streamed_prefix_once,
     )
-    from spark_kinesis_article_analysis_spark.operators.s3_batch import BUCKET
 
-    prefix = "stream-ann-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    if prefix in _DONE:
-        return prefix
-    client = boto3.client(
-        "s3",
-        region_name="us-east-1",
-        endpoint_url=_endpoint(),
-        aws_access_key_id="testing",
-        aws_secret_access_key="testing",
+    return streamed_prefix_once(
+        sf_dir,
+        "stream-ann",
+        lambda prefix, ckpt: run_ann_stream(
+            spark, f"{sf_dir.rstrip('/')}/embeddings.parquet", prefix, ckpt
+        ),
     )
-    try:
-        client.create_bucket(Bucket=BUCKET)
-    except client.exceptions.BucketAlreadyOwnedByYou:
-        pass
-    run_ann_stream(
-        spark,
-        f"{sf_dir.rstrip('/')}/embeddings.parquet",
-        prefix,
-        tempfile.mkdtemp(prefix="stream_ann_ckpt_"),
-    )
-    _DONE[prefix] = prefix
-    return prefix
 
 
 @register(

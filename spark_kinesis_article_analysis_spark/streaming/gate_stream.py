@@ -37,12 +37,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_kinesis_article_analysis_spark.functions.gopher import gopher_signals
+from spark_kinesis_article_analysis_spark.functions.gopher import (
+    gopher_oracle_sql,
+    gopher_signals,
+)
 from spark_kinesis_article_analysis_spark.functions.text import tokens_col
 from spark_kinesis_article_analysis_spark.operators.s3_batch import s3_options
 from spark_kinesis_article_analysis_spark.registry import register
-
-_DONE: dict[str, str] = {}
 
 _COLS = [
     "doc_id",
@@ -103,81 +104,26 @@ def run_gate_stream(
 
 def _streamed_prefix(spark: SparkSession, sf_dir: str) -> str:
     """Run the gated stream once per (process, sf_dir); rebuilds reuse
-    the committed manifests — the stream_wire lifecycle pattern."""
-    import tempfile
-
-    import boto3
-
-    from spark_kinesis_article_analysis_spark.operators.kinesis_batch import (
-        _endpoint,
+    the committed manifests — the shared wire-stream lifecycle."""
+    from spark_kinesis_article_analysis_spark.operators.s3_batch import (
+        streamed_prefix_once,
     )
-    from spark_kinesis_article_analysis_spark.operators.s3_batch import BUCKET
 
-    prefix = "stream-gate-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    if prefix in _DONE:
-        return prefix
-    client = boto3.client(
-        "s3",
-        region_name="us-east-1",
-        endpoint_url=_endpoint(),
-        aws_access_key_id="testing",
-        aws_secret_access_key="testing",
+    return streamed_prefix_once(
+        sf_dir,
+        "stream-gate",
+        lambda prefix, ckpt: run_gate_stream(
+            spark, f"{sf_dir.rstrip('/')}/documents.parquet", prefix, ckpt
+        ),
     )
-    try:
-        client.create_bucket(Bucket=BUCKET)
-    except client.exceptions.BucketAlreadyOwnedByYou:
-        pass
-    run_gate_stream(
-        spark,
-        f"{sf_dir.rstrip('/')}/documents.parquet",
-        prefix,
-        tempfile.mkdtemp(prefix="stream_gate_ckpt_"),
-    )
-    _DONE[prefix] = prefix
-    return prefix
 
 
 @register(
     "stream_quality_gate_end_to_end",
-    oracle="""
-WITH sig AS (
-    SELECT doc_id,
-           CAST(len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_words,
-           CAST(list_sum(list_prepend(0, list_transform(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> length(t))))
-                AS BIGINT) AS word_chars,
-           CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-               + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
-               AS n_symbols,
-           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-           CAST(len(list_filter(string_split(text, chr(10)),
-                                l -> starts_with(l, '- ') OR starts_with(l, '* ')))
-                AS BIGINT) AS n_bullet_lines,
-           CAST(len(list_filter(string_split(text, chr(10)),
-                                l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis_lines,
-           CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> regexp_matches(t, '[A-Za-z]')))
-                AS BIGINT) AS n_alpha_words,
-           CAST(len(list_intersect(list_distinct(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')),
-                                   ['the', 'a', 'be', 'to', 'of', 'and', 'that', 'have']))
-                AS BIGINT) AS n_stop_hits
-    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-)
-SELECT doc_id, n_words,
-       round(word_chars / greatest(n_words, 1), 6)        AS mean_word_len,
-       round(n_symbols / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS symbol_ratio,
-       round(n_bullet_lines / CAST(n_lines AS DOUBLE), 6) AS bullet_line_ratio,
-       round(n_ellipsis_lines / CAST(n_lines AS DOUBLE), 6) AS ellipsis_line_ratio,
-       round(n_alpha_words / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS alpha_word_ratio,
-       n_stop_hits,
-       TRUE AS gopher_pass
-FROM sig
-WHERE n_words BETWEEN 50 AND 100000
-  AND word_chars / greatest(n_words, 1) BETWEEN 3 AND 10
-  AND n_symbols / CAST(greatest(n_words, 1) AS DOUBLE) <= 0.1
-  AND n_bullet_lines / CAST(n_lines AS DOUBLE) <= 0.9
-  AND n_ellipsis_lines / CAST(n_lines AS DOUBLE) <= 0.3
-  AND n_alpha_words / CAST(greatest(n_words, 1) AS DOUBLE) >= 0.8
-  AND n_stop_hits >= 2
-""",
+    # the gate oracle built from gopher.py's OWN fragments (tokenizer,
+    # stop list, thresholds) with the rules moved to WHERE — one source
+    # of truth, no frozen copy to drift (self-review r12 finding)
+    oracle=gopher_oracle_sql(passing_only=True),
     tags=("quality", "gopher", "streaming", "curation", "wire-protocol", "north-star"),
     doc=(
         "The curation path composed with the wire sink: a documents "

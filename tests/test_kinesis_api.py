@@ -478,10 +478,22 @@ class TestParallelStreamReader:
             KinesisApiParallelStreamReader(
                 {"streamname": "s", "endpointurl": "https://kinesis.us-east-1.amazonaws.com"}
             )
+        # host PARSING, not substring: a remote host that merely contains
+        # "localhost" must still warn (self-review r12)
+        with pytest.warns(UserWarning, match="fenceLagMs=0 against a non-local"):
+            KinesisApiParallelStreamReader(
+                {"streamname": "s", "endpointurl": "https://kinesis-localhost-gw.corp.example.com"}
+            )
         with _w.catch_warnings():
             _w.simplefilter("error")
             KinesisApiParallelStreamReader(
                 {"streamname": "s", "endpointurl": "http://127.0.0.1:5000"}
+            )
+            KinesisApiParallelStreamReader(
+                {"streamname": "s", "endpointurl": "http://[::1]:5000"}
+            )
+            KinesisApiParallelStreamReader(
+                {"streamname": "s", "endpointurl": "http://localhost:5000"}
             )
             KinesisApiParallelStreamReader(
                 {

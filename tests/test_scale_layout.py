@@ -335,7 +335,7 @@ class TestSkewHandling:
             ["query_id"],
             order,
             5,
-            shard_by=F.pmod(F.col("neighbor_id"), F.lit(8)),
+            shard_key=F.col("neighbor_id"),
             num_shards=8,
         ).select("query_id", "neighbor_id", "score")
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
