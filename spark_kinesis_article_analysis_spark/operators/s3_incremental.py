@@ -1,0 +1,128 @@
+"""Incremental read + vacuum proofs for the manifest table format —
+the remaining lifecycle half of the S2/S3 object-store surface
+(reference sink: ``process_articles.py:88-90``).
+
+``s3_snapshot`` proved time travel (read AS OF a manifest) and
+compaction invisibility; this module proves the two maintenance/consume
+primitives a 100 TB training pipeline actually runs daily:
+
+* **changes-since** (``option("sinceManifest", <key>)``): read only the
+  rows appended AFTER a pinned commit — the CDC shape that lets an
+  incremental tokenize/dedup/index job process each append exactly once
+  instead of rescanning the table. Implemented as an object-set
+  difference of two snapshots, so a compaction committed after the pin
+  does NOT replay history as changes (the manifest-grain cut would).
+* **vacuum** (:func:`sources.s3_objects.vacuum_orphans`): delete data
+  objects no manifest references — uploads from task attempts that died
+  between PUT and commit. The spec plants a realistic orphan (a real
+  parquet object under ``data/``), vacuums, and proves via the identity
+  oracle that committed rows are untouched; pytest pins that the orphan
+  is gone and pinned snapshot reads still resolve afterwards
+  (``tests/test_s3_incremental.py``).
+
+Both specs reuse ``s3_snapshot._prepared``'s table state (append evens,
+snapshot, append odds, compact — once per process), so the whole
+lifecycle chain is exercised against ONE table the way a real one
+evolves, not against per-spec fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_kinesis_article_analysis_spark.operators.s3_batch import s3_options
+from spark_kinesis_article_analysis_spark.operators.s3_snapshot import (
+    _COLS,
+    _prepared,
+)
+from spark_kinesis_article_analysis_spark.registry import register
+
+_VACUUMED: dict[str, bool] = {}
+
+
+def _reader(spark: SparkSession, prefix: str):
+    from pyspark import cloudpickle
+
+    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+    cloudpickle.register_pickle_by_value(_s3o)
+    spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+    reader = spark.read.format("s3_parquet_manifest")
+    for k, v in s3_options(prefix).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+@register(
+    "s3_manifest_changes_since",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 2 <> 0
+""",
+    tags=("S2", "S3", "object-store", "incremental", "cdc"),
+    doc=(
+        "Incremental (changes-since) read of the manifest-committed "
+        "table: pinned at the manifest of append 1 (even doc_ids), read "
+        "after append 2 (odd) and a full compaction landed. Oracle = "
+        "the odd half straight off documents: a hash match proves the "
+        "object-set-difference semantics — exactly the post-pin appends, "
+        "no replay of history through the compaction manifest (which "
+        "re-lists every object). At 100 TB this is the incremental-"
+        "pipeline primitive: each downstream job consumes (last-pin, "
+        "head] once instead of rescanning the table."
+    ),
+)
+def s3_manifest_changes_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _prepared(spark, sf_dir)
+    return (
+        _reader(spark, st["prefix"])
+        .option("sinceManifest", st["snap_key"])
+        .load()
+        .select(*_COLS)
+    )
+
+
+def _vacuumed(spark: SparkSession, sf_dir: str) -> dict:
+    """Plant one realistic orphan (a parquet object under ``data/`` no
+    manifest lists — what a task attempt that died before commit leaves
+    behind), vacuum it, fail loudly if vacuum missed it. Once per
+    (process, sf_dir)."""
+    st = _prepared(spark, sf_dir)
+    if st["prefix"] in _VACUUMED:
+        return st
+    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+    opts = {k.lower(): v for k, v in s3_options(st["prefix"]).items()}
+    orphan = f"{st['prefix']}/data/part-deadbeef-aborted-attempt.parquet"
+    _s3o._s3(opts).put_object(
+        Bucket=opts["bucket"], Key=orphan, Body=b"not committed"
+    )
+    deleted = _s3o.vacuum_orphans(opts)
+    if orphan not in deleted:
+        raise AssertionError(
+            f"vacuum_orphans missed the planted orphan: deleted={deleted!r}"
+        )
+    _VACUUMED[st["prefix"]] = True
+    return st
+
+
+@register(
+    "s3_manifest_vacuumed",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""",
+    tags=("S2", "S3", "object-store", "vacuum", "maintenance"),
+    doc=(
+        "HEAD read after vacuum deleted a planted orphan data object "
+        "(an upload no manifest references — the leavings of a task "
+        "attempt that died before its job committed). Oracle = all "
+        "documents: a hash match proves vacuum's referenced-set "
+        "judgment deleted ONLY garbage — every committed row, including "
+        "rows reachable only through compaction-tombstoned manifests "
+        "that pinned snapshots still resolve, survives exactly once. "
+        "The spec itself asserts the orphan WAS deleted (loud failure), "
+        "so a vacuum that silently no-ops cannot stay green either."
+    ),
+)
+def s3_manifest_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _vacuumed(spark, sf_dir)
+    return _reader(spark, st["prefix"]).load().select(*_COLS)

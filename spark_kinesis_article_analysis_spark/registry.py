@@ -274,6 +274,11 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.functions import (  # noqa: F401
         hilbert,
     )
+    # Round-12 batch 6: incremental (changes-since) reads + vacuum for
+    # the manifest table format — new module, rank-0 entries.
+    from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
+        s3_incremental,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -336,6 +341,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "nsw.py",
     "ann_stream.py",
     "hilbert.py",
+    "s3_incremental.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

@@ -45,18 +45,27 @@ This module implements that protocol as a Spark 4 Python DataSource:
   kinds). ``option("snapshotManifest", <key>)`` reads the table AS OF
   that manifest: only manifests committed at-or-before it are
   considered — time travel over the append-only manifest log.
+  ``option("sinceManifest", <key>)`` is the incremental twin: only rows
+  appended AFTER that commit (object-set difference of the two
+  snapshots, so a post-``since`` compaction doesn't replay history);
+  the two compose into a (since, snapshot] range read.
 * compaction: :func:`compact_manifests` rewrites the current manifest
   set into ONE manifest whose ``replaces`` tombstones the old ones —
   bounding reader manifest enumeration, which otherwise grows one
   manifest per append/epoch forever. Old manifests stay in place, so
   pre-compaction snapshot reads still resolve.
+* vacuum: :func:`vacuum_orphans` deletes data objects no manifest
+  references (uploads from task attempts that died before commit) —
+  the storage-reclaim half of maintenance.
 
 Options (shared surface with the kinesis source): ``bucket``,
 ``prefix``, ``endpointUrl``, ``regionName``, ``awsAccessKeyId``,
-``awsSecretKey``, plus ``snapshotManifest`` (read). Tested against the
-real S3 API served by moto (``tests/test_s3_manifest.py``), including
-abort/rogue-object invisibility, append semantics, epoch-fenced
-restart, snapshot reads, and compaction invisibility.
+``awsSecretKey``, plus ``snapshotManifest`` / ``sinceManifest`` (read).
+Tested against the real S3 API served by moto
+(``tests/test_s3_manifest.py``, ``tests/test_s3_incremental.py``),
+including abort/rogue-object invisibility, append semantics,
+epoch-fenced restart, snapshot reads, compaction invisibility,
+incremental reads, and vacuum.
 """
 
 from __future__ import annotations
@@ -443,16 +452,33 @@ class S3ManifestReader(DataSourceReader):
 
     def partitions(self) -> Sequence[_ObjectPartition]:
         client = _s3(self.options)
-        active = _active_manifests(
-            _load_manifests(client, self.options["bucket"], self.options["prefix"]),
-            self.options.get("snapshotmanifest"),
+        manifests = _load_manifests(
+            client, self.options["bucket"], self.options["prefix"]
         )
+        active = _active_manifests(manifests, self.options.get("snapshotmanifest"))
+        # sinceManifest: incremental (CDC-shaped) read — only rows
+        # appended AFTER the named commit. Computed as a set difference
+        # of the two snapshots' OBJECT lists (objects now minus objects
+        # as-of-since), not "manifests after since": a compaction
+        # manifest committed after `since` re-lists every historical
+        # object, so the manifest-grain cut would replay the whole
+        # table as changes. Object identity is append-immutable (tasks
+        # never rewrite data objects), so the diff is exact. Composes
+        # with snapshotManifest for a (since, snapshot] range read.
+        baseline: set[str] = set()
+        since = self.options.get("sincemanifest")
+        if since is not None:
+            baseline = {
+                k
+                for _, body in _active_manifests(manifests, since)
+                for k in body["objects"]
+            }
         keys: list[str] = []
         seen: set[str] = set()
         for _, body in active:
             for k in body["objects"]:
-                if k not in seen:  # belt+braces: an object belongs once
-                    seen.add(k)
+                if k not in seen and k not in baseline:
+                    seen.add(k)  # belt+braces: an object belongs once
                     keys.append(k)
         return [_ObjectPartition(k) for k in keys]
 
@@ -549,3 +575,41 @@ def compact_manifests(options: dict) -> str:
         Bucket=opts["bucket"], Key=key, Body=json.dumps(body).encode("utf-8")
     )
     return key
+
+
+def vacuum_orphans(options: dict) -> list[str]:
+    """Table maintenance, the other half of :func:`compact_manifests`:
+    delete data objects under ``{prefix}/data/`` that NO manifest
+    references — the leavings of task attempts that uploaded but died
+    before their driver committed a manifest (the commit protocol makes
+    them invisible to readers; this reclaims their storage). Returns
+    the deleted keys, sorted.
+
+    Referenced-ness is judged against EVERY manifest body, tombstoned
+    ones included: a snapshot read pinned before a compaction resolves
+    through replaced manifests, so their objects are still live — only
+    objects no manifest has ever listed are orphans. Driver-side by
+    design, like compaction: it moves metadata and DELETE calls (KBs),
+    never data. At 100 TB the listing is the cost — one paginated LIST
+    per 1000 objects under the prefix, no reads of object bodies."""
+    opts = _norm(options)
+    client = _s3(opts)
+    referenced: set[str] = set()
+    for _, body in _load_manifests(client, opts["bucket"], opts["prefix"]):
+        referenced.update(body["objects"])
+    orphans: list[str] = []
+    token = None
+    while True:
+        kwargs = {"Bucket": opts["bucket"], "Prefix": f"{opts['prefix']}/data/"}
+        if token:
+            kwargs["ContinuationToken"] = token
+        resp = client.list_objects_v2(**kwargs)
+        orphans.extend(
+            o["Key"] for o in resp.get("Contents", []) if o["Key"] not in referenced
+        )
+        if not resp.get("IsTruncated"):
+            break
+        token = resp.get("NextContinuationToken")
+    for k in orphans:
+        client.delete_object(Bucket=opts["bucket"], Key=k)
+    return sorted(orphans)

@@ -1,0 +1,145 @@
+"""Incremental (changes-since) reads and vacuum for the manifest table
+format — the protocol semantics the ``s3_manifest_changes_since`` /
+``s3_manifest_vacuumed`` oracles can't see: exactness of the object-set
+difference under compaction, range-read composition, validation of the
+pin, vacuum's referenced-set judgment (tombstoned manifests keep their
+objects live), and vacuum idempotence."""
+
+from __future__ import annotations
+
+import pytest
+
+boto3 = pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+from tests.test_s3_manifest import (  # noqa: E402
+    _fresh,
+    _read_rows,
+    _write,
+)
+
+from spark_kinesis_article_analysis_spark.sources.s3_objects import (  # noqa: E402
+    S3ManifestReader,
+    _load_manifests,
+    _manifest_keys,
+    _s3,
+    compact_manifests,
+    vacuum_orphans,
+)
+
+
+def _low(opts):
+    return {k.lower(): v for k, v in opts.items()}
+
+
+def _read_since(opts, since=None, snapshot=None):
+    o = dict(opts)
+    if since is not None:
+        o["sinceManifest"] = since
+    if snapshot is not None:
+        o["snapshotManifest"] = snapshot
+    r = S3ManifestReader(o)
+    out = []
+    for p in r.partitions():
+        for batch in r.read(p):
+            out.extend(zip(*[c.to_pylist() for c in batch.columns]))
+    return sorted(out)
+
+
+def _manifest_log(opts):
+    low = _low(opts)
+    return [k for k, _ in _load_manifests(_s3(low), low["bucket"], low["prefix"])]
+
+
+class TestChangesSince:
+    def test_since_reads_exactly_the_post_pin_appends(self):
+        opts = _fresh()
+        _write(opts, [(1, "a"), (2, "b")])
+        [pin] = _manifest_log(opts)
+        _write(opts, [(3, "c")])
+        _write(opts, [(4, "d")])
+        assert _read_since(opts, since=pin) == [(3, "c"), (4, "d")]
+
+    def test_post_pin_compaction_does_not_replay_history(self):
+        """The compaction manifest re-lists EVERY object; a manifest-
+        grain 'after the pin' cut would return the whole table. The
+        object-set difference must still return only the new rows."""
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        [pin] = _manifest_log(opts)
+        _write(opts, [(2, "b")])
+        compact_manifests(opts)
+        assert _read_since(opts, since=pin) == [(2, "b")]
+
+    def test_since_equal_to_head_is_empty(self):
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        [pin] = _manifest_log(opts)
+        assert _read_since(opts, since=pin) == []
+
+    def test_since_composes_with_snapshot_as_range_read(self):
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        _write(opts, [(2, "b")])
+        _write(opts, [(3, "c")])
+        log = _manifest_log(opts)
+        assert _read_since(opts, since=log[0], snapshot=log[1]) == [(2, "b")]
+
+    def test_unknown_since_key_raises(self):
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        with pytest.raises(ValueError, match="not a committed manifest"):
+            _read_since(opts, since="t/manifests/manifest-nope.json")
+
+
+class TestVacuum:
+    def test_vacuum_deletes_only_unreferenced_objects(self):
+        opts = _fresh()
+        _write(opts, [(1, "a"), (2, "b")])
+        low = _low(opts)
+        client = _s3(low)
+        orphan = "t/data/part-orphan.parquet"
+        client.put_object(Bucket=low["bucket"], Key=orphan, Body=b"junk")
+        deleted = vacuum_orphans(opts)
+        assert deleted == [orphan]
+        assert _read_rows(opts) == [(1, "a"), (2, "b")]  # data intact
+        listed = client.list_objects_v2(Bucket=low["bucket"], Prefix="t/data/")
+        assert all(o["Key"] != orphan for o in listed.get("Contents", []))
+
+    def test_vacuum_keeps_objects_of_tombstoned_manifests(self):
+        """Compaction tombstones manifests, not objects: a snapshot read
+        pinned before the compaction resolves through the replaced
+        manifests, so their objects must survive vacuum."""
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        [pin] = _manifest_log(opts)
+        _write(opts, [(2, "b")])
+        compact_manifests(opts)
+        assert vacuum_orphans(opts) == []  # nothing is garbage
+        assert _read_since(opts, snapshot=pin) == [(1, "a")]  # pin intact
+        assert _read_rows(opts) == [(1, "a"), (2, "b")]
+
+    def test_vacuum_is_idempotent(self):
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        low = _low(opts)
+        _s3(low).put_object(
+            Bucket=low["bucket"], Key="t/data/part-x.parquet", Body=b"junk"
+        )
+        first = vacuum_orphans(opts)
+        assert len(first) == 1
+        assert vacuum_orphans(opts) == []
+
+    def test_vacuum_ignores_manifest_prefix(self):
+        """Vacuum reclaims data/ only — the manifest log (including
+        tombstoned manifests that pinned snapshots replay) is never
+        touched."""
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        _write(opts, [(2, "b")])
+        compact_manifests(opts)
+        low = _low(opts)
+        before = _manifest_keys(_s3(low), low["bucket"], low["prefix"])
+        vacuum_orphans(opts)
+        after = _manifest_keys(_s3(low), low["bucket"], low["prefix"])
+        assert before == after
