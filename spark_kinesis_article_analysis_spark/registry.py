@@ -279,6 +279,11 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.operators import (  # noqa: F401
         s3_incremental,
     )
+    # Round-12 batch 7: stream-stream watermarked interval join — the
+    # last Structured Streaming operator class — new module, rank-0.
+    from spark_kinesis_article_analysis_spark.streaming import (  # noqa: F401
+        join_stream,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -342,6 +347,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "ann_stream.py",
     "hilbert.py",
     "s3_incremental.py",
+    "join_stream.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver
