@@ -139,6 +139,8 @@ HEADLINE = [
     "sim_nsw_topk",                    # graph-ANN beam search (the third ANN family)
     "stream_ann_end_to_end",           # streaming query vectors -> IVF index -> epoch-fenced sink
     "layout_hilbert_cluster",          # Hilbert layout key (arithmetic fold, no Morton seams)
+    "s3_manifest_changes_since",       # incremental (CDC-shaped) manifest read
+    "stream_stream_join_end_to_end",   # dual-stream watermarked interval join -> manifest sink
 ]
 
 

@@ -19,6 +19,11 @@ primitives a 100 TB training pipeline actually runs daily:
   oracle that committed rows are untouched; pytest pins that the orphan
   is gone and pinned snapshot reads still resolve afterwards
   (``tests/test_s3_incremental.py``).
+* **schema evolution**: appends may carry different schemas; the read
+  adapts every data object to the newest manifest's schema (missing
+  columns nulled, dropped pruned, widened cast — objects never
+  rewritten). The spec evolves the documents table mid-history and
+  proves the adapted read row-for-row.
 
 Both specs reuse ``s3_snapshot._prepared``'s table state (append evens,
 snapshot, append odds, compact — once per process), so the whole
@@ -103,6 +108,66 @@ def _vacuumed(spark: SparkSession, sf_dir: str) -> dict:
         )
     _VACUUMED[st["prefix"]] = True
     return st
+
+
+_EVOLVED: dict[str, str] = {}
+
+
+def _evolved_prefix(spark: SparkSession, sf_dir: str) -> str:
+    """Build a table whose schema EVOLVED between appends: append 1
+    (even doc_ids) writes WITHOUT ``n_chars`` — the pre-evolution
+    schema — append 2 (odd) writes the full five columns. Once per
+    (process, sf_dir)."""
+    from pyspark import cloudpickle
+
+    from spark_kinesis_article_analysis_spark.catalog import load
+    from spark_kinesis_article_analysis_spark.operators.s3_batch import ensure_bucket
+    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+    prefix = "docevo-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if prefix in _EVOLVED:
+        return prefix
+    ensure_bucket()
+    cloudpickle.register_pickle_by_value(_s3o)
+    spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+    d = load(spark, sf_dir, "documents")
+
+    def append(df: DataFrame) -> None:
+        w = df.write.format("s3_parquet_manifest").mode("append")
+        for k, v in s3_options(prefix).items():
+            w = w.option(k, v)
+        w.save()
+
+    append(d.where(d.doc_id % 2 == 0).select("doc_id", "text", "lang", "source"))
+    append(d.where(d.doc_id % 2 != 0).select(*_COLS))
+    _EVOLVED[prefix] = prefix
+    return prefix
+
+
+@register(
+    "s3_manifest_schema_evolution",
+    oracle="""
+SELECT doc_id, text, lang, source,
+       CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
+FROM documents
+""",
+    tags=("S2", "S3", "object-store", "schema-evolution"),
+    doc=(
+        "HEAD read across a schema evolution: append 1 wrote four "
+        "columns, append 2 added n_chars, and data objects are never "
+        "rewritten — the READ adapts each object to the newest "
+        "manifest's schema (missing columns nulled, column-at-a-time "
+        "Arrow, the Iceberg/Delta read-side model). Oracle nulls "
+        "n_chars for exactly the pre-evolution rows: a hash match "
+        "proves old objects surface under the new schema with no "
+        "rewrite and no row loss. Type-change edges (widening cast, "
+        "incompatible raise, dropped-column pruning) are pinned in "
+        "tests/test_s3_incremental.py."
+    ),
+)
+def s3_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prefix = _evolved_prefix(spark, sf_dir)
+    return _reader(spark, prefix).load().select(*_COLS)
 
 
 @register(

@@ -447,8 +447,13 @@ class _ObjectPartition(InputPartition):
 
 
 class S3ManifestReader(DataSourceReader):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema: "StructType | None" = None) -> None:
         self.options = _norm(options)
+        #: the TABLE schema Spark planned with (newest manifest's DDL,
+        #: or a user-supplied .schema()). When set, read() adapts every
+        #: data object to it — the schema-evolution path. None (direct
+        #: protocol-test use) keeps raw object batches.
+        self.table_schema = schema
 
     def partitions(self) -> Sequence[_ObjectPartition]:
         client = _s3(self.options)
@@ -483,6 +488,7 @@ class S3ManifestReader(DataSourceReader):
         return [_ObjectPartition(k) for k in keys]
 
     def read(self, partition: _ObjectPartition) -> Iterator:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         if partition is None:
@@ -495,6 +501,24 @@ class S3ManifestReader(DataSourceReader):
             Bucket=self.options["bucket"], Key=partition.key
         )["Body"].read()
         table = pq.read_table(io.BytesIO(body))
+        if self.table_schema is not None:
+            # SCHEMA EVOLUTION: each data object keeps the schema of the
+            # append that wrote it; the read adapts it to the TABLE
+            # schema (the newest manifest's DDL) — columns an older
+            # append lacks are nulled, columns dropped since are pruned,
+            # widened types are cast (an incompatible change raises
+            # loudly in the cast, never silently corrupts). Per-object
+            # and column-at-a-time — no rewrite amplification, the
+            # Iceberg/Delta read-side evolution model.
+            target = _canonical_arrow_schema(self.table_schema)
+            if not table.schema.equals(target, check_metadata=False):
+                arrays = [
+                    table.column(f.name).cast(f.type)
+                    if f.name in table.column_names
+                    else pa.chunked_array([pa.nulls(table.num_rows, type=f.type)])
+                    for f in target
+                ]
+                table = pa.Table.from_arrays(arrays, schema=target)
         yield from table.to_batches()  # Arrow batches — no per-row Python
 
 
@@ -519,7 +543,7 @@ class S3ParquetManifestDataSource(DataSource):
         return active[-1][1]["schema_ddl"]
 
     def reader(self, schema: "StructType") -> S3ManifestReader:
-        return S3ManifestReader(self.options)
+        return S3ManifestReader(self.options, schema)
 
     def writer(self, schema: "StructType", overwrite: bool) -> S3ManifestWriter:
         return S3ManifestWriter(self.options, schema, overwrite)

@@ -1,9 +1,12 @@
-"""Incremental (changes-since) reads and vacuum for the manifest table
-format — the protocol semantics the ``s3_manifest_changes_since`` /
-``s3_manifest_vacuumed`` oracles can't see: exactness of the object-set
-difference under compaction, range-read composition, validation of the
-pin, vacuum's referenced-set judgment (tombstoned manifests keep their
-objects live), and vacuum idempotence."""
+"""Incremental (changes-since) reads, vacuum, and schema evolution for
+the manifest table format — the protocol semantics the
+``s3_manifest_changes_since`` / ``s3_manifest_vacuumed`` /
+``s3_manifest_schema_evolution`` oracles can't see: exactness of the
+object-set difference under compaction, range-read composition,
+validation of the pin, vacuum's referenced-set judgment (tombstoned
+manifests keep their objects live), vacuum idempotence, and the
+read-side schema adaptation edges (null-fill, prune, widen, and the
+loud incompatible-cast failure)."""
 
 from __future__ import annotations
 
@@ -129,6 +132,50 @@ class TestVacuum:
         first = vacuum_orphans(opts)
         assert len(first) == 1
         assert vacuum_orphans(opts) == []
+
+    def test_schema_evolution_read_adapts_old_objects(self):
+        """Objects written before a column existed surface under the
+        table schema with that column nulled; dropped columns prune;
+        both column-at-a-time Arrow, no object rewrite."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        opts = _fresh()
+        _write(opts, [(1, "a")])  # pre-evolution object: (k, v)
+        wide = StructType(
+            [
+                StructField("k", LongType()),
+                StructField("v", StringType()),
+                StructField("w", LongType()),
+            ]
+        )
+        r = S3ManifestReader(dict(opts), wide)
+        out = []
+        for p in r.partitions():
+            for batch in r.read(p):
+                out.extend(zip(*[c.to_pylist() for c in batch.columns]))
+        assert sorted(out) == [(1, "a", None)]
+        narrow = StructType([StructField("k", LongType())])
+        r = S3ManifestReader(dict(opts), narrow)
+        out = []
+        for p in r.partitions():
+            for batch in r.read(p):
+                out.extend(zip(*[c.to_pylist() for c in batch.columns]))
+        assert out == [(1,)]
+
+    def test_schema_evolution_incompatible_cast_raises(self):
+        """A type change the data can't follow must fail loudly at read,
+        never silently corrupt."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        opts = _fresh()
+        _write(opts, [(1, "not-a-number")])
+        r = S3ManifestReader(
+            dict(opts),
+            StructType([StructField("k", LongType()), StructField("v", LongType())]),
+        )
+        with pytest.raises(Exception, match="parse|[Cc]onvert|[Cc]ast|[Ii]nvalid"):
+            for p in r.partitions():
+                list(r.read(p))
 
     def test_vacuum_ignores_manifest_prefix(self):
         """Vacuum reclaims data/ only — the manifest log (including

@@ -113,6 +113,10 @@ PROBE = [
     "sim_nsw_topk",                # graph build (linear LSH blocking) + bounded beam search
     "stream_ann_end_to_end",       # streaming IVF serving round trip (first-build ingest incl.)
     "layout_hilbert_cluster",      # stats broadcast + arithmetic-fold key + bucket agg
+    # round-12 batch 6/7 rows: manifest lifecycle + the dual-stream join
+    "s3_manifest_changes_since",   # incremental read (first-build: 2 appends + compaction incl.)
+    "s3_manifest_vacuumed",        # vacuum + HEAD read (shares the changes_since table build)
+    "stream_stream_join_end_to_end",  # dual-stream watermarked interval join round trip
 ]
 
 
