@@ -284,6 +284,11 @@ def _load_all() -> None:
     from spark_kinesis_article_analysis_spark.streaming import (  # noqa: F401
         join_stream,
     )
+    # Round-12 batch 8: the manifest table consumed AS A STREAM
+    # (commit-log offsets) hopped table-to-table — new module, rank-0.
+    from spark_kinesis_article_analysis_spark.streaming import (  # noqa: F401
+        table_stream,
+    )
 
 
 #: Canonical module order for :func:`all_specs` ties — MUST mirror the
@@ -348,6 +353,7 @@ _MODULE_ORDER: tuple[str, ...] = (
     "hilbert.py",
     "s3_incremental.py",
     "join_stream.py",
+    "table_stream.py",
 )
 
 #: Specs whose ORACLE semantics were rewritten since their last driver

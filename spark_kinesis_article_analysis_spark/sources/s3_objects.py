@@ -83,6 +83,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -488,38 +489,139 @@ class S3ManifestReader(DataSourceReader):
         return [_ObjectPartition(k) for k in keys]
 
     def read(self, partition: _ObjectPartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         if partition is None:
             # the DataSource API probes read() with None when
             # partitions() returned [] (empty table — e.g. a manifest
             # committed over an empty write); same quirk replay_source
             # documents
             return
-        body = _s3(self.options).get_object(
-            Bucket=self.options["bucket"], Key=partition.key
-        )["Body"].read()
-        table = pq.read_table(io.BytesIO(body))
-        if self.table_schema is not None:
-            # SCHEMA EVOLUTION: each data object keeps the schema of the
-            # append that wrote it; the read adapts it to the TABLE
-            # schema (the newest manifest's DDL) — columns an older
-            # append lacks are nulled, columns dropped since are pruned,
-            # widened types are cast (an incompatible change raises
-            # loudly in the cast, never silently corrupts). Per-object
-            # and column-at-a-time — no rewrite amplification, the
-            # Iceberg/Delta read-side evolution model.
-            target = _canonical_arrow_schema(self.table_schema)
-            if not table.schema.equals(target, check_metadata=False):
-                arrays = [
-                    table.column(f.name).cast(f.type)
-                    if f.name in table.column_names
-                    else pa.chunked_array([pa.nulls(table.num_rows, type=f.type)])
-                    for f in target
-                ]
-                table = pa.Table.from_arrays(arrays, schema=target)
-        yield from table.to_batches()  # Arrow batches — no per-row Python
+        yield from _read_object_adapted(self.options, self.table_schema, partition.key)
+
+
+def _read_object_adapted(options: dict, table_schema, key: str) -> Iterator:
+    """One data object -> Arrow batches adapted to the table schema —
+    the executor-side read shared by the batch and streaming readers.
+
+    SCHEMA EVOLUTION: each data object keeps the schema of the append
+    that wrote it; the read adapts it to the TABLE schema (the newest
+    manifest's DDL) — columns an older append lacks are nulled, columns
+    dropped since are pruned, widened types are cast (an incompatible
+    change raises loudly in the cast, never silently corrupts).
+    Per-object and column-at-a-time — no rewrite amplification, the
+    Iceberg/Delta read-side evolution model. ``table_schema=None``
+    (direct protocol-test use) yields raw object batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    body = _s3(options).get_object(Bucket=options["bucket"], Key=key)["Body"].read()
+    table = pq.read_table(io.BytesIO(body))
+    if table_schema is not None:
+        target = _canonical_arrow_schema(table_schema)
+        if not table.schema.equals(target, check_metadata=False):
+            arrays = [
+                table.column(f.name).cast(f.type)
+                if f.name in table.column_names
+                else pa.chunked_array([pa.nulls(table.num_rows, type=f.type)])
+                for f in target
+            ]
+            table = pa.Table.from_arrays(arrays, schema=target)
+    yield from table.to_batches()  # Arrow batches — no per-row Python
+
+
+class S3ManifestStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE over the manifest commit log — the table format
+    as an unbounded input (`readStream.format("s3_parquet_manifest")`),
+    the Delta/Iceberg "table as stream" consume model that closes the
+    loop with the streaming SINK: table-to-table micro-batch pipelines
+    on one format.
+
+    * offset = ``{"committed_at_us": T, "key": K}`` — the commit-log
+      position of the last CONSUMED manifest ((body time, key) is the
+      log's total order; primitives only, per the offset contract).
+    * ``latestOffset`` = one manifest listing — metadata-only driver
+      work, O(active log) GETs of KB-scale bodies (compaction bounds
+      it), zero data reads.
+    * batch (a, b] = data objects first listed by a manifest in that
+      log range, MINUS objects already listed at-or-before ``a`` — the
+      same object-set difference as the batch ``sinceManifest`` read,
+      so a compaction manifest inside the range (which re-lists every
+      historical object) contributes NOTHING and lands as an empty
+      micro-batch instead of replaying the table.
+    * ``read`` = executor-side object GET -> Arrow batches, adapted to
+      the plan-time table schema (shared `_read_object_adapted`); one
+      input partition per new object, read parallelism = append width.
+
+    Replay determinism: manifests at-or-before a stamped offset are
+    immutable in log position (batch manifests are never rewritten;
+    epoch manifests carry their ORIGINAL committed_at_us across replay
+    overwrites), and data objects are append-immutable — so recomputing
+    ``partitions(a, b)`` after a crash yields the same object set. The
+    one documented edge: an epoch manifest overwritten by an upstream
+    sink replay AFTER this stream consumed it can list different
+    objects; the stream sees manifests, not epochs, and will not re-read
+    a consumed position — pin upstream replays with the sink's epoch
+    fence before consuming downstream (the same contract Delta's
+    idempotent stream writes require).
+
+    Options: the shared surface plus ``sinceManifest`` as the STARTING
+    position (begin after that commit; default = table start)."""
+
+    def __init__(self, options: dict, schema: "StructType | None" = None) -> None:
+        self.options = _norm(options)
+        self.table_schema = schema
+
+    def _log(self) -> list[tuple[str, dict]]:
+        return _load_manifests(
+            _s3(self.options), self.options["bucket"], self.options["prefix"]
+        )
+
+    def initialOffset(self) -> dict:
+        since = self.options.get("sincemanifest")
+        if since is not None:
+            bodies = dict(self._log())
+            if since not in bodies:
+                raise ValueError(
+                    f"sinceManifest {since!r} is not a committed manifest"
+                )
+            return {
+                "committed_at_us": bodies[since].get("committed_at_us", 0),
+                "key": since,
+            }
+        return {"committed_at_us": 0, "key": ""}
+
+    def latestOffset(self) -> dict:
+        log = self._log()
+        if not log:
+            return {"committed_at_us": 0, "key": ""}
+        key, body = log[-1]
+        return {"committed_at_us": body.get("committed_at_us", 0), "key": key}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[_ObjectPartition]:
+        s = (int(start.get("committed_at_us", 0)), start.get("key", ""))
+        e = (int(end.get("committed_at_us", 0)), end.get("key", ""))
+        if e <= s:
+            return []
+        seen: set[str] = set()
+        new: list[str] = []
+        for key, body in self._log():  # commit-log order
+            pos = (body.get("committed_at_us", 0), key)
+            if pos > e:
+                break  # a later batch's manifests: their objects stay new
+            for o in body["objects"]:
+                if pos <= s:
+                    seen.add(o)
+                elif o not in seen:
+                    seen.add(o)
+                    new.append(o)
+        return [_ObjectPartition(k) for k in new]
+
+    def read(self, partition: _ObjectPartition) -> Iterator:
+        if partition is None:
+            return  # empty-batch probe (see S3ManifestReader.read)
+        yield from _read_object_adapted(self.options, self.table_schema, partition.key)
+
+    def commit(self, end: dict) -> None:
+        pass  # position durability is the engine's checkpoint, not ours
 
 
 class S3ParquetManifestDataSource(DataSource):
@@ -544,6 +646,9 @@ class S3ParquetManifestDataSource(DataSource):
 
     def reader(self, schema: "StructType") -> S3ManifestReader:
         return S3ManifestReader(self.options, schema)
+
+    def streamReader(self, schema: "StructType") -> S3ManifestStreamReader:
+        return S3ManifestStreamReader(self.options, schema)
 
     def writer(self, schema: "StructType", overwrite: bool) -> S3ManifestWriter:
         return S3ManifestWriter(self.options, schema, overwrite)

@@ -117,6 +117,7 @@ PROBE = [
     "s3_manifest_changes_since",   # incremental read (first-build: 2 appends + compaction incl.)
     "s3_manifest_vacuumed",        # vacuum + HEAD read (shares the changes_since table build)
     "stream_stream_join_end_to_end",  # dual-stream watermarked interval join round trip
+    "stream_table_to_table_end_to_end",  # commit-log stream hop (first-build incl., min drops it)
 ]
 
 
