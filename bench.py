@@ -142,6 +142,7 @@ HEADLINE = [
     "s3_manifest_changes_since",       # incremental (CDC-shaped) manifest read
     "stream_stream_join_end_to_end",   # dual-stream watermarked interval join -> manifest sink
     "stream_table_to_table_end_to_end",  # manifest table consumed as a stream, hopped to a table
+    "s3_manifest_row_deletes",         # merge-on-read DELETE WHERE (distributed position planning)
 ]
 
 

@@ -24,6 +24,10 @@ primitives a 100 TB training pipeline actually runs daily:
   columns nulled, dropped pruned, widened cast — objects never
   rewritten). The spec evolves the documents table mid-history and
   proves the adapted read row-for-row.
+* **row-level deletes** (:func:`sources.s3_objects.delete_where`):
+  DELETE WHERE planned distributed over the ``withRowPosition``
+  metadata columns, committed as one positional delete manifest,
+  masked at read — merge-on-read, no object rewrites.
 
 Both specs reuse ``s3_snapshot._prepared``'s table state (append evens,
 snapshot, append odds, compact — once per process), so the whole
@@ -108,6 +112,65 @@ def _vacuumed(spark: SparkSession, sf_dir: str) -> dict:
         )
     _VACUUMED[st["prefix"]] = True
     return st
+
+
+_DELETED: dict[str, str] = {}
+
+
+def _deleted_prefix(spark: SparkSession, sf_dir: str) -> str:
+    """Build a table and run a row-level DELETE WHERE over it (doc_id
+    divisible by 7 — every object is touched), merge-on-read: one
+    positional delete manifest, zero object rewrites. Once per
+    (process, sf_dir); fails loudly if the delete matched nothing."""
+    from pyspark import cloudpickle
+
+    from spark_kinesis_article_analysis_spark.catalog import load
+    from spark_kinesis_article_analysis_spark.operators.s3_batch import ensure_bucket
+    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+    prefix = "docdel-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if prefix in _DELETED:
+        return prefix
+    ensure_bucket()
+    cloudpickle.register_pickle_by_value(_s3o)
+    spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+    opts = s3_options(prefix)
+    w = load(spark, sf_dir, "documents").select(*_COLS).write.format(
+        "s3_parquet_manifest"
+    ).mode("append")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save()
+    key = _s3o.delete_where(spark, opts, "doc_id % 7 = 0")
+    if not key:
+        raise AssertionError("delete_where matched nothing — fixture broken")
+    _DELETED[prefix] = prefix
+    return prefix
+
+
+@register(
+    "s3_manifest_row_deletes",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 7 <> 0
+""",
+    tags=("S2", "S3", "object-store", "row-deletes", "merge-on-read"),
+    doc=(
+        "Row-level DELETE WHERE doc_id % 7 = 0, merge-on-read: the "
+        "matching (object, position) pairs are planned DISTRIBUTED "
+        "(withRowPosition metadata columns, predicate and position "
+        "harvest executor-side), committed as ONE positional delete "
+        "manifest, and the read masks each object's vector — no data "
+        "object rewritten. Oracle = the surviving rows straight off "
+        "documents: a hash match proves the planner matched exactly "
+        "the predicate and the mask dropped exactly those positions. "
+        "Snapshot-before-delete visibility, vector survival across "
+        "compaction, and delete-on-delete composition are pinned in "
+        "tests/test_s3_incremental.py."
+    ),
+)
+def s3_manifest_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prefix = _deleted_prefix(spark, sf_dir)
+    return _reader(spark, prefix).load().select(*_COLS)
 
 
 _EVOLVED: dict[str, str] = {}

@@ -57,10 +57,17 @@ This module implements that protocol as a Spark 4 Python DataSource:
 * vacuum: :func:`vacuum_orphans` deletes data objects no manifest
   references (uploads from task attempts that died before commit) —
   the storage-reclaim half of maintenance.
+* row-level deletes (merge-on-read): :func:`delete_where` plans matching
+  (object, position) pairs executor-side via the ``withRowPosition``
+  metadata columns (``_object_key``/``_row_pos`` — Iceberg's _file/_pos
+  model) and :func:`commit_deletes` PUTs ONE positional delete manifest;
+  reads mask the vectors per object, no data object is ever rewritten,
+  pinned snapshots still see the rows, compaction folds vectors forward.
 
 Options (shared surface with the kinesis source): ``bucket``,
 ``prefix``, ``endpointUrl``, ``regionName``, ``awsAccessKeyId``,
-``awsSecretKey``, plus ``snapshotManifest`` / ``sinceManifest`` (read).
+``awsSecretKey``, plus ``snapshotManifest`` / ``sinceManifest`` /
+``withRowPosition`` (read).
 Tested against the real S3 API served by moto
 (``tests/test_s3_manifest.py``, ``tests/test_s3_incremental.py``),
 including abort/rogue-object invisibility, append semantics,
@@ -113,6 +120,10 @@ def _norm(options: dict) -> dict:
     if not opts.get("bucket") or not opts.get("prefix"):
         raise ValueError("s3_parquet_manifest requires bucket + prefix options")
     return opts
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes") if v is not None else False
 
 
 def _now_us() -> int:
@@ -443,8 +454,23 @@ class S3ManifestStreamWriter(DataSourceStreamArrowWriter):
 
 
 class _ObjectPartition(InputPartition):
-    def __init__(self, key: str) -> None:
+    def __init__(self, key: str, deletes: tuple = ()) -> None:
         self.key = key
+        #: positional delete vector for this object (sorted row indexes
+        #: from active delete manifests) — merge-on-read row deletes
+        self.deletes = deletes
+
+
+def _active_delete_vectors(active: list[tuple[str, dict]]) -> dict:
+    """Union the positional delete vectors of the active manifest set:
+    ``{object_key: sorted positions}``. Delete manifests participate in
+    the commit log like any other (snapshot truncation naturally
+    excludes post-snapshot deletes; compaction folds them forward)."""
+    out: dict[str, set] = {}
+    for _, body in active:
+        for k, positions in (body.get("deletes") or {}).items():
+            out.setdefault(k, set()).update(int(p) for p in positions)
+    return {k: tuple(sorted(v)) for k, v in out.items()}
 
 
 class S3ManifestReader(DataSourceReader):
@@ -486,7 +512,8 @@ class S3ManifestReader(DataSourceReader):
                 if k not in seen and k not in baseline:
                     seen.add(k)  # belt+braces: an object belongs once
                     keys.append(k)
-        return [_ObjectPartition(k) for k in keys]
+        dv = _active_delete_vectors(active)  # merge-on-read row deletes
+        return [_ObjectPartition(k, dv.get(k, ())) for k in keys]
 
     def read(self, partition: _ObjectPartition) -> Iterator:
         if partition is None:
@@ -495,10 +522,28 @@ class S3ManifestReader(DataSourceReader):
             # committed over an empty write); same quirk replay_source
             # documents
             return
-        yield from _read_object_adapted(self.options, self.table_schema, partition.key)
+        yield from _read_object_adapted(
+            self.options,
+            self.table_schema,
+            partition.key,
+            deletes=getattr(partition, "deletes", ()),
+            with_pos=_truthy(self.options.get("withrowposition")),
+        )
 
 
-def _read_object_adapted(options: dict, table_schema, key: str) -> Iterator:
+#: reader-materialized metadata columns (Iceberg's _file/_pos model):
+#: request with option("withRowPosition", "true") — the provenance a
+#: row-level DELETE needs to address rows without rewriting objects
+_META_COLS = ("_object_key", "_row_pos")
+
+
+def _read_object_adapted(
+    options: dict,
+    table_schema,
+    key: str,
+    deletes: tuple = (),
+    with_pos: bool = False,
+) -> Iterator:
     """One data object -> Arrow batches adapted to the table schema —
     the executor-side read shared by the batch and streaming readers.
 
@@ -509,22 +554,49 @@ def _read_object_adapted(options: dict, table_schema, key: str) -> Iterator:
     change raises loudly in the cast, never silently corrupts).
     Per-object and column-at-a-time — no rewrite amplification, the
     Iceberg/Delta read-side evolution model. ``table_schema=None``
-    (direct protocol-test use) yields raw object batches."""
+    (direct protocol-test use) yields raw object batches.
+
+    ROW DELETES (merge-on-read): ``deletes`` holds the object's active
+    positional delete vector — those row indexes (parquet row order,
+    stable) are masked out at read; surviving rows KEEP their original
+    positions, so a later delete addresses rows the same way regardless
+    of earlier deletes. ``with_pos`` materializes the ``_object_key`` /
+    ``_row_pos`` metadata columns the delete planner reads."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     body = _s3(options).get_object(Bucket=options["bucket"], Key=key)["Body"].read()
     table = pq.read_table(io.BytesIO(body))
+    n = table.num_rows
+    keep = np.ones(n, dtype=bool)
+    if deletes:
+        keep[[int(d) for d in deletes if 0 <= int(d) < n]] = False
+    positions = np.flatnonzero(keep)
+    if deletes:
+        table = table.filter(pa.array(keep))
+
+    def meta_col(name: str, rows: int):
+        if name == "_object_key":
+            return pa.chunked_array([pa.array([key] * rows, type=pa.string())])
+        return pa.chunked_array([pa.array(positions[:rows], type=pa.int64())])
+
     if table_schema is not None:
         target = _canonical_arrow_schema(table_schema)
         if not table.schema.equals(target, check_metadata=False):
             arrays = [
-                table.column(f.name).cast(f.type)
+                meta_col(f.name, table.num_rows)
+                if f.name in _META_COLS
+                else table.column(f.name).cast(f.type)
                 if f.name in table.column_names
                 else pa.chunked_array([pa.nulls(table.num_rows, type=f.type)])
                 for f in target
             ]
             table = pa.Table.from_arrays(arrays, schema=target)
+    elif with_pos:
+        # schema-less (protocol-test) path: metadata columns append last
+        for name in _META_COLS:
+            table = table.append_column(name, meta_col(name, table.num_rows))
     yield from table.to_batches()  # Arrow batches — no per-row Python
 
 
@@ -642,7 +714,17 @@ class S3ParquetManifestDataSource(DataSource):
             )
         # newest by commit time — under schema evolution the latest
         # append's schema is the table's current one
-        return active[-1][1]["schema_ddl"]
+        ddl = active[-1][1]["schema_ddl"]
+        if _truthy(opts.get("withrowposition")):
+            # materialize the provenance metadata columns the row-delete
+            # planner addresses rows by (Iceberg's _file/_pos model)
+            meta = "_object_key:string,_row_pos:bigint"
+            if ddl.startswith("struct<") and ddl.endswith(">"):
+                inner = ddl[len("struct<") : -1]
+                ddl = f"struct<{inner + ',' if inner else ''}{meta}>"
+            else:
+                ddl = f"{ddl}, _object_key string, _row_pos bigint"
+        return ddl
 
     def reader(self, schema: "StructType") -> S3ManifestReader:
         return S3ManifestReader(self.options, schema)
@@ -696,6 +778,11 @@ def compact_manifests(options: dict) -> str:
         "replaces": [k for k, _ in manifests],
         "compaction": True,
     }
+    # fold the active positional delete vectors forward — tombstoning a
+    # delete manifest WITHOUT carrying its vector would resurrect rows
+    dv = _active_delete_vectors(active)
+    if dv:
+        body["deletes"] = {k: list(v) for k, v in dv.items()}
     key = (
         f"{opts['prefix']}/manifests/"
         f"manifest-{body['committed_at_us']:020d}-{uuid.uuid4().hex[:8]}.json"
@@ -704,6 +791,75 @@ def compact_manifests(options: dict) -> str:
         Bucket=opts["bucket"], Key=key, Body=json.dumps(body).encode("utf-8")
     )
     return key
+
+
+def commit_deletes(options: dict, deletes: dict) -> str:
+    """Commit a positional delete manifest: ``{object_key: [row
+    positions]}`` rows become invisible at read (merge-on-read — no
+    data object is rewritten). One KB-scale PUT is the whole commit,
+    same atomicity as an append; snapshot reads pinned before it still
+    see the rows; compaction folds vectors forward. Positions address
+    an object's ORIGINAL parquet row order (survivors keep their
+    positions across earlier deletes), so vectors from independent
+    deletes union commutatively."""
+    opts = _norm(options)
+    client = _s3(opts)
+    manifests = _load_manifests(client, opts["bucket"], opts["prefix"])
+    if not manifests:
+        raise ValueError("commit_deletes: no committed table to delete from")
+    active = _active_manifests(manifests)
+    known = {k for _, b in active for k in b["objects"]}
+    unknown = sorted(set(deletes) - known)
+    if unknown:
+        raise ValueError(f"commit_deletes: unknown data objects {unknown!r}")
+    body = {
+        "objects": [],
+        "rows": 0,
+        "schema_ddl": active[-1][1]["schema_ddl"],  # carried forward
+        "committed_at_us": _now_us(),
+        "replaces": [],
+        "deletes": {k: sorted({int(p) for p in v}) for k, v in deletes.items() if v},
+    }
+    key = (
+        f"{opts['prefix']}/manifests/"
+        f"manifest-{body['committed_at_us']:020d}-{uuid.uuid4().hex[:8]}.json"
+    )
+    client.put_object(
+        Bucket=opts["bucket"], Key=key, Body=json.dumps(body).encode("utf-8")
+    )
+    return key
+
+
+def delete_where(spark, options: dict, condition: str) -> str:
+    """Row-level DELETE WHERE on the manifest table, merge-on-read:
+    plan the matching (object, position) pairs with a DISTRIBUTED read
+    (the ``withRowPosition`` metadata columns — predicate evaluation and
+    position harvesting run executor-side, one task per object), then
+    commit ONE positional delete manifest. Returns the manifest key
+    ("" when nothing matched — no empty commit).
+
+    Driver memory holds only the MATCHED positions (grouped per
+    object), which is the delete's own size, not the table's. At a
+    scale where single deletes touch billions of rows, the upgrade path
+    is Iceberg's: spill each object's vector to a delete FILE and list
+    those in the manifest — the read side here already consumes
+    per-object vectors, so only the manifest body changes."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("s3_parquet_manifest")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    matched = (
+        reader.option("withRowPosition", "true")
+        .load()
+        .filter(condition)
+        .groupBy("_object_key")
+        .agg(F.collect_list("_row_pos").alias("pos"))
+    )
+    deletes = {r["_object_key"]: [int(p) for p in r["pos"]] for r in matched.toLocalIterator()}
+    if not deletes:
+        return ""
+    return commit_deletes(options, deletes)
 
 
 def vacuum_orphans(options: dict) -> list[str]:

@@ -26,6 +26,7 @@ from spark_kinesis_article_analysis_spark.sources.s3_objects import (  # noqa: E
     _load_manifests,
     _manifest_keys,
     _s3,
+    commit_deletes,
     compact_manifests,
     vacuum_orphans,
 )
@@ -190,3 +191,82 @@ class TestVacuum:
         vacuum_orphans(opts)
         after = _manifest_keys(_s3(low), low["bucket"], low["prefix"])
         assert before == after
+
+
+class TestRowDeletes:
+    """Positional delete manifests (merge-on-read): mask semantics,
+    snapshot isolation, composition, compaction fold, and the metadata
+    columns the planner addresses rows by."""
+
+    def _data_keys(self, opts):
+        low = _low(opts)
+        return sorted(
+            {
+                k
+                for _, b in _load_manifests(_s3(low), low["bucket"], low["prefix"])
+                for k in b["objects"]
+            }
+        )
+
+    def test_delete_masks_rows_without_rewriting_objects(self):
+        opts = _fresh()
+        _write(opts, [(1, "a"), (2, "b"), (3, "c")])
+        [obj] = self._data_keys(opts)
+        before = self._data_keys(opts)
+        commit_deletes(opts, {obj: [1]})  # positions are parquet row order
+        assert _read_rows(opts) == [(1, "a"), (3, "c")]
+        assert self._data_keys(opts) == before  # no rewrite, no new object
+
+    def test_snapshot_before_delete_still_sees_rows(self):
+        opts = _fresh()
+        _write(opts, [(1, "a"), (2, "b")])
+        [pin] = _manifest_log(opts)
+        [obj] = self._data_keys(opts)
+        commit_deletes(opts, {obj: [0]})
+        assert _read_rows(opts) == [(2, "b")]
+        assert _read_since(opts, snapshot=pin) == [(1, "a"), (2, "b")]
+
+    def test_deletes_compose_and_positions_stay_original(self):
+        """Survivors keep their ORIGINAL positions: a second delete
+        addressing position 2 must hit the original third row even
+        after position 0 was already masked."""
+        opts = _fresh()
+        _write(opts, [(1, "a"), (2, "b"), (3, "c")])
+        [obj] = self._data_keys(opts)
+        commit_deletes(opts, {obj: [0]})
+        commit_deletes(opts, {obj: [2]})
+        assert _read_rows(opts) == [(2, "b")]
+
+    def test_compaction_folds_delete_vectors_forward(self):
+        opts = _fresh()
+        _write(opts, [(1, "a"), (2, "b")])
+        [obj] = self._data_keys(opts)
+        commit_deletes(opts, {obj: [0]})
+        compact_manifests(opts)
+        assert _read_rows(opts) == [(2, "b")]  # row must NOT resurrect
+        low = _low(opts)
+        log = _load_manifests(_s3(low), low["bucket"], low["prefix"])
+        head = [b for _, b in log if b.get("compaction")][-1]
+        assert head.get("deletes") == {obj: [0]}
+
+    def test_unknown_object_rejected(self):
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        with pytest.raises(ValueError, match="unknown data objects"):
+            commit_deletes(opts, {"t/data/part-nope.parquet": [0]})
+
+    def test_row_position_metadata_columns(self):
+        """withRowPosition materializes (_object_key, _row_pos); after a
+        delete, survivors report their ORIGINAL positions."""
+        opts = _fresh()
+        _write(opts, [(1, "a"), (2, "b"), (3, "c")])
+        [obj] = self._data_keys(opts)
+        commit_deletes(opts, {obj: [1]})
+        o = dict(opts)
+        o["withRowPosition"] = "true"
+        r = S3ManifestReader(o)
+        out = []
+        for p in r.partitions():
+            for batch in r.read(p):
+                out.extend(zip(*[c.to_pylist() for c in batch.columns]))
+        assert sorted(out) == [(1, "a", obj, 0), (3, "c", obj, 2)]

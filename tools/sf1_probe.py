@@ -118,6 +118,7 @@ PROBE = [
     "s3_manifest_vacuumed",        # vacuum + HEAD read (shares the changes_since table build)
     "stream_stream_join_end_to_end",  # dual-stream watermarked interval join round trip
     "stream_table_to_table_end_to_end",  # commit-log stream hop (first-build incl., min drops it)
+    "s3_manifest_row_deletes",        # merge-on-read masked read (delete planned in trial 1)
 ]
 
 
