@@ -143,6 +143,7 @@ HEADLINE = [
     "stream_stream_join_end_to_end",   # dual-stream watermarked interval join -> manifest sink
     "stream_table_to_table_end_to_end",  # manifest table consumed as a stream, hopped to a table
     "s3_manifest_row_deletes",         # merge-on-read DELETE WHERE (distributed position planning)
+    "s3_manifest_merge_upsert",        # MERGE INTO: delete-matched + append, full DML surface
 ]
 
 
@@ -265,6 +266,12 @@ def main() -> None:
         # ANN quality at this scale factor (speed is in `queries`);
         # keyed by nprobe — "4" is the registered query's default
         "ivf_recall_at_k": _ivf_recall_curve(spark, specs),
+        # host 1/5/15-min load averages at suite end: r12 found isolated
+        # back-to-back runs differing 20-40% broadly (different worst
+        # offenders each run, sentinels only weakly co-varying) — name
+        # the shared-host contention so cross-round deltas are read
+        # against it instead of being attributed to plan changes
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     # Full per-query map goes to a committed file: the driver's stdout
     # capture keeps only the LAST ~2 KB, and round 9's 85-query line

@@ -28,6 +28,9 @@ primitives a 100 TB training pipeline actually runs daily:
   DELETE WHERE planned distributed over the ``withRowPosition``
   metadata columns, committed as one positional delete manifest,
   masked at read — merge-on-read, no object rewrites.
+* **MERGE INTO** (:func:`sources.s3_objects.merge_into`): upsert =
+  delete-matched (semi-join position planning) + append — with
+  append/delete/merge the format carries the full DML surface.
 
 Both specs reuse ``s3_snapshot._prepared``'s table state (append evens,
 snapshot, append odds, compact — once per process), so the whole
@@ -170,6 +173,79 @@ SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 7 <> 0
 )
 def s3_manifest_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = _deleted_prefix(spark, sf_dir)
+    return _reader(spark, prefix).load().select(*_COLS)
+
+
+_MERGED: dict[str, str] = {}
+
+
+def _merged_prefix(spark: SparkSession, sf_dir: str) -> str:
+    """Build a table and MERGE a source into it: updates (doc_id % 5 ==
+    0 rows with 'v2:'-prefixed text — concat, not upper(): JVM vs
+    utf8proc case mapping diverges on exotic code points, the r8 fuzz
+    lesson) + inserts (doc_id % 11 == 0 re-keyed +10M). Once per
+    (process, sf_dir)."""
+    from pyspark import cloudpickle
+    from pyspark.sql import functions as F
+
+    from spark_kinesis_article_analysis_spark.catalog import load
+    from spark_kinesis_article_analysis_spark.operators.s3_batch import ensure_bucket
+    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+    prefix = "docmerge-" + sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    if prefix in _MERGED:
+        return prefix
+    ensure_bucket()
+    cloudpickle.register_pickle_by_value(_s3o)
+    spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+    opts = s3_options(prefix)
+    d = load(spark, sf_dir, "documents").select(*_COLS)
+    w = d.write.format("s3_parquet_manifest").mode("append")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save()
+    v2 = F.concat(F.lit("v2:"), F.col("text")).alias("text")
+    updates = d.where(d.doc_id % 5 == 0).select("doc_id", v2, "lang", "source", "n_chars")
+    inserts = d.where(d.doc_id % 11 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), v2, "lang", "source", "n_chars"
+    )
+    delete_key = _s3o.merge_into(
+        spark, opts, updates.unionByName(inserts), "doc_id"
+    )
+    if not delete_key:
+        raise AssertionError("merge_into matched no target rows — fixture broken")
+    _MERGED[prefix] = prefix
+    return prefix
+
+
+@register(
+    "s3_manifest_merge_upsert",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'v2:' || text ELSE text END AS text,
+       lang, source, n_chars
+FROM documents
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, 'v2:' || text AS text, lang, source, n_chars
+FROM documents WHERE doc_id % 11 = 0
+""",
+    tags=("S2", "S3", "object-store", "merge", "upsert", "cdc"),
+    doc=(
+        "MERGE INTO (upsert) on the manifest table, merge-on-read: "
+        "source rows replace target rows sharing doc_id (one positional "
+        "delete manifest over the matched keys — planned DISTRIBUTED "
+        "via the withRowPosition metadata columns and a semi join) and "
+        "unmatched source rows append; no data object rewritten. "
+        "Oracle recomputes the post-merge relation (every fifth doc "
+        "updated, every eleventh re-keyed and inserted): a hash match "
+        "proves matched rows were deleted exactly once, replacements "
+        "and inserts landed exactly once, and untouched rows survived "
+        "byte-identical. With append + delete + merge the format "
+        "carries the full DML surface."
+    ),
+)
+def s3_manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prefix = _merged_prefix(spark, sf_dir)
     return _reader(spark, prefix).load().select(*_COLS)
 
 

@@ -862,6 +862,47 @@ def delete_where(spark, options: dict, condition: str) -> str:
     return commit_deletes(options, deletes)
 
 
+def merge_into(spark, options: dict, source, key: str) -> str:
+    """MERGE INTO (upsert) on the manifest table, merge-on-read: rows
+    of ``source`` replace target rows sharing ``key``; unmatched source
+    rows append. Two commits — one positional delete manifest over the
+    matched keys, one ordinary append of the whole source — so readers
+    between them see the delete-but-not-yet-insert state; at this
+    format's single-writer contract that is the same read-committed
+    window any two-commit writer has (Delta folds both into one commit;
+    the fold here would be a manifest carrying both ``objects`` and
+    ``deletes``, which the reader already supports — kept as two
+    commits for auditability of WHAT each commit did).
+
+    The matched-position planning is DISTRIBUTED: target read with the
+    ``withRowPosition`` metadata columns, LEFT SEMI join against the
+    source's key set (broadcast when small — Catalyst's call), positions
+    harvested per object. Driver memory holds only the matched
+    positions — the merge's own size, not the table's. Returns the
+    append's... nothing useful — returns the delete manifest key (""
+    when no target row matched, i.e. a pure append)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("s3_parquet_manifest")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    target = reader.option("withRowPosition", "true").load()
+    matched = (
+        target.join(source.select(F.col(key)).distinct(), key, "left_semi")
+        .groupBy("_object_key")
+        .agg(F.collect_list("_row_pos").alias("pos"))
+    )
+    deletes = {
+        r["_object_key"]: [int(p) for p in r["pos"]] for r in matched.toLocalIterator()
+    }
+    delete_key = commit_deletes(options, deletes) if deletes else ""
+    w = source.write.format("s3_parquet_manifest").mode("append")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()
+    return delete_key
+
+
 def vacuum_orphans(options: dict) -> list[str]:
     """Table maintenance, the other half of :func:`compact_manifests`:
     delete data objects under ``{prefix}/data/`` that NO manifest

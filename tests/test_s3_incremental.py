@@ -270,3 +270,62 @@ class TestRowDeletes:
             for batch in r.read(p):
                 out.extend(zip(*[c.to_pylist() for c in batch.columns]))
         assert sorted(out) == [(1, "a", obj, 0), (3, "c", obj, 2)]
+
+
+class TestMergeInto:
+    """merge_into (upsert) protocol edges that the oracle can't see:
+    pure-insert merges commit no delete manifest, snapshot isolation
+    around the merge, and update exactness across multiple objects."""
+
+    def _opts_registered(self, spark):
+        from pyspark import cloudpickle
+
+        from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+        cloudpickle.register_pickle_by_value(_s3o)
+        spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+
+    def _write_df(self, spark, opts, rows):
+        df = spark.createDataFrame(rows, "k long, v string")
+        w = df.coalesce(1).write.format("s3_parquet_manifest").mode("append")
+        for kk, vv in opts.items():
+            w = w.option(kk, vv)
+        w.save()
+
+    def _read_df(self, spark, opts):
+        reader = spark.read.format("s3_parquet_manifest")
+        for kk, vv in opts.items():
+            reader = reader.option(kk, vv)
+        return sorted(map(tuple, reader.load().collect()))
+
+    def test_upsert_updates_and_inserts_exactly_once(self, spark):
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import merge_into
+
+        self._opts_registered(spark)
+        opts = _fresh()
+        self._write_df(spark, opts, [(1, "a"), (2, "b")])
+        self._write_df(spark, opts, [(3, "c")])  # second object
+        [pin] = [k for k in _manifest_log(opts) if True][:1]
+        src = spark.createDataFrame([(2, "B2"), (3, "C2"), (9, "new")], "k long, v string")
+        key = merge_into(spark, opts, src, "k")
+        assert key  # matched rows -> a delete manifest committed
+        assert self._read_df(spark, opts) == [
+            (1, "a"), (2, "B2"), (3, "C2"), (9, "new"),
+        ]
+        # snapshot pinned before the merge still sees the original rows
+        o = dict(opts)
+        o["snapshotManifest"] = pin
+        reader = spark.read.format("s3_parquet_manifest")
+        for kk, vv in o.items():
+            reader = reader.option(kk, vv)
+        assert sorted(map(tuple, reader.load().collect())) == [(1, "a"), (2, "b")]
+
+    def test_pure_insert_merge_commits_no_delete(self, spark):
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import merge_into
+
+        self._opts_registered(spark)
+        opts = _fresh()
+        self._write_df(spark, opts, [(1, "a")])
+        src = spark.createDataFrame([(7, "g")], "k long, v string")
+        assert merge_into(spark, opts, src, "k") == ""
+        assert self._read_df(spark, opts) == [(1, "a"), (7, "g")]
