@@ -144,6 +144,7 @@ HEADLINE = [
     "stream_table_to_table_end_to_end",  # manifest table consumed as a stream, hopped to a table
     "s3_manifest_row_deletes",         # merge-on-read DELETE WHERE (distributed position planning)
     "s3_manifest_merge_upsert",        # MERGE INTO: delete-matched + append, full DML surface
+    "s3_manifest_pruned_scan",         # zone-map data skipping: pushFilters -> object pruning
 ]
 
 

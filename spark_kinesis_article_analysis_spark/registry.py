@@ -58,9 +58,14 @@ def _pin_session_conf(spark: SparkSession) -> None:
       match DuckDB's naive timestamps.
     - ``nanosAsLong``: the events table's TIMESTAMP(NANOS) column is
       unreadable by the Spark parquet reader without it (see catalog.load).
+    - Python DataSource filter pushdown: lets the s3_parquet_manifest
+      reader's zone-map pruning subclass plan (sources/s3_objects.py);
+      purely an IO optimization — with it off the format still reads
+      correctly through the base reader.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def register(

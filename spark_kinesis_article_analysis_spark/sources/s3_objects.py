@@ -63,6 +63,13 @@ This module implements that protocol as a Spark 4 Python DataSource:
   model) and :func:`commit_deletes` PUTs ONE positional delete manifest;
   reads mask the vectors per object, no data object is ever rewritten,
   pinned snapshots still see the rows, compaction folds vectors forward.
+* data skipping (zone maps): every write folds per-object column
+  min/max/null-count stats into the manifest (``object_stats``); the
+  batch reader implements ``pushFilters`` (Spark 4.1 Python DataSource
+  pushdown) and prunes whole objects whose range provably excludes the
+  pushed conjunction — manifest-level parquet-row-group pruning. All
+  filters are returned to Spark for post-scan re-evaluation, so stats
+  are an IO optimization, never a correctness input.
 
 Options (shared surface with the kinesis source): ``bucket``,
 ``prefix``, ``endpointUrl``, ``regionName``, ``awsAccessKeyId``,
@@ -304,6 +311,7 @@ def _write_parquet_object(
     key = f"{options['prefix']}/data/part-{uuid.uuid4().hex}.parquet"
     sink = _S3MultipartSink(_s3(options), options["bucket"], key)
     n = 0
+    stats = _StatsAccumulator(arrow_schema)
     try:
         writer = pq.ParquetWriter(sink, arrow_schema)
         for batch in itertools.chain([first], batches):
@@ -312,13 +320,67 @@ def _write_parquet_object(
             # instant-preserving: aware-to-aware tz cast + nullability
             table = pa.Table.from_batches([batch]).cast(arrow_schema)
             writer.write_table(table)
+            stats.update(table)
             n += batch.num_rows
         writer.close()
         sink.close()
     except BaseException:
         sink.abort()
         raise
-    return _ObjectsCommit(keys=[key], rows=n)
+    return _ObjectsCommit(keys=[key], rows=n, stats={key: stats.result(n)})
+
+
+class _StatsAccumulator:
+    """Per-object zone-map stats, folded batch-at-a-time (scalars only —
+    no batch is retained): ``{col: [min, max, null_count]}`` for int /
+    float / string columns, plus ``"rows"``. These ride in the manifest
+    (``object_stats``) and power manifest-level DATA SKIPPING — the
+    reader prunes whole objects whose range provably excludes a pushed
+    filter. Columns of other types (timestamps, binary, nested) record
+    no stats and are simply never pruned on — stats are an optimization
+    with a keep-the-object default, never a correctness input (Spark
+    re-evaluates every filter post-scan regardless)."""
+
+    def __init__(self, arrow_schema) -> None:
+        import pyarrow as pa
+
+        self._cols = [
+            f.name
+            for f in arrow_schema
+            if pa.types.is_integer(f.type)
+            or pa.types.is_floating(f.type)
+            or pa.types.is_string(f.type)
+            or pa.types.is_large_string(f.type)
+        ]
+        self._mins: dict = {}
+        self._maxs: dict = {}
+        self._nulls: dict = dict.fromkeys(self._cols, 0)
+
+    def update(self, table) -> None:
+        import pyarrow.compute as pc
+
+        for c in self._cols:
+            col = table.column(c)
+            self._nulls[c] += col.null_count
+            if col.null_count == len(col):
+                continue  # all-null batch: no min/max contribution
+            mm = pc.min_max(col).as_py()
+            lo, hi = mm["min"], mm["max"]
+            if c not in self._mins or lo < self._mins[c]:
+                self._mins[c] = lo
+            if c not in self._maxs or hi > self._maxs[c]:
+                self._maxs[c] = hi
+
+    def result(self, rows: int) -> dict:
+        out: dict = {"rows": rows}
+        for c in self._cols:
+            entry = [self._mins.get(c), self._maxs.get(c), self._nulls[c]]
+            # floats: NaN breaks both JSON round-trip and ordering — drop
+            # the range, keep the null count (no pruning on that column)
+            if any(isinstance(v, float) and v != v for v in entry[:2]):
+                entry = [None, None, self._nulls[c]]
+            out[c] = entry
+        return out
 
 
 def _manifest_body(
@@ -331,6 +393,12 @@ def _manifest_body(
         "committed_at_us": _now_us(),
         "replaces": [],
     }
+    stats = {}
+    for m in messages:
+        if m is not None:
+            stats.update(getattr(m, "stats", {}) or {})
+    if stats:
+        body["object_stats"] = stats  # zone maps: {object: {col: [min, max, nulls]}}
     if epoch is not None:
         body["epoch"] = epoch
     return body
@@ -340,6 +408,7 @@ def _manifest_body(
 class _ObjectsCommit(WriterCommitMessage):
     keys: list
     rows: int
+    stats: dict = None  # {object_key: {col: [min, max, nulls], "rows": n}}
 
 
 def _commit_epoch_manifest(options: dict, schema, messages, epoch: int) -> None:
@@ -461,6 +530,16 @@ class _ObjectPartition(InputPartition):
         self.deletes = deletes
 
 
+def _active_object_stats(active: list[tuple[str, dict]]) -> dict:
+    """Zone-map stats of the active manifest set, first writer wins
+    (an object's stats are immutable — later manifests only re-list)."""
+    out: dict = {}
+    for _, body in active:
+        for k, st in (body.get("object_stats") or {}).items():
+            out.setdefault(k, st)
+    return out
+
+
 def _active_delete_vectors(active: list[tuple[str, dict]]) -> dict:
     """Union the positional delete vectors of the active manifest set:
     ``{object_key: sorted positions}``. Delete manifests participate in
@@ -473,6 +552,55 @@ def _active_delete_vectors(active: list[tuple[str, dict]]) -> dict:
     return {k: tuple(sorted(v)) for k, v in out.items()}
 
 
+def _stats_exclude(stats: dict, flt) -> bool:
+    """True iff an object's zone-map stats PROVE no row can satisfy the
+    pushed filter — the prune decision. Anything uncertain (no stats
+    for the column, un-handled filter type, type mismatch) keeps the
+    object; Spark re-evaluates every filter post-scan regardless, so a
+    wrong keep costs IO, never correctness."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    attr = getattr(flt, "attribute", None)
+    if not attr or len(attr) != 1:
+        return False
+    entry = stats.get(attr[0])
+    if not isinstance(entry, list) or len(entry) != 3:
+        return False
+    lo, hi, nulls = entry
+    rows = stats.get("rows")
+    if isinstance(flt, IsNull):
+        return nulls == 0
+    if isinstance(flt, IsNotNull):
+        return isinstance(rows, int) and nulls == rows
+    if lo is None or hi is None:
+        return False  # all-null or statless range: only null-ness prunable
+    try:
+        if isinstance(flt, EqualTo):
+            return flt.value is not None and (flt.value < lo or flt.value > hi)
+        if isinstance(flt, In):
+            return all(v is None or v < lo or v > hi for v in flt.value)
+        if isinstance(flt, GreaterThan):
+            return hi <= flt.value
+        if isinstance(flt, GreaterThanOrEqual):
+            return hi < flt.value
+        if isinstance(flt, LessThan):
+            return lo >= flt.value
+        if isinstance(flt, LessThanOrEqual):
+            return lo > flt.value
+    except TypeError:
+        return False  # incomparable types: keep
+    return False
+
+
 class S3ManifestReader(DataSourceReader):
     def __init__(self, options: dict, schema: "StructType | None" = None) -> None:
         self.options = _norm(options)
@@ -481,6 +609,8 @@ class S3ManifestReader(DataSourceReader):
         #: data object to it — the schema-evolution path. None (direct
         #: protocol-test use) keeps raw object batches.
         self.table_schema = schema
+        #: filters saved by the pruning subclass for zone-map skipping
+        self.pruning_filters: list = []
 
     def partitions(self) -> Sequence[_ObjectPartition]:
         client = _s3(self.options)
@@ -512,6 +642,19 @@ class S3ManifestReader(DataSourceReader):
                 if k not in seen and k not in baseline:
                     seen.add(k)  # belt+braces: an object belongs once
                     keys.append(k)
+        if self.pruning_filters:
+            # zone-map data skipping: drop objects whose recorded
+            # column ranges PROVE the pushed filters (an AND) can't
+            # match — planning-time IO elimination, the manifest-level
+            # twin of parquet row-group pruning. Objects without stats
+            # always survive; Spark re-applies every filter post-scan.
+            st = _active_object_stats(active)
+            keys = [
+                k
+                for k in keys
+                if k not in st
+                or not any(_stats_exclude(st[k], f) for f in self.pruning_filters)
+            ]
         dv = _active_delete_vectors(active)  # merge-on-read row deletes
         return [_ObjectPartition(k, dv.get(k, ())) for k in keys]
 
@@ -598,6 +741,27 @@ def _read_object_adapted(
         for name in _META_COLS:
             table = table.append_column(name, meta_col(name, table.num_rows))
     yield from table.to_batches()  # Arrow batches — no per-row Python
+
+
+class S3ManifestPruningReader(S3ManifestReader):
+    """The batch reader with zone-map DATA SKIPPING. Merely DEFINING
+    ``pushFilters`` makes Spark demand
+    ``spark.sql.python.filterPushdown.enabled=true`` (it refuses to
+    plan otherwise), so the capability lives in this subclass and
+    ``DataSource.reader()`` selects it only when the active session has
+    the conf on — a vanilla session keeps working, it just scans every
+    object. The repo's own sessions (session.get_spark and the
+    registry's per-build pin) enable it."""
+
+    def pushFilters(self, filters):
+        """Save every filter for stats-based object pruning in
+        partitions(), and return ALL of them — Spark keeps evaluating
+        each filter post-scan, so the zone maps are purely an IO
+        optimization and a stale/absent stat can never change an
+        answer. (A filter type _stats_exclude doesn't understand simply
+        never prunes.)"""
+        self.pruning_filters = list(filters)
+        return filters
 
 
 class S3ManifestStreamReader(DataSourceStreamReader):
@@ -727,7 +891,22 @@ class S3ParquetManifestDataSource(DataSource):
         return ddl
 
     def reader(self, schema: "StructType") -> S3ManifestReader:
-        return S3ManifestReader(self.options, schema)
+        # Zone-map skipping is OPT-IN per read (option("dataSkipping",
+        # "true")) rather than conf-sniffed: this method runs in the
+        # Python PLANNING WORKER, where no SparkSession is active, so
+        # the session conf is unreadable here — and merely DEFINING
+        # pushFilters makes Spark refuse to plan unless
+        # spark.sql.python.filterPushdown.enabled is true (which the
+        # repo's session factory and the registry's per-build pin both
+        # set). The option contains that requirement to reads that
+        # actually filter; every other read takes the base reader and
+        # works on any session.
+        cls = (
+            S3ManifestPruningReader
+            if _truthy(_norm(self.options).get("dataskipping"))
+            else S3ManifestReader
+        )
+        return cls(self.options, schema)
 
     def streamReader(self, schema: "StructType") -> S3ManifestStreamReader:
         return S3ManifestStreamReader(self.options, schema)
@@ -783,6 +962,12 @@ def compact_manifests(options: dict) -> str:
     dv = _active_delete_vectors(active)
     if dv:
         body["deletes"] = {k: list(v) for k, v in dv.items()}
+    # fold zone-map stats forward too — losing them wouldn't be a
+    # correctness bug (no stats = no pruning), but it WOULD silently
+    # turn every post-compaction scan into a full scan
+    st = _active_object_stats(active)
+    if st:
+        body["object_stats"] = st
     key = (
         f"{opts['prefix']}/manifests/"
         f"manifest-{body['committed_at_us']:020d}-{uuid.uuid4().hex[:8]}.json"

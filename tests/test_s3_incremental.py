@@ -329,3 +329,119 @@ class TestMergeInto:
         src = spark.createDataFrame([(7, "g")], "k long, v string")
         assert merge_into(spark, opts, src, "k") == ""
         assert self._read_df(spark, opts) == [(1, "a"), (7, "g")]
+
+
+class TestDataSkipping:
+    """Zone-map stats + pushFilters pruning: exclusion proofs, the
+    keep-on-uncertainty default, and stats survival across compaction."""
+
+    def _reader_with(self, opts, *filters):
+        from spark_kinesis_article_analysis_spark.sources.s3_objects import (
+            S3ManifestPruningReader,
+        )
+
+        r = S3ManifestPruningReader(dict(opts))
+        leftover = list(r.pushFilters(list(filters)))
+        assert leftover == list(filters)  # Spark always re-evaluates
+        return r
+
+    def test_range_filters_prune_disjoint_objects(self):
+        from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+        opts = _fresh()
+        _write(opts, [(1, "a"), (2, "b")])    # object A: k in [1, 2]
+        _write(opts, [(10, "c"), (20, "d")])  # object B: k in [10, 20]
+        _write(opts, [(30, "e")])             # object C: k = 30
+        base = S3ManifestReader(dict(opts))
+        assert len(base.partitions()) == 3
+        r = self._reader_with(opts, EqualTo(("k",), 15))
+        assert len(r.partitions()) == 1  # only B can hold 15
+        r = self._reader_with(opts, GreaterThan(("k",), 20))
+        assert len(r.partitions()) == 1  # only C
+        r = self._reader_with(opts, LessThan(("k",), 1))
+        assert len(r.partitions()) == 0  # nothing below every min
+        # conjunction: k > 2 AND k < 30 -> only B survives
+        r = self._reader_with(opts, GreaterThan(("k",), 2), LessThan(("k",), 30))
+        assert len(r.partitions()) == 1
+
+    def test_null_count_pruning(self):
+        from pyspark.sql.datasource import IsNotNull, IsNull
+
+        opts = _fresh()
+        _write(opts, [(1, "a")])       # v never null
+        _write(opts, [(2, None)])      # v always null
+        r = self._reader_with(opts, IsNull(("v",)))
+        assert len(r.partitions()) == 1
+        r = self._reader_with(opts, IsNotNull(("v",)))
+        assert len(r.partitions()) == 1
+
+    def test_unknown_column_and_filter_types_keep_objects(self):
+        from pyspark.sql.datasource import EqualTo, StringContains
+
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        r = self._reader_with(opts, EqualTo(("nope",), 5))
+        assert len(r.partitions()) == 1  # statless column: keep
+        r = self._reader_with(opts, StringContains(("v",), "zzz"))
+        assert len(r.partitions()) == 1  # unhandled filter type: keep
+
+    def test_string_range_pruning_and_rows_read_correctly(self):
+        from pyspark.sql.datasource import GreaterThan
+
+        opts = _fresh()
+        _write(opts, [(1, "apple"), (2, "banana")])
+        _write(opts, [(3, "yak"), (4, "zebra")])
+        r = self._reader_with(opts, GreaterThan(("v",), "mango"))
+        parts = r.partitions()
+        assert len(parts) == 1
+        out = []
+        for p in parts:
+            for batch in r.read(p):
+                out.extend(zip(*[c.to_pylist() for c in batch.columns]))
+        assert sorted(out) == [(3, "yak"), (4, "zebra")]
+
+    def test_stats_survive_compaction(self):
+        from pyspark.sql.datasource import LessThan
+
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        _write(opts, [(100, "b")])
+        compact_manifests(opts)
+        r = self._reader_with(opts, LessThan(("k",), 50))
+        assert len(r.partitions()) == 1  # pruning still works post-compaction
+
+    def test_engine_level_scan_prunes_objects(self, spark):
+        """Through the real engine: with dataSkipping on, a range
+        filter over a two-chunk table SCANS only the matching object —
+        observed via the scan node's numOutputRows metric (2 rows of
+        object A never leave the source), and the answer is exact."""
+        from pyspark import cloudpickle
+
+        from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+        cloudpickle.register_pickle_by_value(_s3o)
+        spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        opts = _fresh()
+        _write(opts, [(1, "a"), (2, "b")])
+        _write(opts, [(100, "c")])
+
+        def scan_rows(with_skipping: bool) -> int:
+            reader = spark.read.format("s3_parquet_manifest")
+            for kk, vv in opts.items():
+                reader = reader.option(kk, vv)
+            if with_skipping:
+                reader = reader.option("dataSkipping", "true")
+            df = reader.load()
+            filtered = df.where(df.k > 50)
+            assert [tuple(r) for r in filtered.collect()] == [(100, "c")]
+            scan = filtered._jdf.queryExecution().executedPlan().collectLeaves().head()
+            it = scan.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    return kv._2().value()
+            raise AssertionError("numOutputRows metric missing")
+
+        assert scan_rows(with_skipping=False) == 3  # base reader: full scan
+        assert scan_rows(with_skipping=True) == 1  # object A pruned at plan

@@ -120,6 +120,7 @@ PROBE = [
     "stream_table_to_table_end_to_end",  # commit-log stream hop (first-build incl., min drops it)
     "s3_manifest_row_deletes",        # merge-on-read masked read (delete planned in trial 1)
     "s3_manifest_merge_upsert",       # post-merge read (merge planned in trial 1)
+    "s3_manifest_pruned_scan",        # zone-map pruned range scan (table built in trial 1)
 ]
 
 
