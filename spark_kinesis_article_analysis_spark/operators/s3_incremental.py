@@ -138,14 +138,15 @@ def _deleted_prefix(spark: SparkSession, sf_dir: str) -> str:
     cloudpickle.register_pickle_by_value(_s3o)
     spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
     opts = s3_options(prefix)
-    w = load(spark, sf_dir, "documents").select(*_COLS).write.format(
-        "s3_parquet_manifest"
-    ).mode("append")
+    d = load(spark, sf_dir, "documents").select(*_COLS)
+    w = d.write.format("s3_parquet_manifest").mode("append")
     for k, v in opts.items():
         w = w.option(k, v)
     w.save()
     key = _s3o.delete_where(spark, opts, "doc_id % 7 = 0")
-    if not key:
+    # loud-failure guard — but only when there was anything TO match:
+    # the degenerate empty-corpus parity drive runs this fixture too
+    if not key and d.head(1):
         raise AssertionError("delete_where matched nothing — fixture broken")
     _DELETED[prefix] = prefix
     return prefix
@@ -198,6 +199,13 @@ def _stats_prefix(spark: SparkSession, sf_dir: str) -> str:
     spark.dataSource.register(_s3o.S3ParquetManifestDataSource)
     d = load(spark, sf_dir, "documents").select(*_COLS)
     [[lo, hi]] = d.agg(F.min("doc_id"), F.max("doc_id")).collect()
+    if lo is None:  # empty corpus (degenerate parity drive): one
+        w = d.write.format("s3_parquet_manifest").mode("append")
+        for k, v in s3_options(prefix).items():  # empty append commits
+            w = w.option(k, v)  # the schema-carrying manifest
+        w.save()
+        _STATS[prefix] = prefix
+        return prefix
     step = max((hi - lo + 4) // 4, 1)
     for i in range(4):
         chunk = d.where(
@@ -277,7 +285,9 @@ def _merged_prefix(spark: SparkSession, sf_dir: str) -> str:
     delete_key = _s3o.merge_into(
         spark, opts, updates.unionByName(inserts), "doc_id"
     )
-    if not delete_key:
+    # loud-failure guard — skipped on an empty corpus (degenerate
+    # parity drive), where a merge legitimately matches nothing
+    if not delete_key and d.head(1):
         raise AssertionError("merge_into matched no target rows — fixture broken")
     _MERGED[prefix] = prefix
     return prefix
