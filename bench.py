@@ -145,6 +145,7 @@ HEADLINE = [
     "s3_manifest_row_deletes",         # merge-on-read DELETE WHERE (distributed position planning)
     "s3_manifest_merge_upsert",        # MERGE INTO: delete-matched + append, full DML surface
     "s3_manifest_pruned_scan",         # zone-map data skipping: pushFilters -> object pruning
+    "s3_manifest_snapshot_at_time",    # as-of-timestamp time travel
 ]
 
 

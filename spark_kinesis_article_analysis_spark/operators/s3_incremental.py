@@ -177,6 +177,40 @@ def s3_manifest_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reader(spark, prefix).load().select(*_COLS)
 
 
+@register(
+    "s3_manifest_snapshot_at_time",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 2 = 0
+""",
+    tags=("S2", "S3", "object-store", "snapshot", "time-travel"),
+    doc=(
+        "AS-OF-TIMESTAMP read: option('snapshotAtUs', <epoch micros>) "
+        "resolves to the last manifest committed at-or-before that "
+        "instant — the timestamp twin of the key-pinned "
+        "s3_manifest_snapshot, pinned here at the exact commit time of "
+        "append 1 with append 2 and a compaction already in the log. "
+        "Oracle = the even half: a hash match proves timestamp "
+        "resolution selects the same snapshot the key pin does "
+        "(inclusive at the boundary, immune to later commits). "
+        "Between-commit and before-first-commit boundary semantics are "
+        "pinned in tests/test_s3_incremental.py."
+    ),
+)
+def s3_manifest_snapshot_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_kinesis_article_analysis_spark.sources import s3_objects as _s3o
+
+    st = _prepared(spark, sf_dir)
+    opts = {k.lower(): v for k, v in s3_options(st["prefix"]).items()}
+    bodies = dict(_s3o._load_manifests(_s3o._s3(opts), opts["bucket"], opts["prefix"]))
+    at_us = bodies[st["snap_key"]]["committed_at_us"]
+    return (
+        _reader(spark, st["prefix"])
+        .option("snapshotAtUs", str(at_us))
+        .load()
+        .select(*_COLS)
+    )
+
+
 _STATS: dict[str, str] = {}
 
 

@@ -169,6 +169,32 @@ def _load_manifests(client, bucket: str, prefix: str) -> list[tuple[str, dict]]:
     return out
 
 
+def _resolve_snapshot(options: dict, manifests: list[tuple[str, dict]]):
+    """The read's snapshot pin: ``snapshotManifest`` (a key) wins; else
+    ``snapshotAtUs`` (epoch micros) resolves AS-OF-TIMESTAMP to the
+    last manifest committed at-or-before that instant — the
+    Iceberg/Delta timestamp-travel twin of the key pin. A timestamp
+    before the first commit is a loud error (an empty read there would
+    silently masquerade as an empty table)."""
+    key = options.get("snapshotmanifest")
+    if key is not None:
+        return key
+    at = options.get("snapshotatus")
+    if at is None:
+        return None
+    at_us = int(at)
+    best = None
+    for k, body in manifests:  # commit-log order
+        if body.get("committed_at_us", 0) <= at_us:
+            best = k
+    if best is None:
+        raise ValueError(
+            f"snapshotAtUs {at_us} precedes the first commit "
+            f"({manifests[0][1].get('committed_at_us') if manifests else 'no manifests'})"
+        )
+    return best
+
+
 def _active_manifests(
     manifests: list[tuple[str, dict]], snapshot_key: str | None = None
 ) -> list[tuple[str, dict]]:
@@ -617,7 +643,7 @@ class S3ManifestReader(DataSourceReader):
         manifests = _load_manifests(
             client, self.options["bucket"], self.options["prefix"]
         )
-        active = _active_manifests(manifests, self.options.get("snapshotmanifest"))
+        active = _active_manifests(manifests, _resolve_snapshot(self.options, manifests))
         # sinceManifest: incremental (CDC-shaped) read — only rows
         # appended AFTER the named commit. Computed as a set difference
         # of the two snapshots' OBJECT lists (objects now minus objects
@@ -867,10 +893,8 @@ class S3ParquetManifestDataSource(DataSource):
 
     def schema(self) -> str:
         opts = _norm(self.options)
-        active = _active_manifests(
-            _load_manifests(_s3(opts), opts["bucket"], opts["prefix"]),
-            opts.get("snapshotmanifest"),
-        )
+        manifests = _load_manifests(_s3(opts), opts["bucket"], opts["prefix"])
+        active = _active_manifests(manifests, _resolve_snapshot(opts, manifests))
         if not active:
             raise ValueError(
                 "s3_parquet_manifest: no committed manifests under "

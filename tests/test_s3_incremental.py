@@ -445,3 +445,55 @@ class TestDataSkipping:
 
         assert scan_rows(with_skipping=False) == 3  # base reader: full scan
         assert scan_rows(with_skipping=True) == 1  # object A pruned at plan
+
+
+class TestSnapshotAtTime:
+    """snapshotAtUs boundary semantics: inclusive at a commit instant,
+    floor between commits, loud before the first commit, and
+    key-pin precedence."""
+
+    def _ts_of(self, opts, key):
+        low = _low(opts)
+        return dict(_load_manifests(_s3(low), low["bucket"], low["prefix"]))[key][
+            "committed_at_us"
+        ]
+
+    def _read_at(self, opts, at_us):
+        o = dict(opts)
+        o["snapshotAtUs"] = str(at_us)
+        r = S3ManifestReader(o)
+        out = []
+        for p in r.partitions():
+            for batch in r.read(p):
+                out.extend(zip(*[c.to_pylist() for c in batch.columns]))
+        return sorted(out)
+
+    def test_boundaries(self):
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        [k1] = _manifest_log(opts)
+        _write(opts, [(2, "b")])
+        k2 = [k for k in _manifest_log(opts) if k != k1][0]
+        t1, t2 = self._ts_of(opts, k1), self._ts_of(opts, k2)
+        assert self._read_at(opts, t1) == [(1, "a")]  # inclusive at commit
+        if t2 - t1 > 1:
+            assert self._read_at(opts, t1 + 1) == [(1, "a")]  # floor between
+        assert self._read_at(opts, t2) == [(1, "a"), (2, "b")]
+        assert self._read_at(opts, t2 + 10**9) == [(1, "a"), (2, "b")]  # future
+        with pytest.raises(ValueError, match="precedes the first commit"):
+            self._read_at(opts, t1 - 1)
+
+    def test_key_pin_wins_over_timestamp(self):
+        opts = _fresh()
+        _write(opts, [(1, "a")])
+        [k1] = _manifest_log(opts)
+        _write(opts, [(2, "b")])
+        o = dict(opts)
+        o["snapshotManifest"] = k1
+        o["snapshotAtUs"] = str(self._ts_of(opts, k1) + 10**9)
+        r = S3ManifestReader(o)
+        out = []
+        for p in r.partitions():
+            for batch in r.read(p):
+                out.extend(zip(*[c.to_pylist() for c in batch.columns]))
+        assert sorted(out) == [(1, "a")]
