@@ -84,13 +84,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= MAX_SHINGLE_DF)
-        # consumed twice (sizes + pairs), df-capped. localCheckpoint, not
-        # persist: a registered builder can't unpersist after its lazy
-        # consumers run, so a pin would leak one cached frame per build
-        # until LRU eviction; checkpoint blocks are released by the
-        # ContextCleaner when the frame is GC'd (the PageRank pattern,
-        # functions/graph.py).
-        .localCheckpoint(eager=True)
+        # consumed twice (sizes + pairs), df-capped. r12: persist(), the
+        # dedup_ngram_jaccard treatment, replacing the r11 EAGER
+        # localCheckpoint — eager ran the whole scan->shingle->index
+        # subtree as a separate pre-materialization job at build time,
+        # and a checkpoint's ExistingRDD also hides size stats from the
+        # planner (the downstream sizes joins lost their broadcast).
+        # persist keeps one corpus pass AND the InMemoryRelation stats:
+        # measured 3.9s (eager ckpt) / 2.9s (lazy ckpt) / 2.0s (persist)
+        # at sf0.1. The known persist trade (pin lives until LRU/clear)
+        # is the one jaccard already accepts; bench releases per query.
+        .persist()
     )
     sizes = (
         groups.select(F.explode("ids").alias("doc_id"))

@@ -99,6 +99,51 @@ def hilbert_d_duck(x: str, y: str) -> str:
     )
 
 
+def hilbert_lut_bytes() -> bytes:
+    """The full curve as a 128 KB lookup table: byte pair ``2*(x*256+y)``
+    (big-endian uint16) holds the Hilbert position of cell ``(x, y)``.
+
+    Same packed-state recurrence as :func:`hilbert_d_spark`, evaluated
+    over the whole 256x256 domain in vectorized int64 numpy (exact
+    integer arithmetic — asserted equal to the classic xy2d bit loop,
+    exhaustively, in tests/test_hilbert.py). Pure function of the
+    module constants — no data dependence, recomputed at every plan
+    build (~2 ms), the ``similarity._plane_weights`` precedent.
+
+    Why a table at all: Catalyst evaluates higher-order folds
+    interpreted (CodegenFallback), and the 8-level step expression is
+    ~60 integer ops with heavy subtree re-evaluation — measured
+    ~14 us/row at sf0.1, the dominant cost of layout_hilbert_cluster.
+    The curve has only 65,536 cells, so the key becomes one codegen'd
+    byte-pair probe into a literal (guide §1.2: fix the per-row work
+    once the shape is right; the plan shape — stats broadcast, map-side
+    key, one bucket exchange — is unchanged)."""
+    import numpy as np
+
+    acc = np.arange(256 * 256, dtype=np.int64)  # x*256+y IS the packed init
+    for s in _LEVELS:
+        x = (acc // 256) % 256
+        y = acc % 256
+        d = acc // 65536
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        xl = x % s
+        yl = y % s
+        q = rx * (3 - ry) + (1 - rx) * ry
+        nx = ry * xl + (1 - ry) * (rx * (s - 1 - yl) + (1 - rx) * yl)
+        ny = ry * yl + (1 - ry) * (rx * (s - 1 - xl) + (1 - rx) * xl)
+        acc = (d + s * s * q) * 65536 + nx * 256 + ny
+    return (acc // 65536).astype(">u2").tobytes()
+
+
+def hilbert_d_lookup(hkey) -> "F.Column":
+    """Hilbert position of packed key ``hx*256 + hy`` via the byte-pair
+    probe into the :func:`hilbert_lut_bytes` literal — value-identical
+    to the fold (NULL key -> NULL position, like the fold's NULL init)."""
+    pair = F.substring(F.lit(hilbert_lut_bytes()), hkey * 2 + 1, F.lit(2))
+    return F.conv(F.hex(pair), 16, 10).cast("long")
+
+
 @register(
     "layout_hilbert_cluster",
     oracle=f"""
@@ -144,11 +189,14 @@ def layout_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_quant("user_id", "ulo", "uhi", "div")).alias("hx"),
         F.expr(_quant(_MIN_SPARK, "tlo", "thi", "div")).alias("hy"),
     )
+    # r12 optimization: the interpreted 8-level fold (hilbert_d_spark)
+    # becomes one codegen'd probe into the 128 KB curve table — same
+    # values (tests/test_hilbert.py proves table == fold == bit loop
+    # exhaustively), same plan shape, ~60 interpreted ops/row removed.
+    hkey = F.expr("cast(hx as bigint) * 256 + cast(hy as bigint)")
     return (
-        keyed.select(
-            "event_id",
-            F.expr(f"({hilbert_d_spark('hx', 'hy')}) div 64").alias("hbucket"),
-        )
+        keyed.select("event_id", hilbert_d_lookup(hkey).alias("hd"))
+        .select("event_id", F.expr("hd div 64").alias("hbucket"))
         .groupBy("hbucket")
         .agg(
             F.count("*").cast("long").alias("n_events"),

@@ -111,9 +111,13 @@ FROM ck LEFT JOIN dropped d ON d.vec_id = ck.vec_id
     ),
 )
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ck = _semantic_chunks(spark, sf_dir).localCheckpoint(
-        eager=True
-    )  # consumed 3x (both pair sides + output)
+    # consumed 3x (both pair sides + output). r12: persist() instead of
+    # the r11 EAGER localCheckpoint — eager paid a separate build-time
+    # job for the whole assign+chunk subtree, and the checkpoint's
+    # ExistingRDD hid its stats from the planner; persist materializes
+    # once inside the main action and keeps InMemoryRelation stats
+    # (the dedup_containment measurement, same trade note there).
+    ck = _semantic_chunks(spark, sf_dir).persist()
     return _semantic_keep(ck)
 
 

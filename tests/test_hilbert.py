@@ -65,6 +65,50 @@ class TestHilbert:
             (x1, y1), (x2, y2) = pos[d], pos[d + 1]
             assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, pos[d], pos[d + 1])
 
+    def test_lookup_table_matches_reference_exhaustively(self):
+        """The r12 byte-pair lookup table (the optimized query path)
+        holds the bit-loop position for EVERY cell — table[2k:2k+2]
+        big-endian == xy2d(x, y) for all 65,536 (x, y)."""
+        from spark_kinesis_article_analysis_spark.functions.hilbert import (
+            hilbert_lut_bytes,
+        )
+
+        lut = hilbert_lut_bytes()
+        assert len(lut) == 2 * 256 * 256
+        for x in range(256):
+            for y in range(256):
+                k = x * 256 + y
+                got = int.from_bytes(lut[2 * k : 2 * k + 2], "big")
+                assert got == _xy2d(256, x, y), (x, y, got)
+
+    def test_lookup_column_matches_fold_column(self, spark):
+        """The probe expression the query uses == the interpreted fold
+        it replaced, over the full domain plus a NULL key (NULL in ->
+        NULL out, the fold's NULL-init behavior)."""
+        from pyspark.sql import functions as F
+
+        from spark_kinesis_article_analysis_spark.functions.hilbert import (
+            hilbert_d_lookup,
+            hilbert_d_spark,
+        )
+
+        grid = spark.range(256 * 256).select(
+            F.col("id").alias("hkey"),  # the packed key IS hx*256 + hy
+            (F.col("id") / 256).cast("long").alias("hx"),
+            (F.col("id") % 256).alias("hy"),
+        ).union(
+            spark.range(1).select(
+                F.lit(None).cast("long").alias("hkey"),
+                F.lit(None).cast("long").alias("hx"),
+                F.lit(None).cast("long").alias("hy"),
+            )
+        )
+        n_bad = grid.select(
+            F.expr(hilbert_d_spark("hx", "hy")).alias("fold"),
+            hilbert_d_lookup(F.col("hkey")).alias("probe"),
+        ).filter("fold IS DISTINCT FROM probe").count()
+        assert n_bad == 0
+
     def test_duckdb_twin_matches_spark_fold(self):
         """The oracle-side list_reduce runs the same formula: spot-grid
         agreement with the Python reference directly in DuckDB."""
