@@ -165,24 +165,32 @@ def nsw_topk(spark: SparkSession, sf_dir: str, hops: int = NSW_HOPS) -> DataFram
         dot(F.col("qe"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 6
     ).alias("score")
     entries = e.filter(F.col("vec_id") % NSW_ENTRY_STRIDE == 0)
+    # r12 shuffle-bytes fix (guide §2.3, project before the exchange):
+    # visited/beam/expand used to carry the 64-double query embedding +
+    # norm through every per-hop distinct and ranking window — the hop
+    # state is now only (query_id, node, score); qe/qnrm re-attach at
+    # scoring time from the broadcast bounded query set. Also drops the
+    # old per-hop expand.distinct() exchange outright: duplicate
+    # candidates score identically (score is a pure function of
+    # (query, node)), so the visited-level distinct already collapses
+    # them exactly — one less shuffle per hop, same rows.
     visited = q.crossJoin(F.broadcast(entries)).select(
-        "query_id", "qe", "qnrm", F.col("vec_id").alias("node"), score
+        "query_id", F.col("vec_id").alias("node"), score
     )
     wb = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("node").asc())
     for _ in range(hops):
         beam = (
             visited.withColumn("rn", F.row_number().over(wb))
             .filter(F.col("rn") <= NSW_BEAM)
-            .select("query_id", "qe", "qnrm", "node")
+            .select("query_id", "node")
         )
-        expand = (
-            beam.join(edges, beam["node"] == edges["src"])
-            .select("query_id", "qe", "qnrm", F.col("dst").alias("cand"))
-            .distinct()
+        expand = beam.join(edges, beam["node"] == edges["src"]).select(
+            "query_id", F.col("dst").alias("cand")
         )
         scored = (
             expand.join(e, expand["cand"] == e["vec_id"])
-            .select("query_id", "qe", "qnrm", F.col("cand").alias("node"), score)
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", F.col("cand").alias("node"), score)
         )
         # distinct collapses revisits exactly: score is a pure function
         # of (query, node). visited stays <= Q * (1 + hops*BEAM*M) rows.

@@ -898,11 +898,15 @@ FROM events
 )
 def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    v = F.try_parse_json("props")
-    return ev.select(
+    # r12: materialize the parsed VARIANT as a named column so the two
+    # getters share ONE try_parse_json per row (inlined, each getter
+    # re-parsed props — the verify-skill expression-duplication trap;
+    # CollapseProject keeps a non-cheap alias used twice un-inlined).
+    parsed = ev.select("event_id", "props", F.try_parse_json("props").alias("v"))
+    return parsed.select(
         "event_id",
-        F.try_variant_get(v, "$.k", "int").alias("k_int"),
-        F.variant_get(v, "$.does_not_exist", "string").alias("k_missing"),
+        F.try_variant_get("v", "$.k", "int").alias("k_int"),
+        F.variant_get("v", "$.does_not_exist", "string").alias("k_missing"),
         F.try_parse_json(F.concat(F.lit("{"), F.col("props"))).isNull().alias(
             "bad_parse_is_null"
         ),

@@ -887,6 +887,11 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
                 F.col("b.d2").alias("d2"),
             )
         )
+        # (r12 tried a single cluster-grain agg with 64 avg buffers here —
+        # one exchange instead of two — but 128 buffer fields exceeds
+        # codegen's maxFields and the whole aggregate fell back to
+        # interpreted row mode, measuring no better; kept the two-level
+        # codegen'd form.)
         cents = (
             assign.select("cluster", F.posexplode("emb").alias("pos", "v"))
             .groupBy("cluster", "pos")
@@ -900,7 +905,10 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str, rounds: int) -> DataFrame:
             .select(F.col("cluster").alias("cid"), "cent")
             # truncate lineage per round (as dedup_cluster_components does):
             # without this the plan doubles every round and both planning
-            # time and stage DAG size grow with ROUNDS instead of staying flat
-            .localCheckpoint(eager=True)
+            # time and stage DAG size grow with ROUNDS instead of staying
+            # flat. LAZY (r12): eager ran each round as a separate
+            # build-time job; lazy materializes inside the next round's
+            # broadcast build — 3 fewer jobs per build, same lineage cut.
+            .localCheckpoint(eager=False)
         )
     return assign.select("vec_id", "cluster", F.round(F.sqrt("d2"), 6).alias("dist"))
