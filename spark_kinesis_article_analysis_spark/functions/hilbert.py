@@ -30,6 +30,8 @@ corpus-grain exchange is the final bucket aggregation. Writers order by
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,6 +101,7 @@ def hilbert_d_duck(x: str, y: str) -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
 def hilbert_lut_bytes() -> bytes:
     """The full curve as a 128 KB lookup table: byte pair ``2*(x*256+y)``
     (big-endian uint16) holds the Hilbert position of cell ``(x, y)``.
@@ -107,8 +110,10 @@ def hilbert_lut_bytes() -> bytes:
     over the whole 256x256 domain in vectorized int64 numpy (exact
     integer arithmetic — asserted equal to the classic xy2d bit loop,
     exhaustively, in tests/test_hilbert.py). Pure function of the
-    module constants — no data dependence, recomputed at every plan
-    build (~2 ms), the ``similarity._plane_weights`` precedent.
+    module constants — no data dependence, so memoized (r12 ADVICE):
+    one shared bytes object serves every plan build, test, and repeated
+    build in a session instead of a fresh ~2 ms numpy rebuild per call
+    (the ``similarity._plane_weights`` precedent, now cached).
 
     Why a table at all: Catalyst evaluates higher-order folds
     interpreted (CodegenFallback), and the 8-level step expression is

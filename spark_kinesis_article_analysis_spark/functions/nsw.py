@@ -149,7 +149,26 @@ def nsw_edges(e: DataFrame) -> DataFrame:
 
 def nsw_topk(spark: SparkSession, sf_dir: str, hops: int = NSW_HOPS) -> DataFrame:
     e = _corpus(spark, sf_dir)
-    edges = nsw_edges(e).localCheckpoint(eager=False)
+    # r13 hop fusion (guide §2.4 remove shuffles / §1.2 fix the shape):
+    # 1. The dst VECTOR is co-located with the adjacency row (the HNSW
+    #    layout the module doc already names as the production form) —
+    #    each hop joins the broadcast beam against ONE edge-table scan
+    #    instead of an edges scan PLUS a full-corpus scan+join to fetch
+    #    candidate embeddings. Storage trade: the edge table carries
+    #    <= NSW_M copies of each vector; hop cost halves.
+    edges = (
+        nsw_edges(e)
+        .join(
+            e.select(
+                F.col("vec_id").alias("dst"),
+                F.col("emb").alias("demb"),
+                F.col("nrm").alias("dnrm"),
+            ),
+            "dst",
+        )
+        .select("src", "dst", "demb", "dnrm")
+        .localCheckpoint(eager=False)
+    )
     q = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
@@ -161,47 +180,58 @@ def nsw_topk(spark: SparkSession, sf_dir: str, hops: int = NSW_HOPS) -> DataFram
             F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("qnrm"),
         )
     )
-    score = F.round(
+    # entry score reads (emb, nrm) from the entry row; edge score reads
+    # the co-located (demb, dnrm) — same fold, same rounding, so a node
+    # reached both ways scores bit-identically.
+    entry_score = F.round(
         dot(F.col("qe"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 6
     ).alias("score")
+    edge_score = F.round(
+        dot(F.col("qe"), F.col("demb")) / (F.col("qnrm") * F.col("dnrm")), 6
+    ).alias("score")
     entries = e.filter(F.col("vec_id") % NSW_ENTRY_STRIDE == 0)
-    # r12 shuffle-bytes fix (guide §2.3, project before the exchange):
-    # visited/beam/expand used to carry the 64-double query embedding +
-    # norm through every per-hop distinct and ranking window — the hop
-    # state is now only (query_id, node, score); qe/qnrm re-attach at
-    # scoring time from the broadcast bounded query set. Also drops the
-    # old per-hop expand.distinct() exchange outright: duplicate
-    # candidates score identically (score is a pure function of
-    # (query, node)), so the visited-level distinct already collapses
-    # them exactly — one less shuffle per hop, same rows.
+    # hop state stays the r12 narrow (query_id, node, score); qe/qnrm
+    # re-attach from the broadcast bounded query set at scoring time.
     visited = q.crossJoin(F.broadcast(entries)).select(
-        "query_id", F.col("vec_id").alias("node"), score
+        "query_id", F.col("vec_id").alias("node"), entry_score
     )
     wb = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("node").asc())
-    for _ in range(hops):
-        beam = (
-            visited.withColumn("rn", F.row_number().over(wb))
-            .filter(F.col("rn") <= NSW_BEAM)
-            .select("query_id", "node")
-        )
-        expand = beam.join(edges, beam["node"] == edges["src"]).select(
-            "query_id", F.col("dst").alias("cand")
-        )
-        scored = (
-            expand.join(e, expand["cand"] == e["vec_id"])
-            .join(F.broadcast(q), "query_id")
-            .select("query_id", F.col("cand").alias("node"), score)
-        )
-        # distinct collapses revisits exactly: score is a pure function
-        # of (query, node). visited stays <= Q * (1 + hops*BEAM*M) rows.
-        visited = (
-            visited.unionByName(scored)
-            .distinct()
+    # 2. The per-hop visited-level distinct() (its own all-column hash
+    #    exchange) and the NEXT hop's beam window (an exchange by
+    #    query_id) fuse into ONE exchange per hop: repartition by
+    #    query_id, then dedup-by-(query_id, node) and beam-rank as two
+    #    window passes over the SAME partitioning (hashpartitioning on
+    #    query_id satisfies both windows' clustering, so only local
+    #    sorts separate them). Dedup on (query_id, node) is exact
+    #    because score is a pure deterministic function of the pair —
+    #    the r12 argument that removed expand.distinct(), applied to the
+    #    visited level; the oracle's UNION over (query_id, node, score)
+    #    triples collapses the same rows.
+    wd = W.partitionBy("query_id", "node").orderBy("node")
+
+    def dedup_rank(u: DataFrame) -> DataFrame:
+        return (
+            u.repartition("query_id")
+            .withColumn("dup", F.row_number().over(wd))
+            .filter(F.col("dup") == 1)
+            .drop("dup")
+            .withColumn("rn", F.row_number().over(wb))
             .localCheckpoint(eager=False)  # plan stays flat in hops
         )
+
+    for _ in range(hops):
+        ranked = dedup_rank(visited)
+        beam = ranked.filter(F.col("rn") <= NSW_BEAM).select("query_id", "node")
+        scored = (
+            F.broadcast(beam)
+            .join(edges, beam["node"] == edges["src"])
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", F.col("dst").alias("node"), edge_score)
+        )
+        visited = ranked.select("query_id", "node", "score").unionByName(scored)
+    final = dedup_rank(visited)
     return (
-        visited.withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= TOP_K)
+        final.filter(F.col("rn") <= TOP_K)
         .select("query_id", F.col("node").alias("neighbor_id"), F.col("score").alias("cosine"))
     )
 

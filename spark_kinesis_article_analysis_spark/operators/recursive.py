@@ -42,6 +42,16 @@ BOM_DEPTH_CAP = 12
 #: SF100's 15M customers.
 ANC_KEY_MAX = 512
 
+#: Static reachability bound for the recursive term's part scan: from
+#: root r <= BOM_ROOT_MAX, a node at depth d lies in [r*2^d, (r+1)*2^d),
+#: so no reachable key can be >= (BOM_ROOT_MAX + 1) * 2^BOM_DEPTH_CAP.
+#: Pushing that CONSTANT predicate into the per-iteration part scan is
+#: free at sf0.1 (every part key is under it) but prunes the 100 TB
+#: part table's row groups on all BOM_DEPTH_CAP iterations (guide §6:
+#: make PushedFilters carry what you know); result-identical by the
+#: bound above.
+BOM_KEY_BOUND = (BOM_ROOT_MAX + 1) * 2**BOM_DEPTH_CAP
+
 _BOM_SPARK = f"""
 WITH RECURSIVE bom(root, node, depth) AS (
     SELECT p_partkey, p_partkey, 0 FROM part
@@ -54,7 +64,7 @@ WITH RECURSIVE bom(root, node, depth) AS (
         LATERAL VIEW explode(array(b.node * 2, b.node * 2 + 1)) c AS child
         WHERE b.depth < {BOM_DEPTH_CAP}
     ) x
-    JOIN part p ON p.p_partkey = x.child
+    JOIN part p ON p.p_partkey = x.child AND p.p_partkey < {BOM_KEY_BOUND}
 )
 SELECT root,
        CAST(count(*) AS BIGINT) AS n_components,
@@ -239,6 +249,19 @@ def bfs_reachability(
     flat plan instead of one that doubles per round (plain persist()
     caches data but NOT the logical plan: Catalyst re-analysis went
     exponential past ~12 rounds when this tried persist+count)."""
+    # r13 re-measured the VERDICT r12 #4 double-step (two levels per
+    # driver round: level B built lazily on level A's checkpoint, ONE
+    # count() materializing both, level A's count a near-free probe — no
+    # tagged-count exchange this time). Interleaved same-session A/B:
+    # single-step 2.828 s, double-step 2.821 s — a wash. The halved
+    # count round-trips are cancelled by level A's expansion running
+    # serially INSIDE level B's broadcast-frontier build (the per-level
+    # work is a serial chain either way; only the count()s were
+    # removed, and those are cheap probes of already-checkpointed
+    # frontiers). Negative result, item closed: the one-job-per-level
+    # form stays (convergence parity pinned on chains of every length
+    # 0..6 + cycle cap boundaries in tests/test_recursive.py, which the
+    # double-step candidate also passed).
     edges = edges.persist()
     frontier = seeds.localCheckpoint(eager=False)
     frontier.count()

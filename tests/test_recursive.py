@@ -195,3 +195,53 @@ class TestReachabilityFuzz:
                 frontier = nxt
             want |= {(s, v) for v in vis}
         assert got == want
+
+    def test_exact_diameter_chains(self, spark):
+        """r13 (pre-double-step harness extension, VERDICT r12 #4):
+        chain graphs of EVERY length 0..6 pin the convergence boundary
+        cases a two-levels-per-driver-round BFS can get wrong — odd vs
+        even diameter (convergence detected after the first or the
+        second half of a double round), empty first frontier (L=0), and
+        the exact visited set when the cap is hit mid-double-round."""
+        from spark_kinesis_article_analysis_spark.operators.recursive import (
+            bfs_reachability,
+        )
+
+        for length in range(7):
+            seeds = spark.createDataFrame([(1, 1)], "src long, node long")
+            chain = [(i, i + 1) for i in range(1, length + 1)]
+            edf = spark.createDataFrame(
+                chain or [(None, None)], "u long, v long"
+            ).where("u IS NOT NULL")
+            got = {
+                (r["src"], r["node"])
+                for r in bfs_reachability(seeds, edf, round_cap=8).collect()
+            }
+            assert got == {(1, n) for n in range(1, length + 2)}, (length, got)
+
+    def test_cycle_convergence_and_cap_error(self, spark):
+        """A pure directed cycle converges in exactly |cycle| - 1
+        expansion levels; a cap one short of that must raise (the
+        non-convergence error semantics are part of the contract and
+        must survive any double-stepping of the loop)."""
+        import pytest
+
+        from spark_kinesis_article_analysis_spark.operators.recursive import (
+            bfs_reachability,
+        )
+
+        n = 6
+        cyc = [(i, i % n + 1) for i in range(1, n + 1)]
+        seeds = spark.createDataFrame([(1, 1)], "src long, node long")
+        edf = spark.createDataFrame(cyc, "u long, v long")
+        got = {
+            (r["src"], r["node"])
+            for r in bfs_reachability(seeds, edf, round_cap=n).collect()
+        }
+        assert got == {(1, v) for v in range(1, n + 1)}
+        with pytest.raises(RuntimeError, match="did not converge"):
+            bfs_reachability(
+                spark.createDataFrame([(1, 1)], "src long, node long"),
+                spark.createDataFrame(cyc, "u long, v long"),
+                round_cap=n - 2,
+            ).collect()

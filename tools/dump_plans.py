@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for headline queries to plans/r12/<name>_<tag>.txt.
+"""Dump .explain("formatted") for headline queries to plans/<round>/<name>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> [query ...]
-(tag is e.g. "before" or "after"; no queries = the full bench HEADLINE set)
+(tag is e.g. "before" or "after"; no queries = the full bench HEADLINE set;
+round dir defaults to r13, override with SPARK_GRAFT_PLAN_ROUND)
 """
 
 from __future__ import annotations
@@ -20,7 +21,10 @@ from spark_kinesis_article_analysis_spark.session import get_spark  # noqa: E402
 def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or HEADLINE
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    import os
+
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name=f"plans-{tag}")
     specs = all_specs()
