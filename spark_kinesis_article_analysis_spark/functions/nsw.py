@@ -209,15 +209,19 @@ def nsw_topk(spark: SparkSession, sf_dir: str, hops: int = NSW_HOPS) -> DataFram
     #    triples collapses the same rows.
     wd = W.partitionBy("query_id", "node").orderBy("node")
 
-    def dedup_rank(u: DataFrame) -> DataFrame:
-        return (
+    def dedup_rank(u: DataFrame, checkpoint: bool = True) -> DataFrame:
+        out = (
             u.repartition("query_id")
             .withColumn("dup", F.row_number().over(wd))
             .filter(F.col("dup") == 1)
             .drop("dup")
             .withColumn("rn", F.row_number().over(wb))
-            .localCheckpoint(eager=False)  # plan stays flat in hops
         )
+        # per-hop frames are consumed TWICE (beam + next union): the lazy
+        # checkpoint keeps the plan flat in hops; the FINAL pass has one
+        # consumer, so a checkpoint there would only add a materialization
+        # (and hide the search's plan shape from explain).
+        return out.localCheckpoint(eager=False) if checkpoint else out
 
     for _ in range(hops):
         ranked = dedup_rank(visited)
@@ -229,7 +233,7 @@ def nsw_topk(spark: SparkSession, sf_dir: str, hops: int = NSW_HOPS) -> DataFram
             .select("query_id", F.col("dst").alias("node"), edge_score)
         )
         visited = ranked.select("query_id", "node", "score").unionByName(scored)
-    final = dedup_rank(visited)
+    final = dedup_rank(visited, checkpoint=False)
     return (
         final.filter(F.col("rn") <= TOP_K)
         .select("query_id", F.col("node").alias("neighbor_id"), F.col("score").alias("cosine"))

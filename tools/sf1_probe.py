@@ -44,6 +44,17 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 REPLICAS = 10
 
+#: Replica row-group size. r13 finding: a parquet scan can never run
+#: more NON-EMPTY tasks than the file has row groups, and both the
+#: driver's sf0.1 corpus AND DuckDB's default COPY (~122k-row groups)
+#: leave documents/embeddings as ONE row group even at 10x — every
+#: corpus-map stage was single-task at BOTH scales, which is why the
+#: 8-vs-32-core ratios sat at ~1 everywhere. 8k-row groups let the
+#: replica's scans parallelize the way a real multi-file 100 TB table
+#: would, so the core-scaling probe measures the ENGINE, not the
+#: fixture's file layout.
+ROW_GROUP = 2048
+
 #: key columns to shift per table (column -> shift base derives from the
 #: table that OWNS the key, so foreign keys stay consistent)
 KEYS = {
@@ -75,6 +86,7 @@ PROBE = [
     "dedup_url_canonical",         # canonical-key fold + annotate join
     "text_bm25_topk",              # filtered postings + broadcast stats
     "dedup_semantic_cluster",      # capped intra-cluster pair join
+    "dedup_containment",           # r13: persist-based shingle index (VERDICT r12 #5 set)
     "graph_triangle_stats",        # wedge join (graph is key-BOUNDED: see note)
     # round-9 batch-2/3 additions (VERDICT r9 #6) + the r10 retrained IVF
     "rank_fusion_rrf",             # two bounded rank lists + checkpointed fold
@@ -131,7 +143,7 @@ def build_replica() -> None:
     for t in ("nation", "region"):
         con.sql(
             f"COPY (SELECT * FROM read_parquet('{SF01}/{t}.parquet')) "
-            f"TO '{SF1}/{t}.parquet' (FORMAT PARQUET)"
+            f"TO '{SF1}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
         )
     maxes: dict[str, int] = {}
 
@@ -163,7 +175,8 @@ def build_replica() -> None:
                 f"SELECT {', '.join(exprs)} FROM read_parquet('{SF01}/{t}.parquet')"
             )
         con.sql(
-            f"COPY ({' UNION ALL '.join(selects)}) TO '{marker}' (FORMAT PARQUET)"
+            f"COPY ({' UNION ALL '.join(selects)}) TO '{marker}' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {ROW_GROUP})"
         )
     con.close()
 
@@ -207,6 +220,12 @@ def run_one_scale(sf_dir: str) -> None:
             t0 = time.perf_counter()
             build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # r13: same trial-isolation fix as bench.py — persist()-based
+            # queries plan-match across rebuilds, so without the release
+            # trials 2-3 report warm-cache numbers.
+            spark.catalog.clearCache()
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist()
         out[name] = round(best, 3)
         print(f"# {sf_dir} {name}: {best:.3f}s", file=sys.stderr)
     print(json.dumps(out))
